@@ -1,0 +1,102 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+Headliners: the engine's full pages pipeline (synth → 1m rollup →
+cascade 1h/1d/30d → gap-fill; docs/sec is measured on this) plus the
+representative contract queries over the driver testdata tables.
+Every query is forced end-to-end with a noop sink (no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from chainalytic_framework_spark import contract
+from chainalytic_framework_spark.operators.cascade import build_all_tiers
+from chainalytic_framework_spark.operators.gapfill import gapfill_locf
+from chainalytic_framework_spark.session import build_session
+from chainalytic_framework_spark.synth import generate_pages
+
+HEADLINE = [
+    "rollup_1m_events",
+    "rollup_1h_cascade_events",
+    "rollup_1d_salted_events",
+    "cumulative_daily_events",
+    "topk_users_events",
+    "recent_active_users_events",
+    "gapfill_locf_events",
+    "transition_counts_events",
+    "join_revenue_by_nation",
+    "tpch_q1_lineitem",
+    "text_stats_lang_documents",
+    "dedup_exact_documents",
+    "knn_bruteforce_embeddings",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    spark = build_session(
+        app_name="cfs-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    t_all0 = time.perf_counter()
+
+    # --- engine pipeline on synthetic pages (docs/sec headline) ---
+    n_docs = max(10_000, int(6_000_000 * sf))
+    pages = generate_pages(spark, n_docs)
+    pages.write.mode("overwrite").parquet("/tmp/cfs_bench_pages")
+    pages_on_disk = spark.read.parquet("/tmp/cfs_bench_pages")
+
+    t0 = time.perf_counter()
+    tiers = build_all_tiers(pages_on_disk, grain="url")
+    for name in ("1m", "1h", "1d", "30d"):
+        _force(tiers[name])
+    _force(gapfill_locf(tiers["1h"], "1h"))
+    pipeline_sec = time.perf_counter() - t0
+    timings["pages_pipeline"] = round(pipeline_sec, 3)
+    docs_per_sec = round(n_docs / pipeline_sec, 1)
+
+    # --- contract headliners over driver testdata ---
+    qs = contract.queries()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(time.perf_counter() - t_all0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "rollup_engine_headline_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": docs_per_sec,
+                "pipeline_docs": n_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

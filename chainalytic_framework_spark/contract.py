@@ -1,0 +1,717 @@
+"""Driver-contract query catalog: Spark DataFrame implementations paired
+with DuckDB oracle SQL, over /root/testdata parquet tables.
+
+Each entry exercises one operator family from SURVEY.md §2 against the
+driver's correctness gate (row-count + schema + order-insensitive
+value-hash at sf0.01). Conventions that make cross-engine hashing
+deterministic:
+
+- time buckets are emitted as BIGINT epoch seconds (``bucket_epoch``),
+  never timestamps — immune to session-timezone rendering;
+- money/value sums are integer cents (``CAST(round(value*100) AS
+  BIGINT)`` summed) — no float accumulation-order sensitivity;
+- floats that must appear (similarities, ratios) are rounded to 4dp;
+- every top-k has a total deterministic sort (measure desc, then
+  unique id) before LIMIT;
+- every computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# integer-cents value: exact, order-insensitive (lazy: Column needs a session)
+def _cents():
+    return (F.round(F.col("value") * 100, 0)).cast("long")
+
+
+def _epoch(col) -> "F.Column":
+    """Epoch seconds from either TIMESTAMP or TIMESTAMP_NTZ input (the
+    testdata parquet is NTZ); session tz is UTC so NTZ→LTZ is identity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
+def _bucket_epoch(col: str, secs: int):
+    return ((_epoch(col) / secs).cast("long") * secs).alias("bucket_epoch")
+
+
+def _bucket_epoch_sql(col: str, secs: int) -> str:
+    return f"CAST(floor(epoch({col}) / {secs}) AS BIGINT) * {secs}"
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window rollups (SURVEY §2.4 A1-A7; north-rule tier engine)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rollup_1m_events",
+    f"""
+    SELECT {_bucket_epoch_sql('ts', 60)} AS bucket_epoch,
+           event_type,
+           COUNT(*) AS point_count,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(round(MIN(value) * 100) AS BIGINT) AS min_cents,
+           CAST(round(MAX(value) * 100) AS BIGINT) AS max_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1m_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finest-tier tumbling rollup (engine 1m tier; reference: per-height
+    point emit, stake_history.py:170-190)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(_bucket_epoch("ts", 60), "event_type", _cents().alias("_c"), "value")
+        .groupBy("bucket_epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("point_count"),
+            F.sum("_c").alias("value_cents"),
+            F.round(F.min("value") * 100, 0).cast("long").alias("min_cents"),
+            F.round(F.max("value") * 100, 0).cast("long").alias("max_cents"),
+        )
+    )
+
+
+@q(
+    "rollup_1h_cascade_events",
+    f"""
+    SELECT {_bucket_epoch_sql('ts', 3600)} AS bucket_epoch,
+           event_type,
+           COUNT(*) AS point_count,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1h_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample cascade: Spark builds 1m partials then re-aggregates to
+    1h; oracle computes 1h directly from raw — proves cascade exactness
+    (operators/cascade.py) through the gate."""
+    ev = _t(spark, sf_dir, "events")
+    m1 = (
+        ev.select(_bucket_epoch("ts", 60), "event_type", _cents().alias("_c"))
+        .groupBy("bucket_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("point_count"), F.sum("_c").alias("value_cents"))
+    )
+    return (
+        m1.select(
+            ((F.col("bucket_epoch") / 3600).cast("long") * 3600).alias("bucket_epoch"),
+            "event_type",
+            "point_count",
+            "value_cents",
+        )
+        .groupBy("bucket_epoch", "event_type")
+        .agg(F.sum("point_count").alias("point_count"), F.sum("value_cents").alias("value_cents"))
+    )
+
+
+@q(
+    "rollup_1d_salted_events",
+    f"""
+    SELECT {_bucket_epoch_sql('ts', 86400)} AS bucket_epoch,
+           event_type,
+           COUNT(*) AS point_count,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1d_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (hot-key skew path, SURVEY §4):
+    stage 1 on (key, salt), stage 2 merges — must equal unsalted oracle."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.select(
+            _bucket_epoch("ts", 86400),
+            "event_type",
+            F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("_salt"),
+            _cents().alias("_c"),
+        )
+        .groupBy("bucket_epoch", "event_type", "_salt")
+        .agg(F.count(F.lit(1)).alias("point_count"), F.sum("_c").alias("value_cents"))
+    )
+    return s1.groupBy("bucket_epoch", "event_type").agg(
+        F.sum("point_count").alias("point_count"), F.sum("value_cents").alias("value_cents")
+    )
+
+
+@q(
+    "cumulative_daily_events",
+    f"""
+    WITH d AS (
+      SELECT {_bucket_epoch_sql('ts', 86400)} AS bucket_epoch, event_type,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2)
+    SELECT bucket_epoch, event_type, value_cents,
+           CAST(SUM(value_cents) OVER (PARTITION BY event_type ORDER BY bucket_epoch
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+    FROM d
+    """,
+)
+def cumulative_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals across buckets (reference A1: total_staking carried
+    across heights, stake_history.py:76-79)."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(_bucket_epoch("ts", 86400), "event_type", _cents().alias("_c"))
+        .groupBy("bucket_epoch", "event_type")
+        .agg(F.sum("_c").alias("value_cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.withColumn("cum_cents", F.sum("value_cents").over(w))
+
+
+@q(
+    "grouped_last_events",
+    """
+    SELECT user_id,
+           arg_max(value, event_id) AS last_value,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_seen_epoch,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def grouped_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped last-value (reference A7: per-address latest stake via dict
+    overwrite, stake_top100.py:53-54) — max_by keyed on unique event_id."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", "event_id").alias("last_value"),
+        _epoch(F.max("ts")).alias("last_seen_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@q(
+    "point_lookup_events",
+    f"""
+    SELECT {_bucket_epoch_sql('ts', 3600)} AS bucket_epoch, event_type,
+           COUNT(*) AS point_count,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE {_bucket_epoch_sql('ts', 3600)} = (
+        SELECT MIN({_bucket_epoch_sql('ts', 3600)}) + 36000 FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def point_lookup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by bucket (reference S8 get_block, storage.py:143-154);
+    at scale this is a partition-pruned scan of one time partition."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(_bucket_epoch("ts", 3600)).agg(F.min("bucket_epoch")).first()[0] + 36000
+    return (
+        ev.select(_bucket_epoch("ts", 3600), "event_type", _cents().alias("_c"))
+        .where(F.col("bucket_epoch") == F.lit(b))
+        .groupBy("bucket_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("point_count"), F.sum("_c").alias("value_cents"))
+    )
+
+
+@q(
+    "last_bucket_events",
+    f"""
+    WITH h AS (
+      SELECT {_bucket_epoch_sql('ts', 3600)} AS bucket_epoch, event_type,
+             COUNT(*) AS point_count,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, MAX(bucket_epoch) AS bucket_epoch,
+           arg_max(point_count, bucket_epoch) AS point_count,
+           arg_max(value_cents, bucket_epoch) AS value_cents
+    FROM h GROUP BY event_type
+    """,
+)
+def last_bucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-bucket stats per series (reference: get_staking_info_last_block
+    = max-height + point-get composite, provider/api_bundle.py:38-44)."""
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select(_bucket_epoch("ts", 3600), "event_type", _cents().alias("_c"))
+        .groupBy("bucket_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("point_count"), F.sum("_c").alias("value_cents"))
+    )
+    return h.groupBy("event_type").agg(
+        F.max("bucket_epoch").alias("bucket_epoch"),
+        F.max_by("point_count", "bucket_epoch").alias("point_count"),
+        F.max_by("value_cents", "bucket_epoch").alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k / sliding retention / threshold scans (SURVEY §2.5 W1-W4)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "topk_users_events",
+    """
+    SELECT user_id, total_cents, n_events FROM (
+      SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id)
+    ORDER BY total_cents DESC, user_id LIMIT 100
+    """,
+)
+def topk_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k maintenance (reference W1: latest_stake_top100,
+    stake_top100.py:46-66). orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition top-k then merge, no full sort."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(_cents()).alias("total_cents"), F.count(F.lit(1)).alias("n_events")
+    )
+    return agg.orderBy(F.desc("total_cents"), "user_id").limit(100)
+
+
+@q(
+    "recent_active_users_events",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT user_id, COUNT(*) AS n_recent,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS recent_cents
+    FROM events, mx WHERE ts > m - INTERVAL 3 DAY
+    GROUP BY user_id
+    ORDER BY n_recent DESC, user_id LIMIT 200
+    """,
+)
+def recent_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding retention window (reference W2: recent_stake_wallets
+    TIMESPAN eviction + cap 200, recent_stake_wallets.py:56-77)."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.max("ts")).first()[0]
+    return (
+        ev.where(F.col("ts") > F.lit(m) - F.expr("INTERVAL 3 DAYS"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_recent"), F.sum(_cents()).alias("recent_cents"))
+        .orderBy(F.desc("n_recent"), "user_id")
+        .limit(200)
+    )
+
+
+@q(
+    "threshold_scan_events",
+    """
+    SELECT user_id, total_cents FROM (
+      SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events GROUP BY user_id)
+    WHERE total_cents >= 50000
+    ORDER BY total_cents DESC, user_id LIMIT 1000
+    """,
+)
+def threshold_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold scan-sort-limit (reference W4: funded_wallets min_balance
+    filter + sort + truncate, storage.py:320-337)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum(_cents()).alias("total_cents"))
+        .where(F.col("total_cents") >= 50000)
+        .orderBy(F.desc("total_cents"), "user_id")
+        .limit(1000)
+    )
+
+
+@q(
+    "transition_counts_events",
+    """
+    WITH s AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev_value <= 10 AND value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS up_transitions,
+           CAST(SUM(CASE WHEN prev_value > 10 AND value <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS down_transitions
+    FROM s GROUP BY user_id
+    """,
+)
+def transition_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-transition counting (reference A2: total_staking_wallets ±1 on
+    0↔positive transitions, stake_history.py:130-133) via lag window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = ev.withColumn("prev_value", F.lag("value").over(w))
+    return s.groupBy("user_id").agg(
+        F.sum(
+            F.when((F.col("prev_value") <= 10) & (F.col("value") > 10), 1).otherwise(0)
+        ).alias("up_transitions"),
+        F.sum(
+            F.when((F.col("prev_value") > 10) & (F.col("value") <= 10), 1).otherwise(0)
+        ).alias("down_transitions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / extraction (SURVEY §2.2 P1-P7)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "filter_project_events",
+    """
+    SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS value_cents,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+    FROM events WHERE event_type = 'click' AND value > 5.0
+    """,
+)
+def filter_project_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter+project event extraction (reference P1/P2: tx filtering and
+    projection, data_feeder.py:142-167). Predicate and column pruning push
+    into the parquet scan — verify via .explain() PushedFilters."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where((F.col("event_type") == "click") & (F.col("value") > 5.0)).select(
+        "event_id",
+        "user_id",
+        _cents().alias("value_cents"),
+        _epoch("ts").alias("ts_epoch"),
+    )
+
+
+@q(
+    "json_extract_events",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode + derived-predicate filter (reference F4 json round-trips
+    + P6 derived predicates, abstention_stake.py:70-73)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k")).where(F.col("k") > 50)
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3) — broadcast dims, multi-way
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "join_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim with explicit broadcast of the small sides (reference
+    J1/J2 state-lookup + scalar broadcast patterns). At 100 TB the fact
+    side never shuffles for broadcastable dims."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum((F.round(F.col("o_totalprice") * 100, 0)).cast("long")).alias("revenue_cents"),
+        )
+    )
+
+
+@q(
+    "semi_anti_join_orders",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM customer c WHERE EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+      (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders
+    """,
+)
+def semi_anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins — the resume-pending-work primitive
+    (engine checkpoint anti-join; reference T1 cursor semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_o = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    without_o = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    spark_df = spark.createDataFrame(
+        [(with_o, without_o)], "with_orders bigint, without_orders bigint"
+    )
+    return spark_df
+
+
+@q(
+    "tpch_q1_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (generic agg-operator check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias("sum_qty_cents"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "sum_price_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill LOCF (north-rule core) — JVM-side spine + last(ignorenulls)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "gapfill_locf_events",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS bucket_epoch,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events WHERE user_id < 20 GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, MIN(bucket_epoch) AS b0, MAX(bucket_epoch) AS b1 FROM b GROUP BY user_id),
+    spine AS (
+      SELECT user_id, UNNEST(range(b0, b1 + 21600, 21600)) AS bucket_epoch FROM bounds),
+    j AS (
+      SELECT s.user_id, s.bucket_epoch, b.value_cents,
+             (b.value_cents IS NULL) AS gap_filled
+      FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket_epoch = b.bucket_epoch)
+    SELECT user_id, bucket_epoch,
+           last_value(value_cents IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY bucket_epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents,
+           gap_filled
+    FROM j
+    """,
+)
+def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill over 6h buckets for a key subset: per-key spine via
+    sequence()+explode, left join, last(ignorenulls) carry — the engine's
+    gapfill operator (operators/gapfill.py) expressed on the events table."""
+    ev = _t(spark, sf_dir, "events")
+    secs = 21600
+    b = (
+        ev.where(F.col("user_id") < 20)
+        .select("user_id", _bucket_epoch("ts", secs), _cents().alias("_c"))
+        .groupBy("user_id", "bucket_epoch")
+        .agg(F.sum("_c").alias("value_cents"))
+    )
+    bounds = b.groupBy("user_id").agg(
+        F.min("bucket_epoch").alias("b0"), F.max("bucket_epoch").alias("b1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("b0", "b1", F.lit(secs))).alias("bucket_epoch")
+    )
+    j = spine.join(b, ["user_id", "bucket_epoch"], "left").withColumn(
+        "gap_filled", F.col("value_cents").isNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "bucket_epoch",
+        F.last("value_cents", ignorenulls=True).over(w).alias("value_cents"),
+        "gap_filled",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents) — webtext payload ops
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_stats_lang_documents",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum, MIN(n_chars) AS chars_min, MAX(n_chars) AS chars_max,
+           CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang text-length statistics — the engine's per-lang grain tier
+    measures over the documents payload."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.min("n_chars").alias("chars_min"),
+        F.max("n_chars").alias("chars_max"),
+        F.sum(F.length("text")).alias("text_len_sum"),
+    )
+
+
+@q(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dupes
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep min doc_id per fingerprint
+    (hash-groupBy; at scale a single shuffle on the digest)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+@q(
+    "token_count_documents",
+    """
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+    FROM documents
+    """,
+)
+def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (training-data pipeline op)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"), "n_chars")
+
+
+@q(
+    "quality_score_documents",
+    """
+    SELECT doc_id,
+           n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) * 10000)
+                AS BIGINT) AS chars_per_token_x1e4,
+           CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS stopword_hits
+    FROM documents
+    """,
+)
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: chars/token ratio (fixed-point) + stopword hits —
+    integer-exact quality features for filter pipelines."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ", -1))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        ntok.cast("long").alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / ntok * 10000, 0)
+        .cast("long")
+        .alias("chars_per_token_x1e4"),
+        ((F.length("text") - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))) / 3)
+        .cast("long")
+        .alias("stopword_hits"),
+    )
+
+
+@q(
+    "fingerprint_documents",
+    """
+    SELECT doc_id, md5(text) AS fingerprint,
+           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS fp32
+    FROM documents
+    """,
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full digest + 32-bit integer prefix (the
+    cross-engine-stable hash basis used by MinHash, functions/hashing.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long").alias("fp32"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "knn_bruteforce_embeddings",
+    """
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           CAST(round(list_cosine_similarity(e.embedding, qv.q) * 10000) AS BIGINT)
+             AS cos_sim_x1e4
+    FROM embeddings e, qv
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim_x1e4 DESC, e.vec_id LIMIT 20
+    """,
+)
+def knn_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: query vector broadcast-joined
+    to all rows; dot/norm via zip_with + aggregate (JVM-side, no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    j = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm(F.col("embedding")) * norm(F.col("q")))
+    return (
+        j.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(cos * 10000, 0).cast("long").alias("cos_sim_x1e4"),
+        )
+        .orderBy(F.desc("cos_sim_x1e4"), "vec_id")
+        .limit(20)
+    )

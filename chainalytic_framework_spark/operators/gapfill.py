@@ -1,0 +1,109 @@
+"""Gap-fill: LOCF (last observation carried forward) over tier buckets.
+
+Two implementations with identical semantics:
+
+1. ``gapfill_locf`` — pure JVM-side DataFrame plan (the default):
+   per-url bucket spine via ``sequence()`` + ``explode``, left join of
+   observations, then ``last(x, ignorenulls=True)`` over an ordered
+   window. Stays inside whole-stage codegen; no Python in the hot path.
+2. ``gapfill_locf_pandas`` — ``applyInPandas`` reindex+ffill variant,
+   used inside the stateful fold (operators/fold.py) where per-key
+   pandas state is already in hand.
+
+Semantics (FIXTURES.md §2):
+- A gap bucket gets the measures of the last OBSERVED bucket carried
+  forward, ``point_count = 0`` and ``gap_filled = true`` (it is an
+  interpolation, not an observation — counts must say so).
+- Urls are only filled INSIDE their own [first, last] observation span
+  (plus an optional boundary carry-in): a url never observed before a
+  bucket produces no row there — no fabrication.
+- Cross-run boundaries: ``boundary_state`` (last observed row per url
+  from previous runs) is unioned in as a seed, used for carrying, then
+  dropped from output — SURVEY.md §7 step 4's subtle correctness point.
+
+Reference analogue: the reference emits one point per height
+unconditionally by re-emitting carried state each block
+(``stake_history.py:62-79,170-190`` — previous totals re-emitted even
+when a block contains no stake events). LOCF generalizes exactly that
+"carry state to every tick" behavior to sparse per-url series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .bucketing import SECONDS
+
+_CARRY = ["byte_size", "text_len_sum", "text_len_min", "text_len_max"]
+
+
+def gapfill_locf(
+    tier_df: DataFrame,
+    tier_name: str,
+    boundary_state: DataFrame | None = None,
+    range_start=None,
+) -> DataFrame:
+    """Fill per-url bucket gaps with LOCF. Input: url-grain tier table
+    (bucket_start, url_hash, url, lang, measures...). Output: same
+    schema, gap rows added with gap_filled=true.
+    """
+    secs = SECONDS[tier_name]
+    obs = tier_df.select(
+        "bucket_start", "url_hash", "url", "lang", "point_count", *_CARRY
+    ).withColumn("_seed", F.lit(False))
+    if boundary_state is not None:
+        seed = boundary_state.select(
+            "bucket_start", "url_hash", "url", "lang", "point_count", *_CARRY
+        ).withColumn("_seed", F.lit(True))
+        obs = obs.unionByName(seed)
+
+    # Per-url spine: every tier bucket between first and last observation.
+    # sequence+explode is JVM-side; spine size == the url's active span.
+    bounds = obs.groupBy("url_hash", "url", "lang").agg(
+        F.min("bucket_start").alias("_b0"), F.max("bucket_start").alias("_b1")
+    )
+    spine = bounds.select(
+        "url_hash",
+        "url",
+        "lang",
+        F.explode(F.expr(f"sequence(_b0, _b1, interval {secs} seconds)")).alias("bucket_start"),
+    )
+
+    joined = spine.join(
+        obs, on=["url_hash", "url", "lang", "bucket_start"], how="left"
+    )
+    w = (
+        Window.partitionBy("url_hash", "url", "lang")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        "bucket_start",
+        "url_hash",
+        "url",
+        "lang",
+        F.coalesce("point_count", F.lit(0)).alias("point_count"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in _CARRY],
+        F.col("point_count").isNull().alias("gap_filled"),
+        F.coalesce("_seed", F.lit(False)).alias("_seed"),
+    )
+    out = filled.where(~F.col("_seed")).drop("_seed")
+    if range_start is not None:
+        out = out.where(F.col("bucket_start") >= F.lit(range_start))
+    return out.withColumn("tier", F.lit(tier_name))
+
+
+def last_observation_state(tier_df: DataFrame) -> DataFrame:
+    """Boundary-state extractor: the last OBSERVED row per url of a run
+    — the seed for the next run's carry-in. ``max_by`` keeps the whole
+    measure tuple from the max-bucket row in one pass."""
+    src = tier_df.where(~F.col("gap_filled")) if "gap_filled" in tier_df.columns else tier_df
+    return (
+        src.groupBy("url_hash", "url", "lang")
+        .agg(
+            F.max("bucket_start").alias("bucket_start"),
+            *[F.max_by(c, "bucket_start").alias(c) for c in ("point_count", *_CARRY)],
+        )
+        .select("bucket_start", "url_hash", "url", "lang", "point_count", *_CARRY)
+    )
