@@ -715,3 +715,203 @@ def knn_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim_x1e4"), "vec_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (documents): MinHash+LSH, SimHash, n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as _dd
+from .operators import similarity as _sim
+
+_FP32_SQL = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+_SHINGLE_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    )
+"""
+
+_MINHASH_COLS_SQL = ",\n           ".join(
+    f"MIN(({_FP32_SQL.format(x='shingle')} * {_dd._a(j)} + {_dd._b(j)}) % {_dd.MINHASH_P})"
+    f" AS minhash_{j}"
+    for j in range(_dd.N_HASHES)
+)
+
+
+@q(
+    "minhash_signatures_documents",
+    f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id,
+           {_MINHASH_COLS_SQL}
+    FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 universal hashes over distinct 3-shingles) —
+    bit-exact vs the oracle thanks to the md5-prefix base hash."""
+    d = _t(spark, sf_dir, "documents")
+    return _dd.minhash_signatures(d)
+
+
+_BAND_ROWS = _dd.N_HASHES // _dd.N_BANDS
+_BANDS_SQL = "\n      UNION ALL\n".join(
+    "      SELECT doc_id, {b} AS band, CAST(minhash_{i0} AS VARCHAR) || ':' || "
+    "CAST(minhash_{i1} AS VARCHAR) AS key FROM sigs".format(
+        b=b, i0=b * _BAND_ROWS, i1=b * _BAND_ROWS + 1
+    )
+    for b in range(_dd.N_BANDS)
+)
+
+
+@q(
+    "lsh_candidate_pairs_documents",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (
+      SELECT doc_id, {_MINHASH_COLS_SQL}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+{_BANDS_SQL}
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    """,
+)
+def lsh_candidate_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: near-dup candidate pairs share a (band, key) bucket —
+    the n²-free dedup path at scale."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = _dd.minhash_signatures(d)
+    return _dd.lsh_candidate_pairs(sigs)
+
+
+_SIMHASH_SUMS_SQL = ",\n           ".join(
+    f"SUM(({_FP32_SQL.format(x='tok')} >> {b}) & 1) AS bit_{b}"
+    for b in range(_dd.SIMHASH_BITS)
+)
+_SIMHASH_VAL_SQL = " + ".join(
+    f"(CASE WHEN bit_{b} * 2 > n_toks THEN {1 << b} ELSE 0 END)"
+    for b in range(_dd.SIMHASH_BITS)
+)
+
+
+@q(
+    "simhash_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    sums AS (
+      SELECT doc_id, COUNT(*) AS n_toks,
+           {_SIMHASH_SUMS_SQL}
+      FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_VAL_SQL} AS BIGINT) AS simhash
+    FROM sums
+    """,
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (per-bit token-hash majority)."""
+    d = _t(spark, sf_dir, "documents")
+    return _dd.simhash(d)
+
+
+@q(
+    "ngram_jaccard_pairs_documents",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, CAST(p.n_inter AS BIGINT) AS n_inter,
+           CAST(round(CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) * 10000)
+                AS BIGINT) AS jaccard_x1e4
+    FROM pairs p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE p.n_inter >= 3
+    """,
+)
+def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥3 shingles (verification
+    stage of the MinHash pipeline)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _dd.shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .where(F.col("n_inter") >= 3)
+    )
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b")
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b", F.col("n_inter").cast("long").alias("n_inter"),
+            F.round(F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * 10000, 0)
+            .cast("long").alias("jaccard_x1e4"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN / embedding near-dup (embeddings)
+# ---------------------------------------------------------------------------
+
+_PLANES = _sim.projection_planes(64, _sim.N_PLANES, seed=42)
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in p) + "]::DOUBLE[]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_sql(pl)}) >= 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i, pl in enumerate(_PLANES)
+)
+
+
+@q(
+    "lsh_buckets_embeddings",
+    f"""
+    SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+    FROM embeddings
+    """,
+)
+def lsh_buckets_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (the ANN scale path's
+    partitioning key)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return _sim.hyperplane_lsh_buckets(e, _PLANES).select("vec_id", "bucket")
+
+
+@q(
+    "embedding_neardup_pairs",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+      FROM embeddings)
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           CAST(round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                             CAST(r.embedding AS DOUBLE[])) * 10000)
+                AS BIGINT) AS cos_sim_x1e4
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates, exact
+    cosine verify (unthresholded here so the gate sees real pairs)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = _sim.cosine_pairs_over_threshold(e, _PLANES, threshold=-2.0)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cos_sim") * 10000, 0).cast("long").alias("cos_sim_x1e4")
+    )

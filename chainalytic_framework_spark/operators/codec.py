@@ -1,0 +1,294 @@
+"""Gorilla-style codec: delta-of-delta timestamps + XOR float packing.
+
+Pure NumPy bit-twiddling (public Gorilla paper: Pelkonen et al.,
+"Gorilla: A Fast, Scalable, In-Memory Time Series Database", VLDB 2015).
+No Spark dependency here; Spark integration (mapInArrow over cold-tier
+series) lives in ``cold_store.py``.
+
+Encoding (vectorized — no per-point Python in the encode path):
+
+- Timestamps (int64 epoch seconds): first absolute, then delta-of-delta
+  with the paper's 4-class prefix code:
+      dod == 0                  -> '0'
+      dod in [-63, 64]          -> '10'  + 7  bits (zigzag-ish offset)
+      dod in [-255, 256]        -> '110' + 9  bits
+      dod in [-2047, 2048]      -> '1110'+ 12 bits
+      else                      -> '1111'+ 64 bits (raw)
+- Values (float64 via uint64 bit pattern): XOR with previous value;
+      xor == 0 -> '0'
+      else     -> '11' + 5-bit leading-zero count (capped 31)
+                       + 6-bit significant-bit length + those bits.
+  Deviation from the paper, documented: the '10' (reuse previous
+  leading/trailing window) branch is never EMITTED — window reuse makes
+  encoding sequentially dependent and kills vectorization; always
+  emitting the explicit-window form costs a few % compression and keeps
+  the bitstream inside the Gorilla code space. The decoder still
+  accepts both forms.
+
+Decoding is inherently sequential per blob (code boundaries depend on
+code contents); parallelism at scale comes from decoding many series
+blobs concurrently across executors, not from within one blob. NaN,
+±0.0, constant runs, and single-point series round-trip exactly
+(bit-pattern equality; tests/test_codec.py property-tests this).
+
+Reference analogue: none — the reference stores raw JSON per height
+(``zones/public-icon/warehouse/storage.py:125-126``); compression is a
+north-rule addition (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = b"GOR1"
+
+# ---------------------------------------------------------------------------
+# bit packing: rows of (code value ≤128 bits as hi/lo uint64, bit length)
+# ---------------------------------------------------------------------------
+
+
+def _pack_codes(hi: np.ndarray, lo: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Pack variable-length MSB-first codes into a byte stream.
+
+    Expands each ≤128-bit code into a (n, 128) bit matrix, selects the
+    valid low ``nbits`` of each row, and packbits the concatenation —
+    O(n·128) bits of temp memory, fully vectorized.
+    """
+    n = len(nbits)
+    if n == 0:
+        return b""
+    shifts_lo = np.arange(63, -1, -1, dtype=np.uint64)
+    bits_hi = (hi[:, None] >> shifts_lo[None, :]) & np.uint64(1)
+    bits_lo = (lo[:, None] >> shifts_lo[None, :]) & np.uint64(1)
+    bits = np.concatenate([bits_hi, bits_lo], axis=1).astype(np.uint8)  # (n,128) MSB-first
+    # valid bits of row i are the last nbits[i] columns
+    cols = np.arange(128)
+    mask = cols[None, :] >= (128 - nbits[:, None])
+    stream = bits[mask]  # row-major selection keeps order
+    return np.packbits(stream).tobytes()
+
+
+class _BitReader:
+    """Sequential MSB-first bit reader over a pre-unpacked bit array."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def take(self, n: int) -> int:
+        b = self.bits[self.pos : self.pos + n]
+        self.pos += n
+        v = 0
+        for bit in b:
+            v = (v << 1) | int(bit)
+        return v
+
+
+# ---------------------------------------------------------------------------
+# timestamps: delta-of-delta
+# ---------------------------------------------------------------------------
+
+_TS_CLASSES = (
+    (64, 7, 0b10, 2),       # [-63, 64]   -> '10'  + 7
+    (256, 9, 0b110, 3),     # [-255, 256] -> '110' + 9
+    (2048, 12, 0b1110, 4),  # [-2047,2048]-> '1110'+ 12
+)
+
+
+def _encode_ts(ts: np.ndarray) -> bytes:
+    ts = ts.astype(np.int64)
+    if len(ts) <= 1:
+        return b""
+    delta = np.diff(ts)
+    # dod_i = delta_i - delta_{i-1}, with implicit delta_{-1} = 0
+    dod = (delta - np.concatenate([[0], delta[:-1]])).astype(np.int64)
+
+    hi = np.zeros(len(dod), dtype=np.uint64)
+    lo = np.zeros(len(dod), dtype=np.uint64)
+    nbits = np.zeros(len(dod), dtype=np.int64)
+
+    zero = dod == 0
+    lo[zero] = 0b0
+    nbits[zero] = 1
+
+    done = zero.copy()
+    for bound, vbits, prefix, pbits in _TS_CLASSES:
+        sel = (~done) & (dod >= -(bound - 1)) & (dod <= bound)
+        enc = (dod[sel] + (bound - 1)).astype(np.uint64)  # offset binary
+        lo[sel] = (np.uint64(prefix) << np.uint64(vbits)) | enc
+        nbits[sel] = pbits + vbits
+        done |= sel
+    rest = ~done
+    if rest.any():
+        # '1111' + 64 raw bits -> 68 bits total, spans hi/lo
+        raw = dod[rest].view(np.uint64)
+        hi[rest] = np.uint64(0b1111)
+        lo[rest] = raw
+        nbits[rest] = 68
+    return _pack_codes(hi, lo, nbits)
+
+
+def _decode_ts(data: bytes, n: int, first_ts: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first_ts
+    if n == 1:
+        return out
+    r = _BitReader(data)
+    delta = 0
+    for i in range(1, n):
+        if r.take(1) == 0:
+            dod = 0
+        else:
+            for bound, vbits, _, _ in _TS_CLASSES:
+                if r.take(1) == 0:
+                    dod = r.take(vbits) - (bound - 1)
+                    break
+            else:
+                v = r.take(64)
+                dod = int(np.uint64(v).astype(np.int64))
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+# ---------------------------------------------------------------------------
+# values: XOR
+# ---------------------------------------------------------------------------
+
+
+def _encode_vals(bits64: np.ndarray) -> bytes:
+    """bits64: uint64 view of the value stream (first value excluded)."""
+    if len(bits64) <= 1:
+        return b""
+    x = bits64[1:] ^ bits64[:-1]
+    n = len(x)
+    hi = np.zeros(n, dtype=np.uint64)
+    lo = np.zeros(n, dtype=np.uint64)
+    nbits = np.zeros(n, dtype=np.int64)
+
+    zero = x == 0
+    nbits[zero] = 1  # code '0'
+
+    nz = ~zero
+    if nz.any():
+        xv = x[nz]
+        # leading zeros via bit_length emulation: 63 - floor(log2) — use
+        # np.frexp on the float conversion is lossy for >53 bits; compute
+        # clz by successive halving (6 steps, branch-free).
+        v = xv.copy()
+        clz = np.zeros(len(xv), dtype=np.uint64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = v >> np.uint64(shift) == 0
+            clz[m] += np.uint64(shift)
+            v[~m] >>= np.uint64(shift)
+        # v is now 1 for all rows; recompute trailing zeros similarly
+        t = xv.copy()
+        ctz = np.zeros(len(xv), dtype=np.uint64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = (t << np.uint64(64 - shift)) == 0
+            ctz[m] += np.uint64(shift)
+            t[m] >>= np.uint64(shift)
+        lead = np.minimum(clz, 31).astype(np.uint64)
+        sig = np.uint64(64) - clz - ctz  # significant bits
+        # pathological all-64-sig case: 6-bit length field encodes 64 as 0
+        sig_field = np.where(sig == 64, np.uint64(0), sig)
+        meaningful = np.where(
+            ctz < 64, xv >> ctz, np.uint64(0)
+        )  # right-aligned significant bits
+        # but window is defined by (lead, sig): sig counts from bit 63-lead;
+        # meaningful must be the window [63-lead-sig+1 .. 63-lead] -> since
+        # clz may exceed 31 we capped lead; widen sig accordingly
+        sig_w = np.uint64(64) - lead - ctz
+        sig_field = np.where(sig_w == 64, np.uint64(0), sig_w)
+        code_len = 2 + 5 + 6 + sig_w.astype(np.int64)
+        # code = '11' + lead(5) + sig(6) + meaningful(sig_w bits)
+        head = (np.uint64(0b11) << np.uint64(11)) | (lead << np.uint64(6)) | sig_field
+        total = code_len  # ≤ 13 + 64 = 77 bits -> needs hi/lo
+        # place head above meaningful: full code value = head << sig_w | meaningful
+        # as 128-bit (hi,lo): shift = sig_w
+        h = np.where(sig_w > 51, head >> (np.uint64(64) - sig_w), np.uint64(0))
+        l = np.where(
+            sig_w < 64,
+            (head << sig_w) | meaningful,
+            meaningful,
+        )
+        # when sig_w == 64: head goes fully into hi (13 bits), lo = meaningful
+        h = np.where(sig_w == 64, head, h)
+        hi[nz] = h
+        lo[nz] = l
+        nbits[nz] = total
+    return _pack_codes(hi, lo, nbits)
+
+
+def _decode_vals(data: bytes, n: int, first_bits: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = np.uint64(first_bits)
+    if n == 1:
+        return out
+    r = _BitReader(data)
+    prev_lead, prev_sig = 0, 0
+    for i in range(1, n):
+        if r.take(1) == 0:
+            out[i] = out[i - 1]
+            continue
+        if r.take(1) == 0:
+            lead, sig = prev_lead, prev_sig  # window-reuse branch (decoder support)
+        else:
+            lead = r.take(5)
+            sig = r.take(6) or 64
+            prev_lead, prev_sig = lead, sig
+        m = r.take(sig)
+        xor = np.uint64(m) << np.uint64(64 - lead - sig)
+        out[i] = out[i - 1] ^ xor
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def encode_series(ts_seconds: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode a sorted int64-seconds timestamp array + float64/int64 value
+    array into one self-describing blob."""
+    ts = np.asarray(ts_seconds, dtype=np.int64)
+    vals = np.asarray(values)
+    if vals.dtype == np.float64:
+        bits = vals.view(np.uint64)
+        kind = 0
+    elif vals.dtype == np.int64:
+        bits = vals.view(np.uint64)
+        kind = 1
+    else:
+        raise TypeError(f"unsupported value dtype {vals.dtype}")
+    if len(ts) != len(vals):
+        raise ValueError("ts/vals length mismatch")
+    n = len(ts)
+    if n == 0:
+        return _MAGIC + struct.pack("<BIqQII", kind, 0, 0, 0, 0, 0)
+    ts_stream = _encode_ts(ts)
+    val_stream = _encode_vals(bits)
+    header = struct.pack(
+        "<BIqQII", kind, n, int(ts[0]), int(bits[0]), len(ts_stream), len(val_stream)
+    )
+    return _MAGIC + header + ts_stream + val_stream
+
+
+def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    if blob[:4] != _MAGIC:
+        raise ValueError("bad magic")
+    kind, n, first_ts, first_bits, ts_len, val_len = struct.unpack_from("<BIqQII", blob, 4)
+    off = 4 + struct.calcsize("<BIqQII")
+    if n == 0:
+        empty_vals = np.array([], dtype=np.float64 if kind == 0 else np.int64)
+        return np.array([], dtype=np.int64), empty_vals
+    ts_stream = blob[off : off + ts_len]
+    val_stream = blob[off + ts_len : off + ts_len + val_len]
+    ts = _decode_ts(ts_stream, n, first_ts)
+    bits = _decode_vals(val_stream, n, first_bits)
+    vals = bits.view(np.float64) if kind == 0 else bits.view(np.int64)
+    return ts, vals

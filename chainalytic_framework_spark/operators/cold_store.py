@@ -1,0 +1,96 @@
+"""Cold-tier storage: tier point series ⇄ Gorilla blobs, via Spark.
+
+A cold tier stores one row per (url, tier, measure): the whole bucket
+series packed into a single BinaryType blob (operators/codec.py), plus
+metadata (n_points, t0, t1, raw/encoded byte sizes). At 10^12 docs this
+turns billions of tiny tier rows into compact per-series blobs that
+partition-prune on (tier, url_bucket) and decompress independently —
+blob-level parallelism, the standard TSDB cold-path layout.
+
+Implementation: ``applyInPandas`` per url_bucket group; inside a group
+the pandas frame is split per url with vectorized groupby and each
+series is encoded by the NumPy codec (no per-row Python; per-SERIES
+loop only, which is the natural unit of work).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .bucketing import N_URL_BUCKETS, url_bucket
+from .codec import decode_series, encode_series
+
+COLD_SCHEMA = (
+    "url string, url_hash long, measure string, n_points int, "
+    "t0 long, t1 long, raw_bytes long, blob_bytes long, blob binary"
+)
+
+POINTS_SCHEMA = "url string, url_hash long, measure string, bucket_start timestamp, value long"
+
+
+def encode_cold(tier_df: DataFrame, measures: list[str] | None = None,
+                n_buckets: int = N_URL_BUCKETS) -> DataFrame:
+    """Pack a url-grain tier table into per-(url, measure) Gorilla blobs."""
+    measures = measures or ["point_count", "byte_size", "text_len_sum"]
+    cols = ["url", "url_hash", "bucket_start", *measures]
+    src = tier_df.select(*cols).withColumn("_b", url_bucket("url", n_buckets))
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        pdf = pdf.sort_values(["url", "bucket_start"], kind="mergesort")
+        ts_all = (pdf["bucket_start"].astype("int64") // 1_000_000_000).to_numpy()
+        for url, grp_idx in pdf.groupby("url", sort=False).indices.items():
+            ts = ts_all[grp_idx]
+            uh = int(pdf["url_hash"].iloc[grp_idx[0]])
+            for m in measures:
+                vals = pdf[m].iloc[grp_idx].to_numpy(dtype=np.int64)
+                blob = encode_series(ts, vals)
+                rows.append(
+                    (url, uh, m, len(ts), int(ts[0]), int(ts[-1]),
+                     16 * len(ts), len(blob), blob)
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["url", "url_hash", "measure", "n_points", "t0", "t1",
+                     "raw_bytes", "blob_bytes", "blob"],
+        )
+
+    return src.groupBy("_b").applyInPandas(enc, schema=COLD_SCHEMA)
+
+
+def decode_cold(cold_df: DataFrame) -> DataFrame:
+    """Unpack cold blobs back to (url, measure, bucket_start, value) points."""
+
+    def dec(pdf: pd.DataFrame) -> pd.DataFrame:
+        urls, hashes, ms, ts_out, vals_out = [], [], [], [], []
+        for r in pdf.itertuples():
+            ts, vals = decode_series(bytes(r.blob))
+            urls.extend([r.url] * len(ts))
+            hashes.extend([r.url_hash] * len(ts))
+            ms.extend([r.measure] * len(ts))
+            ts_out.append(ts)
+            vals_out.append(vals.astype(np.int64))
+        if not urls:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series(dtype="object"),
+                    "url_hash": pd.Series(dtype="int64"),
+                    "measure": pd.Series(dtype="object"),
+                    "bucket_start": pd.Series(dtype="datetime64[us]"),
+                    "value": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "url_hash": hashes,
+                "measure": ms,
+                "bucket_start": pd.to_datetime(np.concatenate(ts_out), unit="s"),
+                "value": np.concatenate(vals_out),
+            }
+        )
+
+    grouped = cold_df.withColumn("_b", url_bucket("url"))
+    return grouped.groupBy("_b").applyInPandas(dec, schema=POINTS_SCHEMA)

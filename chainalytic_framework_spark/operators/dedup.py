@@ -1,0 +1,180 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all expressed as declarative DataFrame plans (JVM-side,
+no Python UDFs) so Catalyst owns shuffles and pushdowns:
+
+- exact:        hash-groupBy on a content digest — one shuffle.
+- MinHash+LSH:  shingle → minhash signature → band buckets →
+                bucket-join for candidate pairs. The scale path: the
+                pair join only materializes within-bucket candidates,
+                never the n² cross product.
+- SimHash:      per-bit majority over token hashes → 16-bit fingerprint;
+                near-dups share fingerprints (or differ in ≤k bits).
+- n-gram Jaccard: exact verification on candidate pairs via shingle-set
+                intersection/union counts.
+
+Cross-engine determinism: the base hash is ``fp32(s) = int(md5(s)[:8],
+16)`` — identical in Spark (``conv(substring(md5(x),1,8),16,10)``) and
+DuckDB, so every signature is oracle-checkable bit-for-bit. (xxhash64
+would be faster JVM-side; fp32 is chosen because verifiability against
+an independent engine is worth more here. Swapping the hash is a
+one-liner.)
+
+MinHash: h_j(doc) = min over shingles of (a_j * fp32(shingle) + b_j)
+mod p, with p = 2^31-1 and fixed odd constants — the classic universal
+hash family (Broder 1997).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+N_HASHES = 8
+N_BANDS = 4  # 2 signatures per band
+SHINGLE_K = 3
+SIMHASH_BITS = 16
+
+
+def _a(j: int) -> int:
+    return 2 * j + 1_000_003  # odd multipliers
+
+
+def _b(j: int) -> int:
+    return 7_000_003 * (j + 1) % MINHASH_P
+
+
+def fp32(col) -> F.Column:
+    """Cross-engine-stable 32-bit content hash (md5 prefix)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact content; report duplicate counts."""
+    return (
+        docs.select(F.md5(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = SHINGLE_K) -> DataFrame:
+    """Distinct k-word shingles per doc: tokens → sliding windows —
+    all array functions, no explode until the last step."""
+    toks = F.split(F.col(text_col), " ", -1)
+    # guard short docs: Spark sequence(1, 0) DESCENDS — emit empty instead
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n_hashes: int = N_HASHES) -> DataFrame:
+    """One row per doc: minhash_0..minhash_{n-1} columns."""
+    sh = shingles(docs, text_col, id_col).withColumn("h", fp32("shingle"))
+    aggs = [
+        F.min((F.col("h") * _a(j) + _b(j)) % MINHASH_P).alias(f"minhash_{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+    """Docs sharing any band bucket. Scale path: the self-join is keyed
+    on (band, band_key) so only same-bucket docs pair up; with AQE the
+    skewed buckets (boilerplate-heavy shingle sets) split automatically."""
+    rows = n_hashes // n_bands
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"minhash_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws(":", *[p.cast("string") for p in parts]).alias("key"))
+        )
+    bands = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_similarity(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                       n_hashes: int = N_HASHES) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature components."""
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    j = pairs.join(a, pairs.id_a == F.col(f"a.{id_col}")).join(
+        b, pairs.id_b == F.col(f"b.{id_col}")
+    )
+    matches = sum(
+        F.when(F.col(f"a.minhash_{i}") == F.col(f"b.minhash_{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return j.select(
+        "id_a", "id_b", (matches.cast("double") / n_hashes).alias("est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard verification of candidate pairs (shingle sets)."""
+    sh = shingles(docs, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(b, (pairs.id_b == F.col(f"sb.{id_col}")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("n", "n_a"), inter.id_a == sizes[id_col])
+        .drop(id_col)
+        .join(sizes.withColumnRenamed("n", "n_b"), inter.id_b == sizes[id_col])
+        .drop(id_col)
+        .select(
+            "id_a", "id_b", "n_inter",
+            (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-bit majority vote over token hashes → n_bits fingerprint.
+    Duplicate tokens vote multiple times (standard weighted SimHash
+    with unit weights)."""
+    toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ", -1)).alias("tok"))
+    h = fp32("tok")
+    bit_sums = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"bit_{b}")
+            for b in range(n_bits)
+        ],
+    )
+    fingerprint = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"bit_{b}") * 2 > F.col("n_toks"), F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))

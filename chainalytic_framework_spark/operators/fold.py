@@ -1,0 +1,198 @@
+"""Stateful per-url fold: the engine's Transform analogue.
+
+Reference semantics being re-expressed (SURVEY.md §2.10, §2.9):
+- ``Transform.execute(height, input) -> state'`` — a per-key stateful
+  fold over a strictly-ordered stream, with private fold state
+  (``/root/reference/src/chainalytic/aggregator/transform.py:29-59``,
+  concrete fold ``zones/.../transform_registry/stake_history.py:62-133``);
+- state lookup join (J1): each event's previous state fetched, combined,
+  written back (``stake_history.py:110-125``) — here a cogroup of the
+  observation stream with the carried state table;
+- change detection (T6), transition counting (A2), cumulative carry (A1).
+
+Spark realization:
+- Heavy columns never enter Python: ``prepare_observations`` reduces
+  pages to (url, warc_ts, text_hash, text_len, html_len, lang) JVM-side
+  (xxhash64/length/octet_length) before the Arrow hop.
+- Groups are ``url_bucket`` (bounded count, bounded size), NOT raw url —
+  at 10^12 docs a group is one fold task; within a group the fold is
+  vectorized pandas (groupby.shift/cumsum — no per-row Python).
+- Cross-run incrementality: ``fold_with_state`` cogroups observations
+  with the prior state table; ``extract_state`` derives the next state
+  table from fold output. fold(full) == fold(part2, state(part1)) —
+  the T1 resumability invariant, tested in tests/test_fold.py.
+
+Emitted per observation:
+  is_new        first time this url is ever seen
+  text_changed  text hash differs from previous crawl of the same url
+  content_rev   running count of content changes (carried across runs)
+  gap_seconds   seconds since previous crawl (NULL on first)
+  expired       previous crawl was more than ``ttl_seconds`` ago —
+                the reference's W5 unlock-expiry analogue
+  cum_points / cum_bytes   running per-url totals (carried)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bucketing import N_URL_BUCKETS, url_bucket, url_hash
+
+OBS_COLS = "url_bucket int, url string, warc_ts timestamp, url_hash long, lang string, text_hash long, text_len long, html_len long"
+
+FOLD_SCHEMA = (
+    "url string, warc_ts timestamp, url_hash long, lang string, "
+    "is_new boolean, text_changed boolean, content_rev long, "
+    "gap_seconds long, expired boolean, cum_points long, cum_bytes long, "
+    "text_hash long, text_len long, html_len long"
+)
+
+STATE_SCHEMA = (
+    "url string, url_hash long, lang string, last_ts timestamp, "
+    "last_text_hash long, content_rev long, cum_points long, cum_bytes long"
+)
+
+DEFAULT_TTL_SECONDS = 3 * 86400  # reference W2 TIMESPAN ≈ 3 days (recent_stake_wallets.py:18)
+
+
+def prepare_observations(pages: DataFrame, n_buckets: int = N_URL_BUCKETS) -> DataFrame:
+    """JVM-side narrowing: hash text, take lengths, drop blobs."""
+    return pages.select(
+        url_bucket("url", n_buckets).alias("url_bucket"),
+        "url",
+        "warc_ts",
+        url_hash("url").alias("url_hash"),
+        "lang",
+        F.xxhash64("text").alias("text_hash"),
+        F.length("text").cast("long").alias("text_len"),
+        F.octet_length("html").cast("long").alias("html_len"),
+    )
+
+
+def _fold_frames(obs: pd.DataFrame, state: pd.DataFrame, ttl_seconds: int) -> pd.DataFrame:
+    """Vectorized fold of one url_bucket group. ``state`` may be empty."""
+    if len(obs) == 0:
+        # typed empty frame (Arrow needs concrete dtypes, not object)
+        return pd.DataFrame(
+            {
+                "url": pd.Series(dtype="object"),
+                "warc_ts": pd.Series(dtype="datetime64[us]"),
+                "url_hash": pd.Series(dtype="int64"),
+                "lang": pd.Series(dtype="object"),
+                "is_new": pd.Series(dtype="bool"),
+                "text_changed": pd.Series(dtype="bool"),
+                "content_rev": pd.Series(dtype="int64"),
+                "gap_seconds": pd.Series(dtype="Int64"),
+                "expired": pd.Series(dtype="bool"),
+                "cum_points": pd.Series(dtype="int64"),
+                "cum_bytes": pd.Series(dtype="int64"),
+                "text_hash": pd.Series(dtype="int64"),
+                "text_len": pd.Series(dtype="int64"),
+                "html_len": pd.Series(dtype="int64"),
+            }
+        )
+    obs = obs.sort_values(["url", "warc_ts"], kind="mergesort").reset_index(drop=True)
+    g = obs.groupby("url", sort=False)
+
+    prev_hash = g["text_hash"].shift(1)
+    prev_ts = g["warc_ts"].shift(1)
+    seq_in_run = g.cumcount()
+
+    # splice in carried state as the virtual "row 0" of each url
+    if state is not None and len(state):
+        st = state.set_index("url")
+        first = seq_in_run == 0
+        carried = obs.loc[first, "url"].map(st["last_text_hash"])
+        prev_hash = prev_hash.copy()
+        prev_hash.loc[first] = carried.values
+        carried_ts = obs.loc[first, "url"].map(st["last_ts"])
+        prev_ts = prev_ts.copy()
+        prev_ts.loc[first] = carried_ts.values
+        base_rev = obs["url"].map(st["content_rev"]).fillna(0).astype("int64")
+        base_pts = obs["url"].map(st["cum_points"]).fillna(0).astype("int64")
+        base_bytes = obs["url"].map(st["cum_bytes"]).fillna(0).astype("int64")
+    else:
+        base_rev = pd.Series(0, index=obs.index, dtype="int64")
+        base_pts = pd.Series(0, index=obs.index, dtype="int64")
+        base_bytes = pd.Series(0, index=obs.index, dtype="int64")
+
+    is_new = prev_hash.isna() & (seq_in_run == 0) & (base_pts == 0)
+    text_changed = prev_hash.notna() & (prev_hash != obs["text_hash"])
+    gap = (obs["warc_ts"] - prev_ts).dt.total_seconds()
+    expired = gap.notna() & (gap > ttl_seconds)
+
+    out = pd.DataFrame(
+        {
+            "url": obs["url"],
+            "warc_ts": obs["warc_ts"],
+            "url_hash": obs["url_hash"],
+            "lang": obs["lang"],
+            "is_new": is_new,
+            "text_changed": text_changed,
+            "content_rev": base_rev + text_changed.groupby(obs["url"], sort=False).cumsum(),
+            "gap_seconds": gap.round().astype("Int64"),
+            "expired": expired,
+            "cum_points": base_pts + seq_in_run + 1,
+            "cum_bytes": base_bytes + g["html_len"].cumsum(),
+            "text_hash": obs["text_hash"],
+            "text_len": obs["text_len"],
+            "html_len": obs["html_len"],
+        }
+    )
+    return out
+
+
+def fold_observations(
+    obs: DataFrame, ttl_seconds: int = DEFAULT_TTL_SECONDS
+) -> DataFrame:
+    """Cold-start fold (no prior state)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _fold_frames(pdf, None, ttl_seconds)
+
+    return obs.groupBy("url_bucket").applyInPandas(fold, schema=FOLD_SCHEMA)
+
+
+def fold_with_state(
+    obs: DataFrame, state: DataFrame, ttl_seconds: int = DEFAULT_TTL_SECONDS
+) -> DataFrame:
+    """Incremental fold: cogroup the new observations with the carried
+    state table on url_bucket (reference J1 state-lookup join)."""
+
+    def fold(obs_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _fold_frames(obs_pdf, state_pdf, ttl_seconds)
+
+    # Cogroup key derived from url_hash on BOTH sides — independent of
+    # whatever n_buckets the observations were prepared with.
+    k = F.pmod(F.col("url_hash"), F.lit(N_URL_BUCKETS)).cast("int").alias("_cg")
+    obs_k = obs.withColumn("_cg", k)
+    state_k = state.withColumn("_cg", k)
+    return (
+        obs_k.groupBy("_cg")
+        .cogroup(state_k.groupBy("_cg"))
+        .applyInPandas(fold, schema=FOLD_SCHEMA)
+    )
+
+
+def extract_state(fold_out: DataFrame) -> DataFrame:
+    """Next-run state table: the last fold row per url. One groupBy with
+    max_by — no window, no second shuffle beyond the agg."""
+    return fold_out.groupBy("url", "url_hash", "lang").agg(
+        F.max("warc_ts").alias("last_ts"),
+        F.max_by("text_hash", "warc_ts").alias("last_text_hash"),
+        F.max("content_rev").alias("content_rev"),
+        F.max("cum_points").alias("cum_points"),
+        F.max("cum_bytes").alias("cum_bytes"),
+    ).select("url", "url_hash", "lang", "last_ts", "last_text_hash",
+             "content_rev", "cum_points", "cum_bytes")
+
+
+def merge_state(old_state: DataFrame, new_state: DataFrame) -> DataFrame:
+    """Next full state table = new state, plus old rows for urls the run
+    did not touch (left_anti). The parquet analogue of Iceberg
+    ``MERGE INTO state USING new ON url`` (reference S7 batched ledger
+    upsert, storage.py:307-318)."""
+    untouched = old_state.join(new_state, "url", "left_anti")
+    return new_state.unionByName(untouched)

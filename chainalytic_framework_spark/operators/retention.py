@@ -1,0 +1,98 @@
+"""Retention enforcement: expire fine-grain buckets past their horizon.
+
+Policy (north rule): each tier keeps a trailing horizon of buckets;
+older data lives only in coarser tiers (and cold blobs). Expiry is a
+PARTITION-LEVEL operation — Iceberg ``deleteWhere(bucket_day < h)`` on
+a cluster, partition-directory drops through the TableStore here —
+never a row-level rewrite.
+
+Safety invariant (SURVEY.md §7 step 7): a fine bucket is only dropped
+after the coarser tier covering it is committed — ``safe_horizon``
+computes the newest fully-covered parent bucket boundary and clamps
+the requested horizon to it.
+
+Reference analogue: W2 sliding-window eviction
+(``recent_stake_wallets.py:56-77``) and W5 unlock expiry
+(``stake_history.py:85-100``), promoted from per-dict trimming to
+partition lifecycle management.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tables import TableStore
+from .bucketing import SECONDS, TIER_ORDER
+
+# trailing horizon per tier, in seconds (None = keep forever)
+DEFAULT_HORIZONS = {
+    "1m": 7 * 86400,
+    "1h": 90 * 86400,
+    "1d": 730 * 86400,
+    "30d": None,
+}
+
+
+def parent_tier(tier_name: str) -> str | None:
+    i = TIER_ORDER.index(tier_name)
+    return TIER_ORDER[i + 1] if i + 1 < len(TIER_ORDER) else None
+
+
+def safe_horizon(
+    requested_horizon: dt.datetime, parent_committed_max: dt.datetime | None, parent_name: str | None
+) -> dt.datetime:
+    """Clamp the expiry horizon so we never drop buckets whose coarser
+    cover is not yet committed: the parent bucket containing
+    ``parent_committed_max`` is complete only up to its own start."""
+    if parent_name is None or parent_committed_max is None:
+        return requested_horizon
+    psecs = SECONDS[parent_name]
+    covered_until = dt.datetime.fromtimestamp(
+        (int(parent_committed_max.timestamp()) // psecs) * psecs, tz=None
+    )
+    return min(requested_horizon, covered_until)
+
+
+def expired_partitions(store: TableStore, table: str, horizon: dt.datetime) -> list[str]:
+    """bucket_day partition values strictly older than the horizon day."""
+    if not store.exists(table):
+        return []
+    days = [
+        r["bucket_day"]
+        for r in store.read(table).select("bucket_day").distinct().collect()
+    ]
+    cutoff = horizon.date()
+    return [str(d) for d in days if d < cutoff]
+
+
+def enforce_retention(
+    store: TableStore,
+    table: str,
+    tier_name: str,
+    now: dt.datetime,
+    horizons: dict[str, int | None] | None = None,
+    parent_committed_max: dt.datetime | None = None,
+) -> int:
+    """Drop expired bucket_day partitions of a tier table. Returns the
+    number of partitions removed."""
+    horizons = horizons or DEFAULT_HORIZONS
+    h = horizons.get(tier_name)
+    if h is None:
+        return 0
+    horizon = safe_horizon(now - dt.timedelta(seconds=h), parent_committed_max, parent_tier(tier_name))
+    victims = expired_partitions(store, table, horizon)
+    return store.delete_where_partition(table, "bucket_day", victims)
+
+
+def retention_filter(tier_df: DataFrame, tier_name: str, now: dt.datetime,
+                     horizons: dict[str, int | None] | None = None) -> DataFrame:
+    """Logical-view variant: filter a tier to its live horizon (used by
+    the query layer so readers never see expired buckets mid-cycle)."""
+    horizons = horizons or DEFAULT_HORIZONS
+    h = horizons.get(tier_name)
+    if h is None:
+        return tier_df
+    return tier_df.where(F.col("bucket_start") >= F.lit(now - dt.timedelta(seconds=h)))

@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k against a query vector.
+  JVM-side: dot product and norms via zip_with/aggregate, then
+  TakeOrderedAndProject — the correctness baseline at any scale where
+  a full scan is acceptable (it parallelizes perfectly; the limit-k
+  merge is tiny).
+- ``hyperplane_lsh_buckets`` / ``ann_topk``: random-hyperplane LSH
+  (sign bits of dot products with fixed projection vectors → bucket
+  id). The scale path: the query probes only its own bucket (and
+  optionally Hamming-1 neighbors); at 10^12 rows buckets are
+  hash-partitioned so a probe is a partition-pruned scan.
+- ``cosine_pairs_over_threshold``: embedding near-dup detection —
+  within-bucket pairwise cosine, thresholded (dedup family's
+  embedding-cosine variant).
+
+Projection vectors are deterministic (seeded splitmix64 → uniform in
+[-1, 1]) and embedded as plan literals — identical in the DuckDB
+oracle, no runtime RNG.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def projection_planes(dim: int, n_planes: int = N_PLANES, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplanes; plain Python floats (plan literals)."""
+    x = (np.arange(n_planes * dim, dtype=np.uint64) + np.uint64(seed * 1_000_003))
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = x ^ (x >> np.uint64(31))
+    u = x.astype(np.float64) / float(2**64) * 2.0 - 1.0
+    return [[round(float(v), 6) for v in u[p * dim : (p + 1) * dim]] for p in range(n_planes)]
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 20,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        emb.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane_lsh_buckets(emb: DataFrame, planes: list[list[float]],
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """bucket = integer whose bit p is sign(dot(v, plane_p))."""
+    bucket = None
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(F.col(vec_col), lit_plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket"))
+
+
+def ann_topk(emb: DataFrame, query_vec: list[float], planes: list[list[float]],
+             k: int = 20, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Probe the query's LSH bucket only (single-probe ANN)."""
+    qb = 0
+    for p, plane in enumerate(planes):
+        if float(np.dot(query_vec, plane)) >= 0:
+            qb |= 1 << p
+    buckets = hyperplane_lsh_buckets(emb, planes, id_col, vec_col)
+    cand = buckets.where(F.col("bucket") == qb)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_pairs_over_threshold(emb: DataFrame, planes: list[list[float]],
+                                threshold: float = 0.9, id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs: candidate generation within LSH buckets,
+    exact cosine verification, threshold filter."""
+    b = hyperplane_lsh_buckets(emb, planes, id_col, vec_col)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,105 @@
+"""Query layer: the reference's provider JSON-RPC API re-expressed as
+DataFrame functions over tier/state tables (no RPC, no services).
+
+API parity map (``/root/reference/docs/provider_api.adoc:82-313``):
+
+| reference api_id                  | here                         |
+|-----------------------------------|------------------------------|
+| last_block_height                 | last_bucket_start            |
+| get_staking_info(height)          | point_lookup(bucket)         |
+| get_staking_info_last_block       | latest_points                |
+| latest_stake_top100               | topk_urls_by_bytes           |
+| recent_stake_wallets              | recently_active_urls         |
+| abstention_stake (sorted snapshot)| topk_urls_by_measure         |
+| funded_wallets(min_balance)       | urls_over_threshold          |
+| passive_stake_wallets(max_inact)  | stale_urls                   |
+
+All functions take tier/state DataFrames (read from a TableStore or
+built in-memory) so they compose with any storage backend.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def last_bucket_start(tier_df: DataFrame):
+    """Newest committed bucket (reference: last_block_height,
+    provider_api.adoc:102-118)."""
+    return tier_df.agg(F.max("bucket_start").alias("last_bucket_start"))
+
+
+def point_lookup(tier_df: DataFrame, bucket_start: dt.datetime, url: str | None = None) -> DataFrame:
+    """Stats for one bucket (reference: get_staking_info(height),
+    provider_api.adoc:144-168). Partition-pruned on bucket_day at scale."""
+    out = tier_df.where(F.col("bucket_start") == F.lit(bucket_start))
+    if url is not None:
+        out = out.where(F.col("url") == url)
+    return out
+
+
+def latest_points(tier_df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Last bucket's row per key (reference: get_staking_info_last_block
+    = max-height + point-get, api_bundle.py:38-44)."""
+    keys = keys or ["url"]
+    aggs = [F.max("bucket_start").alias("bucket_start")] + [
+        F.max_by(c, "bucket_start").alias(c)
+        for c in tier_df.columns
+        if c not in keys + ["bucket_start"]
+    ]
+    return tier_df.groupBy(*keys).agg(*aggs)
+
+
+def topk_urls_by_measure(tier_df: DataFrame, measure: str = "byte_size", k: int = 100) -> DataFrame:
+    """Top-k snapshot (reference W1: latest_stake_top100 with
+    MAX_WALLETS=100, stake_top100.py:46-66). orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition top-k, then a k-row merge."""
+    totals = tier_df.groupBy("url").agg(F.sum(measure).alias(measure))
+    return totals.orderBy(F.desc(measure), "url").limit(k)
+
+
+def recently_active_urls(tier_df: DataFrame, timespan_seconds: int = 3 * 86400,
+                         k: int = 200) -> DataFrame:
+    """Sliding retention window + cap (reference W2: recent_stake_wallets,
+    TIMESPAN=129600 blocks ≈ 3 days, cap 200)."""
+    mx = tier_df.agg(F.max("bucket_start")).first()[0]
+    cutoff = mx - dt.timedelta(seconds=timespan_seconds)
+    return (
+        tier_df.where(F.col("bucket_start") > F.lit(cutoff))
+        .groupBy("url")
+        .agg(F.max("bucket_start").alias("last_seen"), F.sum("point_count").alias("points"))
+        .orderBy(F.desc("last_seen"), F.desc("points"), "url")
+        .limit(k)
+    )
+
+
+def urls_over_threshold(tier_df: DataFrame, measure: str = "byte_size",
+                        min_value: int = 0, k: int = 10_000) -> DataFrame:
+    """Threshold scan-sort-limit with true total (reference W4:
+    funded_wallets — list capped at 10000 but 'total' is the real count,
+    storage.py:320-337). One pass: window rank + count over the filtered
+    set."""
+    totals = (
+        tier_df.groupBy("url")
+        .agg(F.sum(measure).alias(measure))
+        .where(F.col(measure) >= min_value)
+    )
+    total = totals.count()
+    return (
+        totals.orderBy(F.desc(measure), "url").limit(k).withColumn("total_matching", F.lit(total))
+    )
+
+
+def stale_urls(state_df: DataFrame, as_of: dt.datetime, max_inactive_seconds: int,
+               k: int = 1000) -> DataFrame:
+    """Longest-inactive urls (reference: passive_stake_wallets sorted by
+    inactive duration desc, cap 1000, storage.py:357-381) over the fold
+    state table."""
+    inact = state_df.withColumn(
+        "inactive_seconds",
+        (F.lit(as_of).cast("long") - F.col("last_ts").cast("long")),
+    ).where(F.col("inactive_seconds") <= max_inactive_seconds)
+    return inact.orderBy(F.desc("inactive_seconds"), "url").limit(k)

@@ -60,7 +60,29 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors' Python workers — the
+    programmatic equivalent of ``spark-submit --py-files pkg.zip``.
+    Without it, any pandas-UDF stage fails with ModuleNotFoundError
+    whenever the driver's cwd is not the repo root (cluster reality)."""
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        zip_base = os.path.join(tempfile.gettempdir(), "chainalytic_framework_spark_pkg")
+        zip_path = shutil.make_archive(
+            zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context, or read-only tmp: non-fatal
 
 
 def get_active_or_build(**kwargs) -> SparkSession:

@@ -1,0 +1,98 @@
+"""Structured Streaming ingestion: the reference's realtime tail.
+
+Reference analogue: the aggregator poll loop + RPC tail fetch
+(``/root/reference/src/chainalytic/aggregator/__main__.py:80-142``,
+``zones/.../upstream/data_feeder.py:101-111`` — "height not yet
+available" ≡ no new files). Here: ``readStream`` over the pages
+directory (or Iceberg/Kafka source on a cluster), event-time tumbling
+windows with a watermark for late data (T3), and ``foreachBatch``
+committing through the same TableStore + manifest path as the batch
+pipeline — one code path for micro-batch and backfill.
+
+The 1m tier is maintained streaming-side; coarser tiers remain batch
+cascade jobs over committed 1m partitions (the standard continuous-
+aggregate split: streaming keeps the edge fresh, batch re-derives
+the heavy history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.rollup import with_layout_columns
+from ..tables import TableStore
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-based streaming source over a pages parquet directory.
+    On a cluster the same plan reads new Iceberg snapshots or Kafka."""
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_rollup_1m(pages_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling 1-minute rollup at url grain. Late rows
+    beyond the watermark are dropped (documented policy, T3) — the
+    batch pipeline re-derives exact history on its next run."""
+    w = pages_stream.withWatermark("warc_ts", watermark)
+    return (
+        w.groupBy(
+            F.window("warc_ts", "1 minute").alias("win"),
+            F.xxhash64("url").alias("url_hash"),
+            F.col("url"),
+            F.col("lang"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("point_count"),
+            F.sum(F.octet_length("html")).alias("byte_size"),
+            F.sum(F.length("text")).alias("text_len_sum"),
+            F.min(F.length("text")).alias("text_len_min"),
+            F.max(F.length("text")).alias("text_len_max"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            "url_hash", "url", "lang",
+            "point_count", "byte_size", "text_len_sum", "text_len_min", "text_len_max",
+        )
+        .withColumn("tier", F.lit("1m"))
+        .withColumn("gap_filled", F.lit(False))
+    )
+
+
+def start_stream_to_store(
+    spark: SparkSession,
+    pages_path: str,
+    store: TableStore,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch sink: each micro-batch's tier rows are appended
+    through the TableStore (Iceberg MERGE on a cluster; partitioned
+    parquet append here). availableNow=True drains the backlog and
+    stops — the batch-parity mode used by tests."""
+    stream = streaming_rollup_1m(read_pages_stream(spark, pages_path))
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = with_layout_columns(batch_df)
+        out.write.mode("append").partitionBy("bucket_day").parquet(
+            store.path("tier_1m_stream")
+        )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(commit_batch)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,110 @@
+"""Gorilla codec property tests: encode∘decode == identity (bit-exact),
+including NaN, ±0.0, constant runs, monotonic deltas, random walks,
+single-point and empty series (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from chainalytic_framework_spark.operators.codec import decode_series, encode_series
+
+
+def _roundtrip(ts, vals):
+    blob = encode_series(np.asarray(ts, dtype=np.int64), np.asarray(vals))
+    ts2, vals2 = decode_series(blob)
+    np.testing.assert_array_equal(np.asarray(ts, dtype=np.int64), ts2)
+    a = np.asarray(vals)
+    if a.dtype == np.float64:
+        np.testing.assert_array_equal(a.view(np.uint64), vals2.view(np.uint64))
+    else:
+        np.testing.assert_array_equal(a, vals2)
+    return blob
+
+
+def test_empty():
+    blob = encode_series(np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    ts, vals = decode_series(blob)
+    assert len(ts) == 0 and len(vals) == 0
+
+
+def test_single_point():
+    _roundtrip([1700000000], np.array([3.14159]))
+
+
+def test_constant_run_compresses():
+    n = 1000
+    ts = 1700000000 + 60 * np.arange(n)
+    vals = np.full(n, 42.5)
+    blob = _roundtrip(ts, vals)
+    # constant values + constant deltas: ~2 bits/point ⇒ far below raw 16B
+    assert len(blob) < n  # < 1 byte per point vs 16 raw
+
+def test_monotonic_delta():
+    n = 500
+    ts = 1700000000 + np.cumsum(np.arange(n))
+    vals = np.arange(n, dtype=np.float64) * 0.001
+    _roundtrip(ts, vals)
+
+
+def test_nan_and_zeros():
+    ts = 1700000000 + 60 * np.arange(6)
+    vals = np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-308])
+    _roundtrip(ts, vals)
+
+
+def test_int64_values():
+    ts = 1700000000 + np.array([0, 1, 100, 101, 102])
+    vals = np.array([5, 5, -7, 2**62, 0], dtype=np.int64)
+    _roundtrip(ts, vals)
+
+
+def test_irregular_timestamps():
+    ts = np.array([0, 1, 2, 1000000, 1000001, 2**40, 2**40 + 59])
+    vals = np.random.default_rng(1).standard_normal(len(ts))
+    _roundtrip(ts, vals)
+
+
+def test_random_walk_big():
+    rng = np.random.default_rng(42)
+    n = 20_000
+    ts = 1700000000 + np.cumsum(rng.integers(1, 600, n))
+    vals = np.cumsum(rng.standard_normal(n))
+    blob = _roundtrip(ts, vals)
+    assert len(blob) < n * 16  # beats raw encoding even on random walk
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    deltas=st.lists(st.integers(min_value=0, max_value=2**33), min_size=1, max_size=200),
+    data=st.data(),
+)
+def test_property_float_series(deltas, data):
+    ts = 1700000000 + np.cumsum(np.array(deltas, dtype=np.int64))
+    vals = data.draw(
+        st.lists(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            min_size=len(ts),
+            max_size=len(ts),
+        )
+    )
+    _roundtrip(ts, np.array(vals, dtype=np.float64))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    deltas=st.lists(st.integers(min_value=0, max_value=2**20), min_size=1, max_size=100),
+    data=st.data(),
+)
+def test_property_int_series(deltas, data):
+    ts = np.cumsum(np.array(deltas, dtype=np.int64))
+    vals = data.draw(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=len(ts),
+            max_size=len(ts),
+        )
+    )
+    _roundtrip(ts, np.array(vals, dtype=np.int64))

@@ -1,0 +1,82 @@
+"""Dedup + similarity operator semantics (documents/embeddings testdata)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.operators import dedup as dd
+from chainalytic_framework_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    e.count()
+    return e
+
+
+def test_exact_dedup_identity(spark, docs):
+    # duplicating the corpus doubles n_dupes but keeps keep_id stable
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    d1 = dd.exact_dedup(docs).orderBy("fingerprint").toPandas()
+    d2 = dd.exact_dedup(doubled).orderBy("fingerprint").toPandas()
+    assert (d2["n_dupes"] == 2 * d1["n_dupes"]).all()
+    assert (d2["keep_id"] == d1["keep_id"]).all()
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    a = dd.minhash_signatures(docs)
+    b = dd.minhash_signatures(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    j = a.join(b.withColumn("doc_id", F.col("doc_id") - 100000), "doc_id", "inner")
+    # join keeps suffixed cols; compare via exceptAll on renamed frames
+    assert a.exceptAll(
+        b.withColumn("doc_id", F.col("doc_id") - 100000)
+    ).count() == 0
+
+
+def test_minhash_estimates_track_true_jaccard(spark, docs):
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sigs)
+    if pairs.count() == 0:
+        pytest.skip("no candidate pairs at this sf")
+    est = dd.minhash_similarity(sigs, pairs)
+    true = dd.ngram_jaccard_pairs(docs, pairs)
+    j = est.join(true, ["id_a", "id_b"]).toPandas()
+    # LSH candidates (band match = 2 equal minhashes) should skew similar
+    assert (abs(j["est_jaccard"] - j["jaccard"]) <= 0.75).all()
+
+
+def test_simhash_stability_and_range(spark, docs):
+    sh = dd.simhash(docs).toPandas()
+    assert sh["simhash"].between(0, 2**dd.SIMHASH_BITS - 1).all()
+    # identical text ⇒ identical simhash
+    sh2 = dd.simhash(docs.withColumn("doc_id", F.col("doc_id") + 7)).toPandas()
+    assert set(sh["simhash"]) == set(sh2["simhash"])
+
+
+def test_ann_subset_of_bucket_and_agrees_with_brute_force(spark, emb):
+    planes = sim.projection_planes(64)
+    qv = [float(v) for v in emb.where("vec_id = 0").first()["embedding"]]
+    bf = sim.brute_force_topk(emb, qv, k=10).toPandas()
+    ann = sim.ann_topk(emb, qv, planes, k=10).toPandas()
+    # the query's own bucket contains the query itself → top hit matches
+    assert ann.iloc[0]["vec_id"] == bf.iloc[0]["vec_id"] == 0
+    # every ANN result is a real row with valid cosine
+    assert ann["cos_sim"].between(-1.000001, 1.000001).all()
+
+
+def test_lsh_bucket_determinism(spark, emb):
+    planes = sim.projection_planes(64)
+    b1 = sim.hyperplane_lsh_buckets(emb, planes).select("vec_id", "bucket")
+    b2 = sim.hyperplane_lsh_buckets(emb.repartition(13), planes).select("vec_id", "bucket")
+    assert b1.exceptAll(b2).count() == 0

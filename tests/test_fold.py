@@ -1,0 +1,112 @@
+"""Stateful fold: golden single-process oracle + cross-run resumability.
+
+The golden oracle is a direct per-row Python fold — the shape of the
+reference's Transform loop (stake_history.py:62-133) re-keyed to url —
+run on the collected pages. Spark's vectorized fold must match exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.operators.fold import (
+    extract_state,
+    fold_observations,
+    fold_with_state,
+    merge_state,
+    prepare_observations,
+)
+
+TTL = 3 * 86400
+
+
+def _golden_fold(obs_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-row reference-style fold (intentionally naive)."""
+    state: dict = {}
+    rows = []
+    for r in obs_pdf.sort_values(["url", "warc_ts"]).itertuples():
+        st = state.get(r.url)
+        if st is None:
+            is_new, changed, gap, expired = True, False, None, False
+            rev, pts, byts = 0, 1, r.html_len
+        else:
+            is_new = False
+            changed = st["hash"] != r.text_hash
+            gap = (r.warc_ts - st["ts"]).total_seconds()
+            expired = gap > TTL
+            rev = st["rev"] + (1 if changed else 0)
+            pts = st["pts"] + 1
+            byts = st["bytes"] + r.html_len
+        state[r.url] = {"hash": r.text_hash, "ts": r.warc_ts, "rev": rev, "pts": pts, "bytes": byts}
+        rows.append(
+            dict(url=r.url, warc_ts=r.warc_ts, is_new=is_new, text_changed=changed,
+                 content_rev=rev, gap_seconds=None if gap is None else round(gap),
+                 expired=expired, cum_points=pts, cum_bytes=byts)
+        )
+    return pd.DataFrame(rows).sort_values(["url", "warc_ts"], ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def obs(spark, pages):
+    o = prepare_observations(pages, n_buckets=16).cache()
+    o.count()
+    return o
+
+
+def test_fold_matches_golden(spark, pages, obs):
+    got = (
+        fold_observations(obs, ttl_seconds=TTL)
+        .select("url", "warc_ts", "is_new", "text_changed", "content_rev",
+                "gap_seconds", "expired", "cum_points", "cum_bytes")
+        .toPandas()
+        .sort_values(["url", "warc_ts"], ignore_index=True)
+    )
+    exp = _golden_fold(obs.toPandas())
+    got["gap_seconds"] = got["gap_seconds"].astype("float64")
+    exp["gap_seconds"] = exp["gap_seconds"].astype("float64")
+    got["warc_ts"] = got["warc_ts"].astype("datetime64[us]")
+    exp["warc_ts"] = exp["warc_ts"].astype("datetime64[us]")
+    for c in ("content_rev", "cum_points", "cum_bytes"):
+        got[c] = got[c].astype("int64")
+        exp[c] = exp[c].astype("int64")
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+
+
+def test_split_run_equals_full_run(spark, obs):
+    """fold(all) == fold(part2 | state(fold(part1))) — T1 resumability."""
+    mid = obs.agg(F.percentile_approx("warc_ts", 0.5, 10000)).first()[0]
+    part1 = obs.where(F.col("warc_ts") <= F.lit(mid))
+    part2 = obs.where(F.col("warc_ts") > F.lit(mid))
+
+    full = fold_observations(obs, ttl_seconds=TTL)
+    state1 = extract_state(fold_observations(part1, ttl_seconds=TTL))
+    run2 = fold_with_state(part2, state1, ttl_seconds=TTL)
+
+    full_p2 = full.join(part2.select("url", "warc_ts").distinct(), ["url", "warc_ts"], "left_semi")
+    cols = ["url", "warc_ts", "is_new", "text_changed", "content_rev",
+            "gap_seconds", "expired", "cum_points", "cum_bytes"]
+    a, b = run2.select(*cols), full_p2.select(*cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_merge_state_upsert(spark, obs):
+    full_state = extract_state(fold_observations(obs))
+    mid = obs.agg(F.percentile_approx("warc_ts", 0.5, 10000)).first()[0]
+    part1 = obs.where(F.col("warc_ts") <= F.lit(mid))
+    part2 = obs.where(F.col("warc_ts") > F.lit(mid))
+    s1 = extract_state(fold_observations(part1))
+    s2 = extract_state(fold_with_state(part2, s1))
+    merged = merge_state(s1, s2)
+    assert merged.exceptAll(full_state).count() == 0
+    assert full_state.exceptAll(merged).count() == 0
+
+
+def test_no_state_urls_are_new(spark, obs):
+    out = fold_observations(obs)
+    firsts = out.groupBy("url").agg(F.min("warc_ts").alias("t0"))
+    j = out.join(firsts, "url").where(F.col("warc_ts") == F.col("t0"))
+    assert j.where(~F.col("is_new")).count() == 0
+    assert out.where(F.col("is_new") & F.col("gap_seconds").isNotNull()).count() == 0
