@@ -20,7 +20,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from chainalytic_framework_spark import contract
-from chainalytic_framework_spark.operators.cascade import build_all_tiers
 from chainalytic_framework_spark.operators.gapfill import gapfill_locf
 from chainalytic_framework_spark.session import build_session
 from chainalytic_framework_spark.synth import generate_pages
@@ -60,19 +59,29 @@ def main() -> None:
     t_all0 = time.perf_counter()
 
     # --- engine pipeline on synthetic pages (docs/sec headline) ---
+    # the REAL path: run_pipeline (1m from raw, cascade from stored
+    # parents, fold+state, manifests) into a fresh store, then gap-fill.
+    import shutil
+
+    from chainalytic_framework_spark.plans.pipeline import run_pipeline
+    from chainalytic_framework_spark.tables import TableStore
+
     n_docs = max(10_000, int(6_000_000 * sf))
-    pages = generate_pages(spark, n_docs)
-    pages.write.mode("overwrite").parquet("/tmp/cfs_bench_pages")
-    pages_on_disk = spark.read.parquet("/tmp/cfs_bench_pages")
+    pages_path = f"/tmp/cfs_bench_pages_{n_docs}"
+    if not os.path.isdir(pages_path):
+        generate_pages(spark, n_docs).write.mode("overwrite").parquet(pages_path)
+    pages_on_disk = spark.read.parquet(pages_path)
+    wh = "/tmp/cfs_bench_wh"
+    shutil.rmtree(wh, ignore_errors=True)
+    store = TableStore(spark, wh)
 
     t0 = time.perf_counter()
-    tiers = build_all_tiers(pages_on_disk, grain="url")
-    for name in ("1m", "1h", "1d", "30d"):
-        _force(tiers[name])
-    _force(gapfill_locf(tiers["1h"], "1h"))
+    result = run_pipeline(spark, pages_on_disk, store, with_fold=True)
+    _force(gapfill_locf(store.read("tier_1h"), "1h"))
     pipeline_sec = time.perf_counter() - t0
     timings["pages_pipeline"] = round(pipeline_sec, 3)
-    docs_per_sec = round(n_docs / pipeline_sec, 1)
+    docs_per_sec = round(result["docs"] / pipeline_sec, 1)
+    n_docs = result["docs"]
 
     # --- contract headliners over driver testdata ---
     qs = contract.queries()

@@ -915,3 +915,144 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cos_sim") * 10000, 0).cast("long").alias("cos_sim_x1e4")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, seed union, schema-version dispatch, text analysis
+# ---------------------------------------------------------------------------
+
+from .functions import text as _tx
+from .operators.asof import asof_join as _asof_join
+
+
+@q(
+    "asof_join_events",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS purchase_cents
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.event_id, p.purchase_cents AS last_purchase_cents
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py union-marker plan): each click gets
+    the user's latest prior purchase — checked against DuckDB's native
+    ASOF JOIN. Reference analogue: J1 state lookup (stake_history.py:110-125)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select("user_id", "event_id", "ts")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", _cents().alias("purchase_cents")
+    )
+    out = _asof_join(clicks, purchases, on="ts", key="user_id")
+    return out.select(
+        "user_id", "event_id", F.col("purchase_cents").alias("last_purchase_cents")
+    )
+
+
+@q(
+    "seed_union_events",
+    """
+    WITH seeds(user_id, total_cents) AS (VALUES (900001, 1000000), (900002, 2000000)),
+    agg AS (
+      SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(total_cents AS BIGINT) AS total_cents FROM agg
+    UNION ALL SELECT user_id, CAST(total_cents AS BIGINT) FROM seeds
+    """,
+)
+def seed_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genesis-seed union (reference J3: funded_wallets hardcoded genesis
+    balances unioned before folding, funded_wallets.py:43-62)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.sum(_cents()).alias("total_cents"))
+    seeds = spark.createDataFrame(
+        [(900001, 1_000_000), (900002, 2_000_000)], "user_id bigint, total_cents bigint"
+    )
+    return agg.unionByName(seeds)
+
+
+@q(
+    "schema_version_dispatch_events",
+    """
+    SELECT event_id,
+           CASE WHEN event_id < 5000
+                THEN CAST(json_extract(props, '$.k') AS BIGINT) * 100
+                ELSE CAST(round(value * 100) AS BIGINT) END AS measure_cents
+    FROM events
+    """,
+)
+def schema_version_dispatch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-version dispatch (reference P4: pre/post-V3 block layouts
+    selected by height threshold, data_feeder.py:128-140) — CASE WHEN
+    across column variants, resolved inside the scan projection."""
+    ev = _t(spark, sf_dir, "events")
+    old = F.get_json_object("props", "$.k").cast("long") * 100
+    new = _cents()
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_id") < 5000, old).otherwise(new).alias("measure_cents"),
+    )
+
+
+@q(
+    "text_quality_full_documents",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+           CAST(greatest(ceil(length(text) / 3.8),
+                         len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens_bpe_est,
+           CAST(round(length(regexp_replace(text, '\s+', '', 'g'))
+                      / greatest(len(regexp_split_to_array(text, '\s+')), 1) * 10000)
+                AS BIGINT) AS mean_word_len_x1e4,
+           CAST(round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x IN ('the','a','and','of','to','in','is','it')))
+                      * 10000.0 / greatest(len(regexp_split_to_array(text, '\s+')), 1))
+                AS BIGINT) AS stopword_x1e4
+    FROM documents
+    """,
+)
+def text_quality_full_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality-feature block (functions/text.py): token counts,
+    BPE-ish estimate, mean word length, stopword ratio — fixed-point."""
+    d = _t(spark, sf_dir, "documents")
+    feats = _tx.quality_features(d)
+    return feats.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.col("n_tokens_bpe_est"),
+        F.round(F.col("mean_word_len") * 10000, 0).cast("long").alias("mean_word_len_x1e4"),
+        F.round(F.col("stopword_ratio") * 10000, 0).cast("long").alias("stopword_x1e4"),
+    )
+
+
+_MARKER_SQL = " , ".join(
+    f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    f"x -> x IN ({', '.join(repr(m) for m in ms)}))) AS hits_{lang}"
+    for lang, ms in _tx.LANG_MARKERS.items()
+)
+
+
+@q(
+    "lang_id_documents",
+    f"""
+    WITH h AS (SELECT doc_id, {_MARKER_SQL} FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN NULL
+                WHEN hits_fr >= hits_es AND hits_fr >= hits_en AND hits_fr >= hits_de THEN 'fr'
+                WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+                WHEN hits_en >= hits_de THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM h
+    """,
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID heuristic (functions/text.py). Tie-break:
+    array_max on (hits, lang) structs picks the lexicographically-LAST
+    lang among equal hit counts (fr > es > en > de); the oracle CASE
+    checks in that same order."""
+    d = _t(spark, sf_dir, "documents")
+    return _tx.lang_id_heuristic(d).select("doc_id", "lang_pred")

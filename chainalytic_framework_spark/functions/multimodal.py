@@ -1,0 +1,156 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary +
+typed metadata, processed in Arrow-batched pandas stages.
+
+This container ships no image/audio libraries, so the DECODE step is a
+clearly-marked stub (deterministic fake features or
+NotImplementedError); everything Spark-side — schemas, batch shapes,
+partition sizing, UDF signatures — is real and tested. On a cluster,
+swap ``_decode_image_stub`` for PIL/libvips inside the same
+``mapInPandas`` stage and nothing else changes.
+
+Scale notes: blob stages size partitions by BYTES not rows
+(``repartition_for_blobs``) so a 256 KB-avg-blob dataset doesn't hand
+an executor a 4 GB Arrow batch; ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` bounds the per-batch footprint.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, declared_mime string, n_bytes long"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, sniffed_format string, "
+    "width int, height int, channels int, mean_luma double, decode_ok boolean"
+)
+
+FRAME_SAMPLE_SCHEMA = "media_id long, frame_index int, frame_ts_ms long, frame binary"
+
+_MAGIC = {
+    b"\xff\xd8\xff": "jpeg",
+    b"\x89PNG": "png",
+    b"GIF8": "gif",
+    b"RIFF": "riff",  # wav/webp container
+    b"\x00\x00\x00": "mp4?",
+}
+
+
+def attach_media_metadata(df: DataFrame, blob_col: str = "payload") -> DataFrame:
+    """JVM-side metadata: byte size + magic-byte format sniff — no
+    Python, no decode; enough for routing/filtering before the
+    expensive decode stage."""
+    b = F.col(blob_col)
+    sniff = F.when(F.substring(b, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpeg")
+    sniff = sniff.when(F.substring(b, 1, 4) == F.lit(b"\x89PNG"), "png")
+    sniff = sniff.when(F.substring(b, 1, 4) == F.lit(b"GIF8"), "gif")
+    sniff = sniff.when(F.substring(b, 1, 4) == F.lit(b"RIFF"), "riff")
+    return df.withColumns(
+        {"n_bytes": F.octet_length(b).cast("long"), "sniffed_format": sniff.otherwise("unknown")}
+    )
+
+
+def repartition_for_blobs(df: DataFrame, target_partition_mb: int = 256,
+                          size_col: str = "n_bytes") -> DataFrame:
+    """Partition a blob table by total BYTES per task: at 100 TB the unit
+    of decode work must be byte-bounded, not row-bounded."""
+    total = df.agg(F.sum(size_col)).first()[0] or 0
+    n = max(1, int(total / (target_partition_mb * 1024 * 1024)) + 1)
+    return df.repartition(n)
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, int, float, bool]:
+    """STUB — deterministic fake decode (no imaging libs in container).
+
+    Real deployment: replace body with PIL.Image.open(BytesIO(payload));
+    signature and batch shape stay identical.
+    """
+    if len(payload) < 8:
+        return (0, 0, 0, 0.0, False)
+    h = int.from_bytes(payload[:8], "little")
+    width = 64 + h % 1920
+    height = 64 + (h >> 11) % 1080
+    channels = 3
+    mean_luma = float((h >> 22) % 256)
+    return (width, height, channels, mean_luma, True)
+
+
+def extract_image_features(media: DataFrame, blob_col: str = "payload",
+                           id_col: str = "media_id") -> DataFrame:
+    """mapInPandas decode/feature stage: Arrow batches in, narrow typed
+    features out — the blob never survives past this stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_image_stub(bytes(p)) for p in pdf[blob_col]]
+            w, h, c, luma, ok = (list(t) for t in zip(*feats)) if feats else ([], [], [], [], [])
+            fmt = pdf["sniffed_format"] if "sniffed_format" in pdf else pd.Series(["unknown"] * len(pdf))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[blob_col].map(len).astype("int64"),
+                    "sniffed_format": fmt,
+                    "width": pd.Series(w, dtype="int32"),
+                    "height": pd.Series(h, dtype="int32"),
+                    "channels": pd.Series(c, dtype="int32"),
+                    "mean_luma": pd.Series(luma, dtype="float64"),
+                    "decode_ok": pd.Series(ok, dtype="bool"),
+                }
+            )
+
+    cols = [id_col, blob_col] + (["sniffed_format"] if "sniffed_format" in media.columns else [])
+    return media.select(*cols).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8,
+                        blob_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """Frame-sampling plumbing: 1 blob row → ≤ max_frames frame rows.
+    STUB decode — frames are deterministic byte slices standing in for
+    ffmpeg output; schema/fan-out/batching are the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_ix, out_ts, out_fr = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(payload)
+                n = min(max_frames, max(1, len(b) // 1024))
+                for i in range(n):
+                    out_id.append(int(mid))
+                    out_ix.append(i)
+                    out_ts.append(i * every_ms)
+                    out_fr.append(b[i * 64 : i * 64 + 64])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "frame_index": pd.Series(out_ix, dtype="int32"),
+                    "frame_ts_ms": pd.Series(out_ts, dtype="int64"),
+                    "frame": out_fr,
+                }
+            )
+
+    return media.select(id_col, blob_col).mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def embed_media_stub(features: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic fake embedding from decoded features (stands in for
+    a vision encoder); output shape array<float> matches the similarity
+    operators so ANN composes with media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seeds = pdf["media_id"].to_numpy(dtype=np.uint64)
+            x = seeds[:, None] * np.uint64(0x9E3779B97F4A7C15) + np.arange(dim, dtype=np.uint64)[None, :]
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (x >> np.uint64(11)).astype(np.float64) / float(2**53) - 0.5
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "embedding": list(v.astype(np.float32))}
+            )
+
+    return features.select("media_id").mapInPandas(run, schema="media_id long, embedding array<float>")

@@ -1,0 +1,121 @@
+"""Text-analysis functions for training-data pipelines — all JVM-side
+column expressions (whole-stage codegen; no UDFs).
+
+Operators: token counting (whitespace + BPE-ish subword estimate),
+quality scoring (length/punct/stopword ratios), n-gram language-ID
+heuristic, document fingerprinting (md5 + rolling 32-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets — a deliberately simple n-gram
+# heuristic (the container has no langid models; the *shape* is what the
+# engine provides: per-language evidence columns → argmax)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(c, r"\s+", -1)).cast("long")
+
+
+def subword_estimate(text: Column | str, chars_per_token: float = 3.8) -> Column:
+    """BPE-ish token estimate: length-scaled (GPT-family rule of thumb)
+    plus a word-boundary floor — cheap, scan-friendly, good enough for
+    budget accounting at corpus scale."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.greatest(
+        F.ceil(F.length(c) / chars_per_token).cast("long"), token_count(c)
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(c) - F.length(stripped)).cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    c = F.col(text) if isinstance(text, str) else text
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = F.split(F.lower(c), r"\s+", -1)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard quality-filter feature block (Gopher/C4-style heuristics):
+    token counts, mean word length, punct + stopword ratios."""
+    c = F.col(text_col)
+    ntok = token_count(c)
+    return docs.withColumns(
+        {
+            "n_chars_txt": F.length(c).cast("long"),
+            "n_tokens": ntok,
+            "n_tokens_bpe_est": subword_estimate(c),
+            "mean_word_len": F.length(F.regexp_replace(c, r"\s+", "")).cast("double")
+            / F.greatest(ntok, F.lit(1)),
+            "punct_ratio": punct_ratio(c),
+            "stopword_ratio": stopword_ratio(c),
+        }
+    )
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   min_tokens: int = 3, max_mean_word_len: float = 25.0,
+                   max_punct_ratio: float = 0.5) -> DataFrame:
+    feats = quality_features(docs, text_col)
+    return feats.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+
+
+def lang_id_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: per-language hit counts → argmax (NULL
+    when no markers hit). One pass, pure expressions."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+", -1)
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return docs.withColumn(
+        "lang_pred", F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(None))
+    )
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """64-bit content fingerprint (xxhash64 — JVM, fast path)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(c)
+
+
+def rolling_fingerprint(text: Column | str, window: int = 64) -> Column:
+    """Cheap rolling-hash sketch: xxhash64 of evenly-spaced substrings,
+    combined — positional sensitivity without per-char UDF work."""
+    c = F.col(text) if isinstance(text, str) else text
+    parts = [
+        F.xxhash64(F.substring(c, i * window + 1, window)) for i in range(4)
+    ]
+    return F.xxhash64(*parts)

@@ -26,10 +26,15 @@ TIER_ORDER = ["1m", "1h", "1d", "30d"]
 # parent tier each tier cascades FROM (None = from raw input)
 CASCADE_PARENT = {"1m": None, "1h": "1m", "1d": "1h", "30d": "1d"}
 
-# Default key-space bucketing for state/fold partitioning. At 100 TB
-# this is the unit of fold parallelism: 4096 buckets × ~25 GB each keeps
-# per-task state bounded; locally AQE coalesces the tiny ones.
-N_URL_BUCKETS = 4096
+# Default key-space bucketing for state/fold partitioning — the unit of
+# fold parallelism AND of per-group pandas overhead. Size it to the
+# cluster: at 100 TB use 4096+ (25 GB/bucket keeps per-task state
+# bounded; export SPARK_GRAFT_URL_BUCKETS=4096 via spark-submit); in the
+# 32-core sandbox 256 groups amortize the ~4 ms Arrow/pandas per-group
+# cost while still giving 8 waves of parallelism.
+import os as _os
+
+N_URL_BUCKETS = int(_os.environ.get("SPARK_GRAFT_URL_BUCKETS", "256"))
 
 
 @dataclass(frozen=True)

@@ -74,7 +74,6 @@ def run_pipeline(
         return {"pending_days": 0, "docs": 0, "wall_seconds": 0.0}
 
     psel = pages.where(F.to_date("warc_ts").isin(pend))
-    n_in = psel.count()
     entries = []
 
     # ---- 1m from raw (the only raw scan) ----
@@ -82,15 +81,18 @@ def run_pipeline(
     m1 = with_layout_columns(rollup_pages(psel, "1m", grain=grain))
     store.overwrite_partitions(m1, _tier_table("1m"), ["bucket_day"])
     wall = time.perf_counter() - t0
-    # one manifest row PER DAY — the resume anti-join's work unit
-    day_counts = {
-        r["bucket_day"]: r["count"]
-        for r in store.read(_tier_table("1m"))
+    # one manifest row PER DAY — the resume anti-join's work unit.
+    # n_in (input docs) = Σ point_count of the written 1m rows: free from
+    # this small agg, no second scan of the raw input.
+    day_stats = (
+        store.read(_tier_table("1m"))
         .where(F.col("bucket_day").isin(pend))
         .groupBy("bucket_day")
-        .count()
+        .agg(F.count(F.lit(1)).alias("rows_out"), F.sum("point_count").alias("docs"))
         .collect()
-    }
+    )
+    day_counts = {r["bucket_day"]: r["rows_out"] for r in day_stats}
+    n_in = int(sum(r["docs"] for r in day_stats))
     for d in pend:
         entries.append(
             dict(tier="1m", bucket_range_start=dt.datetime.combine(d, dt.time()),

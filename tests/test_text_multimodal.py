@@ -1,0 +1,101 @@
+"""Text-analysis functions + multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.functions import multimodal as mm
+from chainalytic_framework_spark.functions import text as tx
+
+
+def test_quality_features_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "a b"), (3, "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxx")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.quality_features(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["stopword_ratio"] == 0.25  # 'the' of 4 tokens
+    assert out[2]["n_tokens"] == 2
+    assert out[3]["mean_word_len"] == 30.0
+
+
+def test_quality_filter_drops_junk(spark):
+    df = spark.createDataFrame(
+        [(1, "a good normal document with several words"),
+         (2, "x"),
+         (3, "!!!!!!!!!! ?????? ......")],
+        "doc_id long, text string",
+    )
+    kept = [r["doc_id"] for r in tx.quality_filter(df).select("doc_id").collect()]
+    assert kept == [1]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of york"),
+         (2, "der hund und die katze"),
+         (3, "zzz qqq www")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in tx.lang_id_heuristic(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] is None
+
+
+def test_fingerprints_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world " * 30)], "doc_id long, text string")
+    a = df.select(tx.fingerprint64("text").alias("f"), tx.rolling_fingerprint("text").alias("r")).first()
+    b = df.select(tx.fingerprint64("text").alias("f"), tx.rolling_fingerprint("text").alias("r")).first()
+    assert a == b
+
+
+def _media_df(spark, n=20):
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(i)
+        payload = (b"\xff\xd8\xff" if i % 2 == 0 else b"\x89PNG") + rng.bytes(500 + i * 100)
+        rows.append((i, "image", payload, "image/jpeg", len(payload)))
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_media_metadata_sniff(spark):
+    media = mm.attach_media_metadata(_media_df(spark))
+    kinds = {r["media_id"]: r["sniffed_format"] for r in media.collect()}
+    assert kinds[0] == "jpeg" and kinds[1] == "png"
+    assert media.where("n_bytes <= 0").count() == 0
+
+
+def test_image_feature_extraction_shape(spark):
+    media = mm.attach_media_metadata(_media_df(spark))
+    feats = mm.extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r["decode_ok"] for r in rows)
+    assert all(64 <= r["width"] < 2000 for r in rows)
+    # deterministic across re-runs
+    again = mm.extract_image_features(media).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_frame_sampling_fanout(spark):
+    media = _media_df(spark, n=5)
+    frames = mm.sample_video_frames(media, every_ms=500, max_frames=4)
+    pdf = frames.toPandas()
+    assert (pdf.groupby("media_id").size() <= 4).all()
+    assert (pdf["frame_ts_ms"] % 500 == 0).all()
+
+
+def test_media_embeddings_compose_with_ann(spark):
+    from chainalytic_framework_spark.operators import similarity as sim
+
+    media = mm.attach_media_metadata(_media_df(spark))
+    feats = mm.extract_image_features(media)
+    emb = mm.embed_media_stub(feats, dim=16)
+    planes = sim.projection_planes(16, 4)
+    buckets = sim.hyperplane_lsh_buckets(emb, planes, id_col="media_id")
+    assert buckets.count() == 20
+    assert buckets.where(F.col("bucket") < 0).count() == 0

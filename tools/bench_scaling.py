@@ -1,0 +1,125 @@
+"""Two-cluster-size scaling bench (north-rule evidence).
+
+Runs the SAME full pipeline job on the SAME input at local[8] (N) and
+local[32] (4N) — the driver-sanctioned sandbox substitution for N vs 4N
+executors — and reports throughput at both plus scaling efficiency
+``(tput_32 / tput_8) / 4`` (target ≥ 0.8). Also asserts tier-match
+exactness between the two runs (integer measures ⇒ byte-equal tiers).
+
+Each parallelism level runs in a FRESH subprocess (a JVM cannot change
+master after start). Writes BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+RUN_ONE = r"""
+import json, shutil, sys, time, os
+sys.path.insert(0, {repo!r})
+from chainalytic_framework_spark.session import build_session
+from chainalytic_framework_spark.synth import generate_pages
+from chainalytic_framework_spark.tables import TableStore
+from chainalytic_framework_spark.plans.pipeline import run_pipeline
+from chainalytic_framework_spark.operators.gapfill import gapfill_locf
+
+cores = {cores}
+spark = build_session(app_name="cfs-scaling", master=f"local[{{cores}}]",
+                      shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+pages_path = {pages_path!r}
+if not os.path.isdir(pages_path):
+    generate_pages(spark, {n_docs}).write.mode("overwrite").parquet(pages_path)
+pages = spark.read.parquet(pages_path)
+wh = {wh!r}
+shutil.rmtree(wh, ignore_errors=True)
+store = TableStore(spark, wh)
+t0 = time.perf_counter()
+r = run_pipeline(spark, pages, store, with_fold=True)
+gapfill_locf(store.read("tier_1h"), "1h").write.mode("overwrite").format("noop").save()
+wall = time.perf_counter() - t0
+print("RESULT" + json.dumps({{"cores": cores, "wall": round(wall, 3),
+                              "docs": r["docs"],
+                              "docs_per_sec": round(r["docs"] / wall, 1)}}))
+spark.stop()
+"""
+
+
+def run_level(repo: str, cores: int, n_docs: int, pages_path: str) -> dict:
+    wh = os.path.join(tempfile.gettempdir(), f"cfs_scaling_wh_{cores}")
+    code = RUN_ONE.format(repo=repo, cores=cores, n_docs=n_docs,
+                          pages_path=pages_path, wh=wh)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800,
+        cwd=tempfile.gettempdir(),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            r = json.loads(line[len("RESULT"):])
+            r["wh"] = wh
+            return r
+    raise RuntimeError(f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def compare_tiers(repo: str, wh8: str, wh32: str) -> dict[str, bool]:
+    import duckdb
+
+    checks = {}
+    for tier in ("1m", "1h", "1d", "30d"):
+        q = (
+            f"SELECT count(*) FROM ((SELECT * FROM '{wh8}/tier_{tier}/**/*.parquet' "
+            f"EXCEPT SELECT * FROM '{wh32}/tier_{tier}/**/*.parquet') UNION ALL "
+            f"(SELECT * FROM '{wh32}/tier_{tier}/**/*.parquet' "
+            f"EXCEPT SELECT * FROM '{wh8}/tier_{tier}/**/*.parquet'))"
+        )
+        checks[tier] = duckdb.sql(q).fetchone()[0] == 0
+    return checks
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    pages_path = os.path.join(tempfile.gettempdir(), f"cfs_bench_pages_{n_docs}")
+
+    r8 = run_level(repo, 8, n_docs, pages_path)
+    r32 = run_level(repo, 32, n_docs, pages_path)
+    eff = round((r32["docs_per_sec"] / r8["docs_per_sec"]) / 4, 3)
+    tiers_equal = compare_tiers(repo, r8["wh"], r32["wh"])
+
+    md = f"""# BENCH — two-parallelism scaling evidence (north rule)
+
+Same job (full pipeline: 1m rollup → cascade 1h/1d/30d → fold+state →
+gap-fill), same input ({r8['docs']:,} synthetic pages), two parallelism
+levels — the sandbox substitution for N vs 4N executors.
+
+| metric | local[8] (N) | local[32] (4N) | efficiency | target |
+|---|---|---|---|---|
+| pipeline wall (s) | {r8['wall']} | {r32['wall']} | — | — |
+| throughput (docs/sec) | {r8['docs_per_sec']} | {r32['docs_per_sec']} | {eff} | ≥ 0.8 |
+| tier-match exactness 1m/1h/1d/30d | — | {'/'.join('OK' if tiers_equal[t] else 'MISMATCH' for t in ('1m','1h','1d','30d'))} | must be exact | exact |
+
+efficiency = (tput_32 / tput_8) / 4 = {eff}
+
+Caveat (honest single-machine numbers): both "cluster sizes" share one
+machine's memory bandwidth and page cache, so this under-states true
+multi-node scaling where each executor brings its own I/O and memory
+channels; the partition-parallel design (url_bucket × bucket_day, no
+driver-side loops, no cross-partition dependencies outside shuffles)
+is what transfers to a real cluster.
+"""
+    out_path = os.path.join(repo, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(md)
+    print(json.dumps({"local8": r8, "local32": r32, "efficiency": eff,
+                      "tiers_equal": tiers_equal}))
+
+
+if __name__ == "__main__":
+    main()
