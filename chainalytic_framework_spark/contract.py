@@ -1056,3 +1056,58 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks in that same order."""
     d = _t(spark, sf_dir, "documents")
     return _tx.lang_id_heuristic(d).select("doc_id", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# Distinct counts + grouping sets (engine set-op / multi-grain coverage)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "distinct_users_daily_events",
+    f"""
+    SELECT {_bucket_epoch_sql('ts', 86400)} AS bucket_epoch,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_users_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-entity counts per bucket (reference A4 set-size
+    count; at 100 TB tiers store approx_count_distinct sketches instead —
+    exact variant is the oracle-checkable form)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(_bucket_epoch("ts", 86400), "user_id")
+        .groupBy("bucket_epoch")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@q(
+    "cube_lang_source_documents",
+    """
+    SELECT coalesce(lang, '<all>') AS lang_g,
+           coalesce(source, '<all>') AS source_g,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def cube_lang_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain rollup via CUBE (grouping sets) — the relational form
+    of maintaining several tier grains in one pass."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars_sum"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang_g"),
+            F.coalesce("source", F.lit("<all>")).alias("source_g"),
+            "n_docs",
+            "chars_sum",
+        )
+    )

@@ -82,6 +82,28 @@ def rollup_pages(pages: DataFrame, tier_name: str, grain: str = "url") -> DataFr
     return out
 
 
+def rollup_observations(obs: DataFrame, tier_name: str) -> DataFrame:
+    """Tier rollup from a prepared (narrowed) observation table —
+    (url, warc_ts, url_hash, lang, text_len, html_len). Lets the
+    pipeline scan raw pages ONCE: blobs are reduced to lengths in the
+    scan projection, and both the 1m tier and the stateful fold read
+    the same narrow, persisted intermediate."""
+    b = bucket_start("warc_ts", tier_name).alias("bucket_start")
+    return (
+        obs.select(b, "url_hash", "url", "lang", "text_len", "html_len")
+        .groupBy("bucket_start", "url_hash", "url", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("point_count"),
+            F.sum("html_len").alias("byte_size"),
+            F.sum("text_len").alias("text_len_sum"),
+            F.min("text_len").alias("text_len_min"),
+            F.max("text_len").alias("text_len_max"),
+        )
+        .withColumn("tier", F.lit(tier_name))
+        .withColumn("gap_filled", F.lit(False))
+    )
+
+
 def rollup_pages_salted(pages: DataFrame, tier_name: str, n_salts: int = 16) -> DataFrame:
     """Two-stage salted rollup at lang grain (the low-cardinality, thus
     skew-prone grain: 'en' carries ~45% of rows).

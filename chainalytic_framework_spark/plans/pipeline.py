@@ -38,7 +38,7 @@ from ..operators.fold import (
     merge_state,
     prepare_observations,
 )
-from ..operators.rollup import rollup_pages, with_layout_columns
+from ..operators.rollup import rollup_observations, rollup_pages, with_layout_columns
 from ..tables import TableStore
 from .checkpoint import append_entries, committed_days
 
@@ -53,11 +53,22 @@ def _tier_table(name: str) -> str:
 
 def pending_days(spark: SparkSession, pages: DataFrame, store: TableStore,
                  snapshot_id: str) -> list:
-    days = pages.select(F.to_date("warc_ts").alias("day")).distinct()
+    """Candidate days = [min, max] of the input time range (a metadata-
+    only min/max with parquet aggregate pushdown — no data scan), minus
+    committed manifest days. Days inside the range with zero rows cost
+    one empty manifest row; never a wrong result."""
+    import datetime as _dt
+
+    r = pages.agg(F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")).first()
+    if r["lo"] is None:
+        return []
+    lo, hi = r["lo"].date(), r["hi"].date()
+    all_days = [lo + _dt.timedelta(days=i) for i in range((hi - lo).days + 1)]
     committed = committed_days(store, "1m", snapshot_id=None)
-    if committed is not None:
-        days = days.join(committed, "day", "left_anti")
-    return sorted(r["day"] for r in days.collect())
+    if committed is None:
+        return all_days
+    done = {row["day"] for row in committed.collect()}
+    return [d for d in all_days if d not in done]
 
 
 def run_pipeline(
@@ -67,6 +78,7 @@ def run_pipeline(
     grain: str = "url",
     input_snapshot_id: str = "",
     with_fold: bool = True,
+    persist_observations: bool = True,
 ) -> dict:
     t_run = time.perf_counter()
     pend = pending_days(spark, pages, store, input_snapshot_id)
@@ -76,9 +88,18 @@ def run_pipeline(
     psel = pages.where(F.to_date("warc_ts").isin(pend))
     entries = []
 
-    # ---- 1m from raw (the only raw scan) ----
+    # ---- ONE raw scan: narrow pages to observations (blobs → lengths
+    # in the scan projection), persist; both the 1m tier and the fold
+    # read this. At 10^12 docs persist() spills to local disk — still
+    # far cheaper than a second pass over the html column.
+    obs = prepare_observations(psel)
+    if persist_observations:
+        from pyspark import StorageLevel
+
+        obs = obs.persist(StorageLevel.MEMORY_AND_DISK)
+
     t0 = time.perf_counter()
-    m1 = with_layout_columns(rollup_pages(psel, "1m", grain=grain))
+    m1 = with_layout_columns(rollup_observations(obs, "1m"))
     store.overwrite_partitions(m1, _tier_table("1m"), ["bucket_day"])
     wall = time.perf_counter() - t0
     # one manifest row PER DAY — the resume anti-join's work unit.
@@ -129,10 +150,9 @@ def run_pipeline(
                  wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
         )
 
-    # ---- stateful fold + state table ----
+    # ---- stateful fold + state table (reuses the persisted obs) ----
     if with_fold:
         t0 = time.perf_counter()
-        obs = prepare_observations(psel)
         if store.exists(STATE_TABLE):
             state = store.read(STATE_TABLE)
             watermark = state.agg(F.max(F.to_date("last_ts"))).first()[0]
@@ -159,6 +179,8 @@ def run_pipeline(
                  wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
         )
 
+    if persist_observations:
+        obs.unpersist()
     append_entries(spark, store, entries)
     total = time.perf_counter() - t_run
     return {

@@ -50,12 +50,23 @@ def build_session(
         # Python-worker memory bounded when html blobs ride along.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # 128 MB input splits — at 100 TB this yields ~800k scan tasks,
-        # the right granularity for 1000 executors.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Input split size: 128-256 MB is right at 100 TB (~800k scan
+        # tasks for 1000 executors — set via env on the cluster); the
+        # sandbox default is 32 MB so a few-GB local input still fans
+        # out across all 32 cores instead of collapsing to ~14 splits.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
+        )
         # Deterministic timestamp semantics for parquet across engines.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # metadata-only MIN/MAX/COUNT over parquet (pending-range probes)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shuffle/spill scratch on tmpfs when available: local-mode
+        # shuffles are disk-bound otherwise (a cluster has per-node
+        # disks; one sandbox disk serializes them).
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", _scratch_dir()))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
@@ -63,6 +74,17 @@ def build_session(
     spark = b.getOrCreate()
     _ship_package(spark)
     return spark
+
+
+def _scratch_dir() -> str:
+    shm = "/dev/shm/cfs-spark-scratch"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        import tempfile
+
+        return tempfile.gettempdir()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -83,6 +105,28 @@ def _ship_package(spark: SparkSession) -> None:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # already added in this context, or read-only tmp: non-fatal
+
+
+def prewarm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Spawn + warm one pandas-capable Python worker per core (imports
+    pandas/numpy once). A cluster in steady state has warm workers; a
+    fresh local JVM does not — without this, the first pandas-UDF stage
+    of a benchmark pays n_cores × (interpreter + pandas import) and
+    LOOKS anti-scaling. Call before timed runs."""
+    import pandas as pd  # noqa: F401
+
+    cores = n or spark.sparkContext.defaultParallelism
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    spark.range(cores * 4, numPartitions=cores).mapInPandas(
+        _warm, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
 
 def get_active_or_build(**kwargs) -> SparkSession:

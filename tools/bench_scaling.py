@@ -9,7 +9,7 @@ exactness between the two runs (integer measures ⇒ byte-equal tiers).
 Each parallelism level runs in a FRESH subprocess (a JVM cannot change
 master after start). Writes BENCH/BASELINE.md.
 
-Usage: python tools/bench_scaling.py [n_docs]
+Usage: python tools/bench_scaling.py [n_docs] [base_cores]
 """
 
 from __future__ import annotations
@@ -23,11 +23,12 @@ import tempfile
 RUN_ONE = r"""
 import json, shutil, sys, time, os
 sys.path.insert(0, {repo!r})
-from chainalytic_framework_spark.session import build_session
+from chainalytic_framework_spark.session import build_session, prewarm_python_workers
 from chainalytic_framework_spark.synth import generate_pages
 from chainalytic_framework_spark.tables import TableStore
 from chainalytic_framework_spark.plans.pipeline import run_pipeline
 from chainalytic_framework_spark.operators.gapfill import gapfill_locf
+from chainalytic_framework_spark.operators.cold_store import encode_cold
 
 cores = {cores}
 spark = build_session(app_name="cfs-scaling", master=f"local[{{cores}}]",
@@ -35,14 +36,16 @@ spark = build_session(app_name="cfs-scaling", master=f"local[{{cores}}]",
 spark.sparkContext.setLogLevel("ERROR")
 pages_path = {pages_path!r}
 if not os.path.isdir(pages_path):
-    generate_pages(spark, {n_docs}).write.mode("overwrite").parquet(pages_path)
+    generate_pages(spark, {n_docs}, html_max=512, t1="2024-01-15 00:00:00").write.mode("overwrite").parquet(pages_path)
 pages = spark.read.parquet(pages_path)
 wh = {wh!r}
 shutil.rmtree(wh, ignore_errors=True)
 store = TableStore(spark, wh)
+prewarm_python_workers(spark)
 t0 = time.perf_counter()
 r = run_pipeline(spark, pages, store, with_fold=True)
 gapfill_locf(store.read("tier_1h"), "1h").write.mode("overwrite").format("noop").save()
+encode_cold(store.read("tier_1d")).write.mode("overwrite").format("noop").save()
 wall = time.perf_counter() - t0
 print("RESULT" + json.dumps({{"cores": cores, "wall": round(wall, 3),
                               "docs": r["docs"],
@@ -84,39 +87,20 @@ def compare_tiers(repo: str, wh8: str, wh32: str) -> dict[str, bool]:
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    pages_path = os.path.join(tempfile.gettempdir(), f"cfs_bench_pages_{n_docs}")
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    pages_path = os.path.join(tempfile.gettempdir(), f"cfs_scaling_pages_{n_docs}")
 
-    r8 = run_level(repo, 8, n_docs, pages_path)
-    r32 = run_level(repo, 32, n_docs, pages_path)
+    r8 = run_level(repo, base, n_docs, pages_path)
+    r32 = run_level(repo, base * 4, n_docs, pages_path)
     eff = round((r32["docs_per_sec"] / r8["docs_per_sec"]) / 4, 3)
     tiers_equal = compare_tiers(repo, r8["wh"], r32["wh"])
 
-    md = f"""# BENCH — two-parallelism scaling evidence (north rule)
-
-Same job (full pipeline: 1m rollup → cascade 1h/1d/30d → fold+state →
-gap-fill), same input ({r8['docs']:,} synthetic pages), two parallelism
-levels — the sandbox substitution for N vs 4N executors.
-
-| metric | local[8] (N) | local[32] (4N) | efficiency | target |
-|---|---|---|---|---|
-| pipeline wall (s) | {r8['wall']} | {r32['wall']} | — | — |
-| throughput (docs/sec) | {r8['docs_per_sec']} | {r32['docs_per_sec']} | {eff} | ≥ 0.8 |
-| tier-match exactness 1m/1h/1d/30d | — | {'/'.join('OK' if tiers_equal[t] else 'MISMATCH' for t in ('1m','1h','1d','30d'))} | must be exact | exact |
-
-efficiency = (tput_32 / tput_8) / 4 = {eff}
-
-Caveat (honest single-machine numbers): both "cluster sizes" share one
-machine's memory bandwidth and page cache, so this under-states true
-multi-node scaling where each executor brings its own I/O and memory
-channels; the partition-parallel design (url_bucket × bucket_day, no
-driver-side loops, no cross-partition dependencies outside shuffles)
-is what transfers to a real cluster.
-"""
-    out_path = os.path.join(repo, "BENCH", "BASELINE.md")
+    out_path = os.path.join(repo, "BENCH", f"scaling_{r8['cores']}v{r32['cores']}.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
-        f.write(md)
+        json.dump({"local_n": r8, "local_4n": r32, "efficiency": eff,
+                   "tiers_equal": tiers_equal}, f, indent=1)
     print(json.dumps({"local8": r8, "local32": r32, "efficiency": eff,
                       "tiers_equal": tiers_equal}))
 
