@@ -1,0 +1,110 @@
+"""Custom stateful streaming operator: per-url streaming fold via
+``applyInPandasWithState``.
+
+The streaming twin of operators/fold.py — the reference's
+Transform.execute loop (strictly-ordered per-key fold with private
+state, ``/root/reference/src/chainalytic/aggregator/transform.py:29-59``)
+expressed as Structured Streaming keyed state:
+
+- group: url (state key), state: (last_ts_us, last_text_hash,
+  content_rev, cum_points, cum_bytes) — the same tuple the batch fold
+  carries in its state table;
+- each micro-batch folds its rows in event-time order on top of the
+  carried GroupState and emits one change-event row per observation
+  (is_new / text_changed / content_rev / gap_seconds);
+- ``GroupStateTimeout.NoTimeout`` here; the expiry analogue (reference
+  W5 unlock timer) is the ``expired`` flag computed from gap length —
+  eviction-by-timeout would use EventTimeTimeout with a watermark.
+
+Caveat vs batch fold (documented): state updates are per-micro-batch;
+rows of the same url split across micro-batches fold correctly (state
+carries), but exactly-once output requires the sink to be idempotent on
+(url, warc_ts) — same contract as the batch pipeline's partition
+overwrite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "url string, warc_ts timestamp, is_new boolean, text_changed boolean, "
+    "content_rev long, gap_seconds long, expired boolean, cum_points long"
+)
+STATE_SCHEMA = "last_ts_us long, last_text_hash long, content_rev long, cum_points long"
+
+TTL_SECONDS = 3 * 86400
+
+
+def _fold_url(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (url,) = key
+    if state.exists:
+        last_ts_us, last_hash, rev, pts = state.get
+    else:
+        last_ts_us, last_hash, rev, pts = None, None, 0, 0
+
+    outs = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("warc_ts", kind="mergesort")
+        ts_us = (pdf["warc_ts"].astype("int64") // 1000).to_numpy()  # us
+        hashes = pdf["text_hash"].to_numpy()
+        n = len(pdf)
+        is_new = [False] * n
+        changed = [False] * n
+        revs = [0] * n
+        gaps: list = [None] * n
+        expired = [False] * n
+        cps = [0] * n
+        for i in range(n):
+            if last_ts_us is None:
+                is_new[i] = True
+            else:
+                # round (not floor) — must match the batch fold's
+                # total_seconds().round() semantics exactly
+                gap = round((ts_us[i] - last_ts_us) / 1_000_000)
+                gaps[i] = int(gap)
+                expired[i] = gap > TTL_SECONDS
+                if hashes[i] != last_hash:
+                    changed[i] = True
+                    rev += 1
+            pts += 1
+            last_ts_us = int(ts_us[i])
+            last_hash = int(hashes[i])
+            revs[i] = rev
+            cps[i] = pts
+        outs.append(
+            pd.DataFrame(
+                {
+                    "url": url,
+                    "warc_ts": pdf["warc_ts"].values,
+                    "is_new": pd.Series(is_new, dtype="bool"),
+                    "text_changed": pd.Series(changed, dtype="bool"),
+                    "content_rev": pd.Series(revs, dtype="int64"),
+                    "gap_seconds": pd.Series(gaps, dtype="Int64"),
+                    "expired": pd.Series(expired, dtype="bool"),
+                    "cum_points": pd.Series(cps, dtype="int64"),
+                }
+            )
+        )
+    state.update((last_ts_us, last_hash, int(rev), int(pts)))
+    yield from outs
+
+
+def streaming_fold(pages_stream: DataFrame) -> DataFrame:
+    """Keyed streaming fold over a pages stream (schema: url, warc_ts,
+    text, ...). Narrows JVM-side (hash, lengths) before the state op."""
+    obs = pages_stream.select(
+        "url", "warc_ts", F.xxhash64("text").alias("text_hash")
+    )
+    return obs.groupBy("url").applyInPandasWithState(
+        _fold_url,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
