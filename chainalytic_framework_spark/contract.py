@@ -1111,3 +1111,35 @@ def cube_lang_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_sum",
         )
     )
+
+
+@q(
+    "last_wins_dedupe_events",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             {_bucket_epoch_sql('ts', 3600)} AS bucket_epoch,
+             CAST(round(value * 100) AS BIGINT) AS value_cents,
+             row_number() OVER (
+               PARTITION BY user_id, {_bucket_epoch_sql('ts', 3600)}
+               ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, bucket_epoch, event_type, value_cents
+    FROM ranked WHERE rn = 1
+    """,
+)
+def last_wins_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-wins-per-key-within-bucket dedupe (reference P2: setStake
+    dict overwrite semantics — later tx in the block wins,
+    data_feeder.py:199-212) via row_number window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "bucket_epoch").orderBy(F.desc("event_id"))
+    return (
+        ev.select(
+            "user_id", _bucket_epoch("ts", 3600), "event_type",
+            _cents().alias("value_cents"), "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "bucket_epoch", "event_type", "value_cents")
+    )

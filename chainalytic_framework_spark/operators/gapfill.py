@@ -94,6 +94,66 @@ def gapfill_locf(
     return out.withColumn("tier", F.lit(tier_name))
 
 
+def gapfill_locf_pandas(
+    tier_df: DataFrame, tier_name: str, n_buckets: int = 64
+) -> DataFrame:
+    """applyInPandas LOCF variant: per url-bucket group, reindex each
+    url's bucket sequence to the full tier-step range and ffill —
+    semantically identical to ``gapfill_locf`` (equality-tested).
+    Useful when gap-fill runs inside an existing pandas fold stage;
+    the JVM plan is otherwise preferred (whole-stage codegen)."""
+    import numpy as np
+    import pandas as pd
+
+    secs = SECONDS[tier_name]
+    schema = (
+        "bucket_start timestamp, url_hash long, url string, lang string, "
+        "point_count long, byte_size long, text_len_sum long, "
+        "text_len_min long, text_len_max long, gap_filled boolean"
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (url, uh, lang), g in pdf.groupby(["url", "url_hash", "lang"], sort=False):
+            g = g.sort_values("bucket_start")
+            idx = pd.date_range(g["bucket_start"].min(), g["bucket_start"].max(),
+                                freq=f"{secs}s")
+            r = g.set_index("bucket_start").reindex(idx)
+            filled = r["point_count"].isna()
+            r[_CARRY] = r[_CARRY].ffill()
+            r["point_count"] = r["point_count"].fillna(0)
+            out = pd.DataFrame(
+                {
+                    "bucket_start": idx,
+                    "url_hash": np.int64(uh),
+                    "url": url,
+                    "lang": lang,
+                    "point_count": r["point_count"].to_numpy(dtype="int64"),
+                    "byte_size": r["byte_size"].to_numpy(dtype="int64"),
+                    "text_len_sum": r["text_len_sum"].to_numpy(dtype="int64"),
+                    "text_len_min": r["text_len_min"].to_numpy(dtype="int64"),
+                    "text_len_max": r["text_len_max"].to_numpy(dtype="int64"),
+                    "gap_filled": filled.to_numpy(dtype="bool"),
+                }
+            )
+            outs.append(out)
+        if not outs:
+            return pd.DataFrame(
+                {c.split()[0]: pd.Series(dtype=t) for c, t in zip(
+                    schema.split(", "),
+                    ["datetime64[us]", "int64", "object", "object", "int64",
+                     "int64", "int64", "int64", "int64", "bool"],
+                )}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    src = tier_df.select(
+        "bucket_start", "url_hash", "url", "lang", "point_count", *_CARRY
+    ).withColumn("_b", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+    out = src.groupBy("_b").applyInPandas(fill, schema=schema)
+    return out.withColumn("tier", F.lit(tier_name))
+
+
 def last_observation_state(tier_df: DataFrame) -> DataFrame:
     """Boundary-state extractor: the last OBSERVED row per url of a run
     — the seed for the next run's carry-in. ``max_by`` keeps the whole

@@ -79,6 +79,9 @@ def run_pipeline(
     input_snapshot_id: str = "",
     with_fold: bool = True,
     persist_observations: bool = True,
+    with_cold_tier: bool = False,
+    cold_source_tier: str = "1d",
+    enforce_retention_now=None,
 ) -> dict:
     t_run = time.perf_counter()
     pend = pending_days(spark, pages, store, input_snapshot_id)
@@ -178,6 +181,35 @@ def run_pipeline(
                  input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
                  wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
         )
+
+    # ---- optional: cold-tier blobs for the coarse tier ----
+    if with_cold_tier:
+        t0 = time.perf_counter()
+        from ..operators.cold_store import encode_cold
+
+        cold = encode_cold(store.read(_tier_table(cold_source_tier)))
+        store.write(cold, f"cold_{cold_source_tier}")
+        entries.append(
+            dict(tier=f"cold_{cold_source_tier}",
+                 bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
+                 bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
+                 input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
+                 wall_seconds=time.perf_counter() - t0, docs_per_sec=0.0)
+        )
+
+    # ---- optional: retention enforcement (after coarser covers commit) ----
+    if enforce_retention_now is not None:
+        from ..operators.retention import enforce_retention
+
+        for tname in TIER_ORDER[:-1]:
+            parent = TIER_ORDER[TIER_ORDER.index(tname) + 1]
+            pmax = None
+            if store.exists(_tier_table(parent)):
+                pmax = store.read(_tier_table(parent)).agg(F.max("bucket_start")).first()[0]
+            enforce_retention(
+                store, _tier_table(tname), tname, enforce_retention_now,
+                parent_committed_max=pmax,
+            )
 
     if persist_observations:
         obs.unpersist()

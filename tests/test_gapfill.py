@@ -81,3 +81,15 @@ def test_boundary_carry_in_across_runs(spark, pages):
     a = a.join(keys, "url", "left_semi").select(*cols)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_pandas_variant_equals_jvm_plan(spark, pages):
+    from chainalytic_framework_spark.operators.gapfill import gapfill_locf_pandas
+
+    t = _tier(spark, pages)
+    cols = ["bucket_start", "url_hash", "url", "lang", "point_count",
+            "byte_size", "text_len_sum", "text_len_min", "text_len_max", "gap_filled"]
+    a = gapfill_locf(t, "1h").select(*cols)
+    b = gapfill_locf_pandas(t, "1h").select(*cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -90,3 +90,22 @@ def test_retention_drops_only_covered(spark, store):
     # but if parent had no coverage, nothing can be dropped
     h = safe_horizon(now - dt.timedelta(seconds=DEFAULT_HORIZONS["1m"]), dt.datetime(2023, 12, 1), "1h")
     assert h == dt.datetime(2023, 12, 1)
+
+
+def test_pipeline_cold_and_retention_stages(spark, store):
+    import datetime as dt2
+
+    pages = generate_pages(spark, 2000).cache()
+    r = run_pipeline(
+        spark, pages, store, with_fold=False, with_cold_tier=True,
+        enforce_retention_now=dt2.datetime(2024, 3, 1),
+    )
+    assert r["pending_days"] > 0
+    cold = store.read("cold_1d")
+    assert cold.count() > 0
+    assert {"blob", "n_points", "t0", "t1"} <= set(cold.columns)
+    # 1m horizon (7d) passed for Jan data and 1h cover exists → dropped
+    assert not store.exists("tier_1m") or \
+        store.read("tier_1m").count() < store.read("tier_1h").count() * 100
+    m = read_manifest(store)
+    assert m.where("tier = 'cold_1d'").count() == 1
