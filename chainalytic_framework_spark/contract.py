@@ -1143,3 +1143,72 @@ def last_wins_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("rn = 1")
         .select("user_id", "bucket_epoch", "event_type", "value_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + exact percentiles
+# ---------------------------------------------------------------------------
+
+from .operators.sessions import session_aggregates as _session_aggs
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_no
+      FROM s)
+    SELECT user_id, session_no,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_epoch,
+           CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_seconds,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (operators/sessions.py): per-user
+    session bounds/duration/counts at a 30-minute gap — the general
+    form of reference W2 recent-activity tracking."""
+    ev = _t(spark, sf_dir, "events")
+    out = _session_aggs(ev, key="user_id", ts="ts", gap_seconds=1800)
+    return out.select(
+        "user_id",
+        "session_no",
+        _epoch(F.col("session_start")).alias("start_epoch"),
+        _epoch(F.col("session_end")).alias("end_epoch"),
+        F.col("duration_seconds").cast("long").alias("duration_seconds"),
+        "n_events",
+    )
+
+
+@q(
+    "percentiles_by_type_events",
+    """
+    SELECT event_type,
+           CAST(round(quantile_cont(value, 0.5) * 100) AS BIGINT) AS p50_cents,
+           CAST(round(quantile_cont(value, 0.9) * 100) AS BIGINT) AS p90_cents,
+           CAST(round(quantile_cont(value, 0.99) * 100) AS BIGINT) AS p99_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per series (tier summary
+    stats; Spark `percentile` == DuckDB `quantile_cont` semantics).
+    At 10^12 rows the engine stores approx_percentile sketches instead;
+    the exact form is the oracle-checkable one."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") * 100, 0).cast("long").alias("p50_cents"),
+        F.round(F.expr("percentile(value, 0.9)") * 100, 0).cast("long").alias("p90_cents"),
+        F.round(F.expr("percentile(value, 0.99)") * 100, 0).cast("long").alias("p99_cents"),
+    )

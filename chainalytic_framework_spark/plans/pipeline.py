@@ -103,6 +103,7 @@ def run_pipeline(
 
     t0 = time.perf_counter()
     m1 = with_layout_columns(rollup_observations(obs, "1m"))
+    m1 = store.cluster_for_write(m1, ["bucket_day"])
     store.overwrite_partitions(m1, _tier_table("1m"), ["bucket_day"])
     wall = time.perf_counter() - t0
     # one manifest row PER DAY — the resume anti-join's work unit.
@@ -144,6 +145,7 @@ def run_pipeline(
         else:
             src = parent_df.where(F.col("bucket_day").isin(pend))
         out = with_layout_columns(downsample(src.drop("bucket_day", "url_bucket"), child))
+        out = store.cluster_for_write(out, ["bucket_day"])
         store.overwrite_partitions(out, _tier_table(child), ["bucket_day"])
         wall = time.perf_counter() - t0
         entries.append(

@@ -65,6 +65,21 @@ class TableStore:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
 
+    def cluster_for_write(self, df: DataFrame, partition_by: list[str],
+                          secondary: str | None = "url_bucket") -> DataFrame:
+        """Range-cluster rows by (partition cols, url_bucket) before a
+        partitioned write. Without this, every shuffle task writes one
+        file into EVERY partition dir — n_tasks × n_partitions small
+        files (1.5M/tier/year at 10^12 scale). Ranged, each task covers
+        a contiguous (day, bucket) slice: file count ≈ n_tasks, and
+        row groups are clustered for min/max pruning on url_bucket.
+        Costs one extra shuffle of tier rows (tiny vs raw input)."""
+        cols = list(partition_by)
+        if secondary and secondary in df.columns:
+            cols.append(secondary)
+        n = self.spark.sparkContext.defaultParallelism
+        return df.repartitionByRange(n, *cols)
+
     def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]) -> None:
         """Dynamic partition overwrite — the parquet analogue of Iceberg
         ``overwritePartitions()``; idempotent re-runs of a bucket range
