@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from chainalytic_framework_spark import contract
 from chainalytic_framework_spark.operators.gapfill import gapfill_locf
-from chainalytic_framework_spark.session import build_session
+from chainalytic_framework_spark.session import build_session, prewarm_python_workers
 from chainalytic_framework_spark.synth import generate_pages
 
 HEADLINE = [
@@ -54,6 +54,7 @@ def main() -> None:
         app_name="cfs-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
     spark.sparkContext.setLogLevel("ERROR")
+    prewarm_python_workers(spark)
 
     timings: dict[str, float] = {}
     t_all0 = time.perf_counter()

@@ -28,11 +28,14 @@ SCALE = 10**18
 
 
 def hex_to_scaled_double(col: Column | str) -> Column:
-    """JVM fast path: ≤64-bit hex → double / 1e18. NULL on malformed."""
+    """JVM fast path: ≤64-bit hex → double / 1e18. NULL on malformed or
+    wider-than-64-bit input (use the UDFs for those). Accepts 0x/0X
+    prefixes and zero-padded fixed-width-16 encodings (the common
+    on-chain form; conv treats 16 hex digits as unsigned 64-bit)."""
     c = F.col(col) if isinstance(col, str) else col
-    clean = F.regexp_replace(c, "^0x", "")
+    clean = F.regexp_replace(c, "^0[xX]", "")
     return (
-        F.when(clean.rlike("^[0-9a-fA-F]{1,15}$"), F.conv(clean, 16, 10).cast("double") / 1e18)
+        F.when(clean.rlike("^[0-9a-fA-F]{1,16}$"), F.conv(clean, 16, 10).cast("double") / 1e18)
     )
 
 
@@ -70,9 +73,13 @@ def hex_to_decimal_udf():
                 return None
             try:
                 v = int(str(x), 16)
-                if v.bit_length() > 127:  # beyond DECIMAL(38,18) capacity
+                if v >= 10**38:  # unscaled value exceeds DECIMAL(38,18)
                     return None
-                return decimal.Decimal(v) / q
+                # default context prec=28 would silently round 29+ digit
+                # amounts; 38 integral + 18 fractional needs prec >= 56
+                with decimal.localcontext() as ctx:
+                    ctx.prec = 60
+                    return decimal.Decimal(v) / q
             except (ValueError, decimal.InvalidOperation):
                 return None
 

@@ -34,15 +34,6 @@ IMAGE_FEATURES_SCHEMA = (
 
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_index int, frame_ts_ms long, frame binary"
 
-_MAGIC = {
-    b"\xff\xd8\xff": "jpeg",
-    b"\x89PNG": "png",
-    b"GIF8": "gif",
-    b"RIFF": "riff",  # wav/webp container
-    b"\x00\x00\x00": "mp4?",
-}
-
-
 def attach_media_metadata(df: DataFrame, blob_col: str = "payload") -> DataFrame:
     """JVM-side metadata: byte size + magic-byte format sniff — no
     Python, no decode; enough for routing/filtering before the
@@ -89,13 +80,17 @@ def extract_image_features(media: DataFrame, blob_col: str = "payload",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_image_stub(bytes(p)) for p in pdf[blob_col]]
+            # NULL payloads become decode_ok=false rows, never a crash
+            feats = [
+                _decode_image_stub(bytes(p)) if p is not None else (0, 0, 0, 0.0, False)
+                for p in pdf[blob_col]
+            ]
             w, h, c, luma, ok = (list(t) for t in zip(*feats)) if feats else ([], [], [], [], [])
             fmt = pdf["sniffed_format"] if "sniffed_format" in pdf else pd.Series(["unknown"] * len(pdf))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "n_bytes": pdf[blob_col].map(len).astype("int64"),
+                    "n_bytes": pdf[blob_col].map(lambda p: len(p) if p is not None else 0).astype("int64"),
                     "sniffed_format": fmt,
                     "width": pd.Series(w, dtype="int32"),
                     "height": pd.Series(h, dtype="int32"),

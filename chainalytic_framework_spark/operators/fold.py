@@ -40,8 +40,6 @@ from pyspark.sql import functions as F
 
 from .bucketing import N_URL_BUCKETS, url_bucket, url_hash
 
-OBS_COLS = "url_bucket int, url string, warc_ts timestamp, url_hash long, lang string, text_hash long, text_len long, html_len long"
-
 FOLD_SCHEMA = (
     "url string, warc_ts timestamp, url_hash long, lang string, "
     "is_new boolean, text_changed boolean, content_rev long, "
@@ -94,6 +92,10 @@ def _fold_frames(obs: pd.DataFrame, state: pd.DataFrame, ttl_seconds: int) -> pd
             }
         )
     obs = obs.sort_values(["url", "warc_ts"], kind="mergesort").reset_index(drop=True)
+    # nullable Int64 keeps hash comparisons EXACT through shift/splice —
+    # int64→float64 coercion would equate hashes agreeing in the top
+    # ~53 bits and silently miss content changes
+    obs["text_hash"] = obs["text_hash"].astype("Int64")
     g = obs.groupby("url", sort=False)
 
     prev_hash = g["text_hash"].shift(1)
@@ -102,24 +104,30 @@ def _fold_frames(obs: pd.DataFrame, state: pd.DataFrame, ttl_seconds: int) -> pd
 
     # splice in carried state as the virtual "row 0" of each url
     if state is not None and len(state):
-        st = state.set_index("url")
-        first = seq_in_run == 0
-        carried = obs.loc[first, "url"].map(st["last_text_hash"])
+        # one state row per url regardless of input shape (defensive:
+        # a duplicate key would silently misalign the merge)
+        st = state.sort_values("last_ts").groupby("url", sort=False).tail(1)
+        # dtype-preserving merge — Series.map would upcast the carried
+        # int64 hash through float64 on any missing url, corrupting the
+        # low bits and manufacturing phantom text_changed events
+        st = st[["url", "last_text_hash", "last_ts", "content_rev", "cum_points", "cum_bytes"]]
+        st["last_text_hash"] = st["last_text_hash"].astype("Int64")
+        joined = obs[["url"]].merge(st, on="url", how="left")
+        first = (seq_in_run == 0).to_numpy()
         prev_hash = prev_hash.copy()
-        prev_hash.loc[first] = carried.values
-        carried_ts = obs.loc[first, "url"].map(st["last_ts"])
+        prev_hash[first] = joined.loc[first, "last_text_hash"].values
         prev_ts = prev_ts.copy()
-        prev_ts.loc[first] = carried_ts.values
-        base_rev = obs["url"].map(st["content_rev"]).fillna(0).astype("int64")
-        base_pts = obs["url"].map(st["cum_points"]).fillna(0).astype("int64")
-        base_bytes = obs["url"].map(st["cum_bytes"]).fillna(0).astype("int64")
+        prev_ts[first] = joined.loc[first, "last_ts"].values
+        base_rev = joined["content_rev"].fillna(0).astype("int64")
+        base_pts = joined["cum_points"].fillna(0).astype("int64")
+        base_bytes = joined["cum_bytes"].fillna(0).astype("int64")
     else:
         base_rev = pd.Series(0, index=obs.index, dtype="int64")
         base_pts = pd.Series(0, index=obs.index, dtype="int64")
         base_bytes = pd.Series(0, index=obs.index, dtype="int64")
 
     is_new = prev_hash.isna() & (seq_in_run == 0) & (base_pts == 0)
-    text_changed = prev_hash.notna() & (prev_hash != obs["text_hash"])
+    text_changed = (prev_hash != obs["text_hash"]).fillna(False) & prev_hash.notna()
     gap = (obs["warc_ts"] - prev_ts).dt.total_seconds()
     expired = gap.notna() & (gap > ttl_seconds)
 
@@ -178,8 +186,14 @@ def fold_with_state(
 
 def extract_state(fold_out: DataFrame) -> DataFrame:
     """Next-run state table: the last fold row per url. One groupBy with
-    max_by — no window, no second shuffle beyond the agg."""
-    return fold_out.groupBy("url", "url_hash", "lang").agg(
+    max_by — no window, no second shuffle beyond the agg.
+
+    Keyed by url ONLY (one state row per url): ``lang`` is a per-row
+    input attribute that can flap between crawls (langid noise); keying
+    state on it would duplicate a url's state and break the fold's
+    unique-index state splice."""
+    return fold_out.groupBy("url", "url_hash").agg(
+        F.max_by("lang", "warc_ts").alias("lang"),
         F.max("warc_ts").alias("last_ts"),
         F.max_by("text_hash", "warc_ts").alias("last_text_hash"),
         F.max("content_rev").alias("content_rev"),

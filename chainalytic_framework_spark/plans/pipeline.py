@@ -53,18 +53,29 @@ def _tier_table(name: str) -> str:
 
 def pending_days(spark: SparkSession, pages: DataFrame, store: TableStore,
                  snapshot_id: str) -> list:
-    """Candidate days = [min, max] of the input time range (a metadata-
-    only min/max with parquet aggregate pushdown — no data scan), minus
-    committed manifest days. Days inside the range with zero rows cost
-    one empty manifest row; never a wrong result."""
+    """Candidate days = [min, max] of the input time range (a cheap
+    single-column probe), minus committed manifest days. Days inside
+    the range with zero rows cost one empty manifest row; never a wrong
+    result.
+
+    Timezone-safe: bounds come back as SESSION-timezone (UTC) date
+    strings via date_format — never driver-local datetime rendering,
+    which would shift day boundaries on a non-UTC driver and silently
+    orphan boundary rows. If ``snapshot_id`` is non-empty, only days
+    committed against THAT snapshot count as done, so a day re-delivered
+    under a new input snapshot is reprocessed (idempotent overwrite)."""
     import datetime as _dt
 
-    r = pages.agg(F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")).first()
+    r = pages.agg(
+        F.date_format(F.min("warc_ts"), "yyyy-MM-dd").alias("lo"),
+        F.date_format(F.max("warc_ts"), "yyyy-MM-dd").alias("hi"),
+    ).first()
     if r["lo"] is None:
         return []
-    lo, hi = r["lo"].date(), r["hi"].date()
+    lo = _dt.date.fromisoformat(r["lo"])
+    hi = _dt.date.fromisoformat(r["hi"])
     all_days = [lo + _dt.timedelta(days=i) for i in range((hi - lo).days + 1)]
-    committed = committed_days(store, "1m", snapshot_id=None)
+    committed = committed_days(store, "1m", snapshot_id=snapshot_id or None)
     if committed is None:
         return all_days
     done = {row["day"] for row in committed.collect()}
@@ -133,9 +144,12 @@ def run_pipeline(
         parent_df = store.read(_tier_table(parent))
         csecs = SECONDS[child]
         if child == "30d":
-            # affected 30d windows covering the pending days
+            # affected 30d windows covering the pending days — all in
+            # UTC epochs (calendar.timegm), never driver-local time
+            import calendar
+
             starts = sorted(
-                {(int(dt.datetime.combine(d, dt.time()).timestamp()) // csecs) * csecs for d in pend}
+                {(calendar.timegm(d.timetuple()) // csecs) * csecs for d in pend}
             )
             lo = dt.datetime.utcfromtimestamp(min(starts))
             hi = dt.datetime.utcfromtimestamp(max(starts) + csecs)
@@ -155,27 +169,41 @@ def run_pipeline(
                  wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
         )
 
-    # ---- stateful fold + state table (reuses the persisted obs) ----
+    # ---- stateful fold: change-event stream + state table ----
+    # The fold runs ONCE: its per-observation change events (is_new /
+    # text_changed / gap / expiry) are committed to FOLD_TABLE first
+    # (idempotent by day), then the state update is derived from the
+    # WRITTEN rows — no recomputation of the pandas stage.
     if with_fold:
         t0 = time.perf_counter()
-        if store.exists(STATE_TABLE):
-            state = store.read(STATE_TABLE)
+        state = store.read(STATE_TABLE) if store.exists(STATE_TABLE) else None
+        rebuild = False
+        if state is not None:
             watermark = state.agg(F.max(F.to_date("last_ts"))).first()[0]
-            if watermark is not None and min(pend) <= watermark:
-                # out-of-order backfill: rebuild fold state from scratch
-                all_obs = prepare_observations(pages)
-                fold_out = fold_observations(all_obs)
-                new_state = extract_state(fold_out)
-                store.write(new_state, STATE_TABLE + "_next")
-                store.write(store.read(STATE_TABLE + "_next"), STATE_TABLE)
-            else:
-                fold_out = fold_with_state(obs, state)
-                new_state = merge_state(state, extract_state(fold_out))
-                store.write(new_state, STATE_TABLE + "_next")
-                store.write(store.read(STATE_TABLE + "_next"), STATE_TABLE)
+            rebuild = watermark is not None and min(pend) <= watermark
+
+        if rebuild:
+            # out-of-order backfill: re-fold the full history
+            fold_out = fold_observations(prepare_observations(pages))
+        elif state is not None:
+            fold_out = fold_with_state(obs, state)
         else:
             fold_out = fold_observations(obs)
-            store.write(extract_state(fold_out), STATE_TABLE)
+
+        fold_days = fold_out.withColumn("bucket_day", F.to_date("warc_ts"))
+        store.overwrite_partitions(
+            store.cluster_for_write(fold_days, ["bucket_day"], secondary="url_hash"),
+            FOLD_TABLE, ["bucket_day"],
+        )
+
+        written = store.read(FOLD_TABLE)
+        if rebuild or state is None:
+            new_state = extract_state(written)
+        else:
+            written = written.where(F.col("bucket_day").isin(pend))
+            new_state = merge_state(state, extract_state(written))
+        store.write(new_state, STATE_TABLE + "_next")
+        store.write(store.read(STATE_TABLE + "_next"), STATE_TABLE)
         wall = time.perf_counter() - t0
         entries.append(
             dict(tier="fold", bucket_range_start=dt.datetime.combine(pend[0], dt.time()),

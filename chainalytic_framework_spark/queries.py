@@ -66,6 +66,12 @@ def recently_active_urls(tier_df: DataFrame, timespan_seconds: int = 3 * 86400,
     """Sliding retention window + cap (reference W2: recent_stake_wallets,
     TIMESPAN=129600 blocks ≈ 3 days, cap 200)."""
     mx = tier_df.agg(F.max("bucket_start")).first()[0]
+    if mx is None:  # empty tier → empty result, not a TypeError
+        return (
+            tier_df.groupBy("url")
+            .agg(F.max("bucket_start").alias("last_seen"), F.sum("point_count").alias("points"))
+            .limit(0)
+        )
     cutoff = mx - dt.timedelta(seconds=timespan_seconds)
     return (
         tier_df.where(F.col("bucket_start") > F.lit(cutoff))
