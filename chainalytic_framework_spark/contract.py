@@ -1212,3 +1212,69 @@ def percentiles_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)") * 100, 0).cast("long").alias("p90_cents"),
         F.round(F.expr("percentile(value, 0.99)") * 100, 0).cast("long").alias("p99_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (funnel) + per-group top-k
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "funnel_range_join_events",
+    """
+    WITH s AS (SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts AS purchase_ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase')
+    SELECT s.user_id,
+           COUNT(p.purchase_ts) AS purchases_within_1d,
+           CAST(COALESCE(SUM(p.cents), 0) AS BIGINT) AS cents_within_1d
+    FROM s LEFT JOIN p
+      ON s.user_id = p.user_id
+     AND p.purchase_ts > s.signup_ts
+     AND p.purchase_ts <= s.signup_ts + INTERVAL 1 DAY
+    GROUP BY s.user_id, s.signup_ts
+    """,
+)
+def funnel_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: purchases within 1 day after each signup —
+    the time-window join family (as-of's bounded sibling). At scale
+    this joins bucketed-by-key partitions with AQE handling skew."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.where("event_type = 'signup'").select("user_id", F.col("ts").alias("signup_ts"))
+    p = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("purchase_ts"), _cents().alias("cents")
+    )
+    j = s.join(
+        p,
+        (s.user_id == p.user_id)
+        & (p.purchase_ts > s.signup_ts)
+        & (p.purchase_ts <= s.signup_ts + F.expr("INTERVAL 1 DAY")),
+        "left",
+    )
+    return j.groupBy(s.user_id, "signup_ts").agg(
+        F.count("purchase_ts").alias("purchases_within_1d"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("cents_within_1d"),
+    ).select("user_id", "purchases_within_1d", "cents_within_1d")
+
+
+@q(
+    "topk_per_group_events",
+    """
+    SELECT event_type, user_id, total_cents, rnk FROM (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY SUM(CAST(round(value * 100) AS BIGINT)) DESC,
+                                         user_id) AS rnk
+      FROM events GROUP BY event_type, user_id)
+    WHERE rnk <= 10
+    """,
+)
+def topk_per_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITHIN each group (rank window over aggregates) — the
+    many-series generalization of reference W1's single global top-100."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(F.sum(_cents()).alias("total_cents"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_cents"), "user_id")
+    return agg.withColumn("rnk", F.row_number().over(w)).where("rnk <= 10")
