@@ -1,0 +1,79 @@
+"""Plan-quality audit: print physical-plan evidence for the flagship
+operators (pushdown, pruning, broadcast, TakeOrderedAndProject, shuffle
+counts). Run after plan-affecting changes; the expectations encode the
+plans we WANT, not just the ones we got.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from chainalytic_framework_spark import contract
+from chainalytic_framework_spark.operators.fold import prepare_observations
+from chainalytic_framework_spark.operators.gapfill import gapfill_locf
+from chainalytic_framework_spark.operators.rollup import rollup_observations, rollup_pages
+from chainalytic_framework_spark.session import build_session
+from chainalytic_framework_spark.synth import generate_pages
+
+
+def audit(name: str, df, expect: dict) -> bool:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    checks = {
+        "exchanges<=": plan.count("Exchange ") <= expect.get("max_exchanges", 99),
+        "broadcast": ("BroadcastExchange" in plan) == expect.get("broadcast", "BroadcastExchange" in plan),
+        "take_ordered": ("TakeOrderedAndProject" in plan) == expect.get("take_ordered", "TakeOrderedAndProject" in plan),
+        "no_cartesian": "CartesianProduct" not in plan or expect.get("allow_cartesian", False),
+    }
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    if expect.get("pushed_filters"):
+        checks["pushed_filters"] = bool(pushed and pushed.group(1).strip())
+    ok = all(checks.values())
+    status = "OK " if ok else "BAD"
+    print(f"{status} {name}: exchanges={plan.count('Exchange ')} "
+          f"pushed=[{pushed.group(1)[:60] if pushed else ''}] "
+          f"bcast={'BroadcastExchange' in plan} top={'TakeOrderedAndProject' in plan}")
+    if not ok:
+        print({k: v for k, v in checks.items() if not v})
+    return ok
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = generate_pages(spark, 20000)
+
+    ok = True
+    ok &= audit("filter_project (P1): pushdown into scan",
+                contract.filter_project_events(spark, sf),
+                {"max_exchanges": 0, "pushed_filters": True})
+    ok &= audit("rollup_1m: single shuffle",
+                rollup_observations(prepare_observations(pages), "1m"),
+                {"max_exchanges": 1})
+    ok &= audit("topk (W1): TakeOrderedAndProject, single shuffle",
+                contract.topk_users_events(spark, sf),
+                {"max_exchanges": 1, "take_ordered": True})
+    ok &= audit("join dims (J2): broadcast, fact never shuffles for join",
+                contract.join_revenue_by_nation(spark, sf),
+                {"broadcast": True})
+    ok &= audit("gapfill: bounded shuffles (agg + window + join)",
+                gapfill_locf(rollup_pages(pages, "1h"), "1h"),
+                {"max_exchanges": 5})
+    ok &= audit("lsh pairs: bucket-keyed join, no cartesian",
+                contract.lsh_candidate_pairs_documents(spark, sf),
+                {})
+    ok &= audit("asof join: one shuffle family on key",
+                contract.asof_join_events(spark, sf),
+                {"max_exchanges": 4})
+    spark.stop()
+    print("plan audit:", "ALL OK" if ok else "FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
