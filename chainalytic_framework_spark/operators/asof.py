@@ -35,8 +35,14 @@ def asof_join(
     per key. Left rows with no prior right row get NULLs."""
     rcols = right_value_cols or [c for c in right.columns if c not in (on, key)]
     l = left.withColumn("_side", F.lit(1))
+    # Whole-row atomicity: carry ONE struct of all right value columns
+    # through last(ignorenulls) so the latest right ROW wins as a unit.
+    # Carrying each column independently would stitch values from
+    # different right rows whenever a newer right row holds a NULL in
+    # one column (and an older non-NULL would override a newer
+    # legitimate NULL) — diverging from merge_asof/DuckDB ASOF semantics.
     r = right.select(
-        key, on, *rcols
+        key, on, F.struct(*rcols).alias("_rrow")
     ).withColumn("_side", F.lit(0))
 
     lcols = [c for c in left.columns if c not in (on, key)]
@@ -54,9 +60,11 @@ def asof_join(
         on,
         "_side",
         *lcols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_rrow"),
     )
-    return carried.where(F.col("_side") == 1).drop("_side")
+    return carried.where(F.col("_side") == 1).select(
+        key, on, *lcols, *[F.col(f"_rrow.{c}").alias(c) for c in rcols]
+    )
 
 
 def asof_join_pandas(

@@ -41,30 +41,45 @@ def parent_tier(tier_name: str) -> str | None:
     return TIER_ORDER[i + 1] if i + 1 < len(TIER_ORDER) else None
 
 
-def safe_horizon(
-    requested_horizon: dt.datetime, parent_committed_max: dt.datetime | None, parent_name: str | None
-) -> dt.datetime:
+def _to_epoch(x) -> int:
+    """UTC epoch seconds from int/float epoch, tz-aware datetime, or
+    naive datetime (treated as UTC — never driver-local: retention math
+    done in local time can delete partitions whose coarser cover is not
+    yet committed on an east-of-UTC driver)."""
+    if isinstance(x, (int, float)):
+        return int(x)
+    if x.tzinfo is not None:
+        return int(x.timestamp())
+    import calendar
+
+    return calendar.timegm(x.timetuple())
+
+
+def safe_horizon(requested_horizon, parent_committed_max, parent_name: str | None) -> dt.datetime:
     """Clamp the expiry horizon so we never drop buckets whose coarser
     cover is not yet committed: the parent bucket containing
-    ``parent_committed_max`` is complete only up to its own start."""
+    ``parent_committed_max`` is complete only up to its own start.
+    All math in epoch space; returns a naive-UTC datetime."""
+    req_e = _to_epoch(requested_horizon)
     if parent_name is None or parent_committed_max is None:
-        return requested_horizon
-    psecs = SECONDS[parent_name]
-    covered_until = dt.datetime.fromtimestamp(
-        (int(parent_committed_max.timestamp()) // psecs) * psecs, tz=None
-    )
-    return min(requested_horizon, covered_until)
+        out_e = req_e
+    else:
+        psecs = SECONDS[parent_name]
+        covered_until = (_to_epoch(parent_committed_max) // psecs) * psecs
+        out_e = min(req_e, covered_until)
+    return dt.datetime.fromtimestamp(out_e, dt.timezone.utc).replace(tzinfo=None)
 
 
-def expired_partitions(store: TableStore, table: str, horizon: dt.datetime) -> list[str]:
-    """bucket_day partition values strictly older than the horizon day."""
+def expired_partitions(store: TableStore, table: str, horizon) -> list[str]:
+    """bucket_day partition values strictly older than the horizon day
+    (horizon day derived in UTC — bucket_day partition values are UTC)."""
     if not store.exists(table):
         return []
     days = [
         r["bucket_day"]
         for r in store.read(table).select("bucket_day").distinct().collect()
     ]
-    cutoff = horizon.date()
+    cutoff = dt.datetime.fromtimestamp(_to_epoch(horizon), dt.timezone.utc).date()
     return [str(d) for d in days if d < cutoff]
 
 
@@ -82,7 +97,7 @@ def enforce_retention(
     h = horizons.get(tier_name)
     if h is None:
         return 0
-    horizon = safe_horizon(now - dt.timedelta(seconds=h), parent_committed_max, parent_tier(tier_name))
+    horizon = safe_horizon(_to_epoch(now) - h, parent_committed_max, parent_tier(tier_name))
     victims = expired_partitions(store, table, horizon)
     return store.delete_where_partition(table, "bucket_day", victims)
 
@@ -95,4 +110,6 @@ def retention_filter(tier_df: DataFrame, tier_name: str, now: dt.datetime,
     h = horizons.get(tier_name)
     if h is None:
         return tier_df
-    return tier_df.where(F.col("bucket_start") >= F.lit(now - dt.timedelta(seconds=h)))
+    # epoch compare — a naive datetime literal would be interpreted in
+    # the driver's local timezone by TimestampType.toInternal
+    return tier_df.where(F.col("bucket_start").cast("long") >= F.lit(_to_epoch(now) - h))

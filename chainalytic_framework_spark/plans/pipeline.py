@@ -151,10 +151,14 @@ def run_pipeline(
             starts = sorted(
                 {(calendar.timegm(d.timetuple()) // csecs) * csecs for d in pend}
             )
-            lo = dt.datetime.utcfromtimestamp(min(starts))
-            hi = dt.datetime.utcfromtimestamp(max(starts) + csecs)
+            # compare in EPOCH space: a naive-datetime literal is
+            # interpreted in the driver's LOCAL timezone by
+            # TimestampType.toInternal, which on a non-UTC driver shifts
+            # the [lo, hi) window and silently drops edge parent rows.
+            lo_e, hi_e = min(starts), max(starts) + csecs
             src = parent_df.where(
-                (F.col("bucket_start") >= F.lit(lo)) & (F.col("bucket_start") < F.lit(hi))
+                (F.col("bucket_start").cast("long") >= F.lit(lo_e))
+                & (F.col("bucket_start").cast("long") < F.lit(hi_e))
             )
         else:
             src = parent_df.where(F.col("bucket_day").isin(pend))
@@ -235,7 +239,14 @@ def run_pipeline(
             parent = TIER_ORDER[TIER_ORDER.index(tname) + 1]
             pmax = None
             if store.exists(_tier_table(parent)):
-                pmax = store.read(_tier_table(parent)).agg(F.max("bucket_start")).first()[0]
+                # collect as EPOCH — collecting a TimestampType renders a
+                # driver-local naive datetime (fromInternal), which would
+                # shift retention math off-UTC on a non-UTC driver
+                pmax = (
+                    store.read(_tier_table(parent))
+                    .agg(F.max(F.col("bucket_start").cast("long")))
+                    .first()[0]
+                )
             enforce_retention(
                 store, _tier_table(tname), tname, enforce_retention_now,
                 parent_committed_max=pmax,

@@ -41,6 +41,22 @@ def test_asof_join_pandas_matches_plan(spark):
     pd.testing.assert_frame_equal(a.astype({"val": "float64"}), b.astype({"val": "float64"}))
 
 
+def test_asof_whole_row_atomicity(spark):
+    """The latest right ROW must win as a unit: a newer right row with a
+    NULL in one value column must NOT inherit that column from an older
+    row (merge_asof / DuckDB ASOF whole-row semantics)."""
+    left = spark.createDataFrame(
+        [(1, 20, "e")], "key long, t long, ev string"
+    ).selectExpr("key", "timestamp_seconds(t) as ts", "ev")
+    right = spark.createDataFrame(
+        [(1, 5, 100, 111), (1, 10, None, 222)],
+        "key long, t long, a long, b long",
+    ).selectExpr("key", "timestamp_seconds(t) as ts", "a", "b")
+    row = asof_join(left, right, on="ts", key="key").collect()[0]
+    assert row["b"] == 222
+    assert row["a"] is None  # newer row's legitimate NULL wins; 100 must not leak
+
+
 def test_asof_tolerance(spark):
     left, right = _frames(spark)
     out = {

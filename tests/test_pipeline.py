@@ -92,6 +92,20 @@ def test_retention_drops_only_covered(spark, store):
     assert h == dt.datetime(2023, 12, 1)
 
 
+def test_safe_horizon_epoch_space():
+    """Horizon math is done in UTC epoch space: tz-aware, naive-UTC and
+    raw-epoch inputs all agree regardless of the driver's local zone."""
+    naive = dt.datetime(2024, 2, 1, 12, 30)
+    aware = naive.replace(tzinfo=dt.timezone.utc)
+    import calendar
+
+    epoch = calendar.timegm(naive.timetuple())
+    req = dt.datetime(2024, 3, 1)
+    for pmax in (naive, aware, epoch):
+        h = safe_horizon(req, pmax, "1h")
+        assert h == dt.datetime(2024, 2, 1, 12, 0)  # floored to the 1h cover
+
+
 def test_pipeline_cold_and_retention_stages(spark, store):
     import datetime as dt2
 
