@@ -1278,3 +1278,56 @@ def topk_per_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type", "user_id").agg(F.sum(_cents()).alias("total_cents"))
     w = Window.partitionBy("event_type").orderBy(F.desc("total_cents"), "user_id")
     return agg.withColumn("rnk", F.row_number().over(w)).where("rnk <= 10")
+
+
+@q(
+    "registry_rollup_1h_events",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
+           event_type,
+           COUNT(*) AS point_count,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_sq_sum,
+           CAST(round(MIN(value) * 100) AS BIGINT) AS min_cents,
+           CAST(round(MAX(value) * 100) AS BIGINT) AS max_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def registry_rollup_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 pluggable metric-spec registry, end-to-end through the gate:
+    an AD-HOC MetricSet (declared here, not engine-built-in — the
+    reference's drop-a-Transform-module contract,
+    zone_manager.py:39-45) rolls raw events to 1m partials and CASCADES
+    them to 1h via the set's reagg exprs; the oracle computes 1h
+    directly from raw — proving spec-driven cascade exactness."""
+    from .operators.registry import MetricSet, MetricSpec, downsample_with_spec, rollup_with_spec
+
+    ms = MetricSet(
+        name="contract_events",
+        metrics=(
+            MetricSpec("point_count", lambda: F.count(F.lit(1)), lambda: F.sum("point_count")),
+            MetricSpec("value_cents", lambda: F.sum(F.round(F.col("value") * 100, 0).cast("long")),
+                       lambda: F.sum("value_cents")),
+            MetricSpec(
+                "value_sq_sum",
+                lambda: F.sum(
+                    F.round(F.col("value") * 100, 0).cast("long")
+                    * F.round(F.col("value") * 100, 0).cast("long")
+                ),
+                lambda: F.sum("value_sq_sum"),
+            ),
+            MetricSpec("min_cents", lambda: F.round(F.min("value") * 100, 0).cast("long"),
+                       lambda: F.min("min_cents")),
+            MetricSpec("max_cents", lambda: F.round(F.max("value") * 100, 0).cast("long"),
+                       lambda: F.max("max_cents")),
+        ),
+        tiers=("1m", "1h"),
+    )
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    fine = rollup_with_spec(ev, ms, "1m", time_col="ts", keys=("event_type",))
+    coarse = downsample_with_spec(fine, ms, "1h", keys=("event_type",))
+    return coarse.select(
+        F.col("bucket_start").cast("long").alias("bucket_epoch"),
+        "event_type", "point_count", "value_cents", "value_sq_sum", "min_cents", "max_cents",
+    )

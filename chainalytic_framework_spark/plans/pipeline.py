@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.bucketing import SECONDS, TIER_ORDER
-from ..operators.cascade import downsample
 from ..operators.fold import (
     extract_state,
     fold_observations,
@@ -38,7 +37,8 @@ from ..operators.fold import (
     merge_state,
     prepare_observations,
 )
-from ..operators.rollup import rollup_observations, rollup_pages, with_layout_columns
+from ..operators.registry import downsample_with_spec, get_metric_set, rollup_with_spec
+from ..operators.rollup import with_layout_columns
 from ..tables import TableStore
 from .checkpoint import append_entries, committed_days
 
@@ -52,7 +52,7 @@ def _tier_table(name: str) -> str:
 
 
 def pending_days(spark: SparkSession, pages: DataFrame, store: TableStore,
-                 snapshot_id: str) -> list:
+                 snapshot_id: str, finest: str = "1m") -> list:
     """Candidate days = [min, max] of the input time range (a cheap
     single-column probe), minus committed manifest days. Days inside
     the range with zero rows cost one empty manifest row; never a wrong
@@ -75,7 +75,7 @@ def pending_days(spark: SparkSession, pages: DataFrame, store: TableStore,
     lo = _dt.date.fromisoformat(r["lo"])
     hi = _dt.date.fromisoformat(r["hi"])
     all_days = [lo + _dt.timedelta(days=i) for i in range((hi - lo).days + 1)]
-    committed = committed_days(store, "1m", snapshot_id=snapshot_id or None)
+    committed = committed_days(store, finest, snapshot_id=snapshot_id or None)
     if committed is None:
         return all_days
     done = {row["day"] for row in committed.collect()}
@@ -87,6 +87,7 @@ def run_pipeline(
     pages: DataFrame,
     store: TableStore,
     grain: str = "url",
+    metric_set: str = "default",
     input_snapshot_id: str = "",
     with_fold: bool = True,
     persist_observations: bool = True,
@@ -95,7 +96,9 @@ def run_pipeline(
     enforce_retention_now=None,
 ) -> dict:
     t_run = time.perf_counter()
-    pend = pending_days(spark, pages, store, input_snapshot_id)
+    ms = get_metric_set(metric_set)
+    finest = ms.finest()
+    pend = pending_days(spark, pages, store, input_snapshot_id, finest=finest)
     if not pend:
         return {"pending_days": 0, "docs": 0, "wall_seconds": 0.0}
 
@@ -113,15 +116,15 @@ def run_pipeline(
         obs = obs.persist(StorageLevel.MEMORY_AND_DISK)
 
     t0 = time.perf_counter()
-    m1 = with_layout_columns(rollup_observations(obs, "1m"))
+    m1 = with_layout_columns(rollup_with_spec(obs, ms, finest))
     m1 = store.cluster_for_write(m1, ["bucket_day"])
-    store.overwrite_partitions(m1, _tier_table("1m"), ["bucket_day"])
+    store.overwrite_partitions(m1, _tier_table(finest), ["bucket_day"])
     wall = time.perf_counter() - t0
     # one manifest row PER DAY — the resume anti-join's work unit.
     # n_in (input docs) = Σ point_count of the written 1m rows: free from
     # this small agg, no second scan of the raw input.
     day_stats = (
-        store.read(_tier_table("1m"))
+        store.read(_tier_table(finest))
         .where(F.col("bucket_day").isin(pend))
         .groupBy("bucket_day")
         .agg(F.count(F.lit(1)).alias("rows_out"), F.sum("point_count").alias("docs"))
@@ -131,21 +134,22 @@ def run_pipeline(
     n_in = int(sum(r["docs"] for r in day_stats))
     for d in pend:
         entries.append(
-            dict(tier="1m", bucket_range_start=dt.datetime.combine(d, dt.time()),
+            dict(tier=finest, bucket_range_start=dt.datetime.combine(d, dt.time()),
                  bucket_range_end=dt.datetime.combine(d, dt.time()) + dt.timedelta(days=1),
                  input_snapshot_id=input_snapshot_id, rows_in=n_in,
                  rows_out=int(day_counts.get(d, 0)),
                  wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
         )
 
-    # ---- cascade: each coarser tier from its STORED parent ----
-    for child, parent in (("1h", "1m"), ("1d", "1h"), ("30d", "1d")):
+    # ---- cascade: each scheduled coarser tier from its STORED parent ----
+    for child, parent in ms.cascade_pairs():
         t0 = time.perf_counter()
         parent_df = store.read(_tier_table(parent))
         csecs = SECONDS[child]
-        if child == "30d":
-            # affected 30d windows covering the pending days — all in
-            # UTC epochs (calendar.timegm), never driver-local time
+        if csecs > 86400:
+            # child buckets span multiple days: re-derive every child
+            # window covering the pending days — all in UTC epochs
+            # (calendar.timegm), never driver-local time
             import calendar
 
             starts = sorted(
@@ -162,7 +166,9 @@ def run_pipeline(
             )
         else:
             src = parent_df.where(F.col("bucket_day").isin(pend))
-        out = with_layout_columns(downsample(src.drop("bucket_day", "url_bucket"), child))
+        out = with_layout_columns(
+            downsample_with_spec(src.drop("bucket_day", "url_bucket"), ms, child)
+        )
         out = store.cluster_for_write(out, ["bucket_day"])
         store.overwrite_partitions(out, _tier_table(child), ["bucket_day"])
         wall = time.perf_counter() - t0
@@ -214,6 +220,25 @@ def run_pipeline(
                  bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
                  input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
                  wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
+        )
+
+    # ---- user metric-set fold (the registry's Transform hook) ----
+    # Contract: ms.fold(obs) returns a DataFrame carrying warc_ts; the
+    # pipeline derives bucket_day and commits it with the same
+    # idempotent dynamic-partition-overwrite as the built-in fold.
+    if ms.fold is not None:
+        t0 = time.perf_counter()
+        user_out = ms.fold(obs).withColumn("bucket_day", F.to_date("warc_ts"))
+        store.overwrite_partitions(
+            store.cluster_for_write(user_out, ["bucket_day"]),
+            f"fold_{ms.name}", ["bucket_day"],
+        )
+        entries.append(
+            dict(tier=f"fold_{ms.name}",
+                 bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
+                 bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
+                 input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
+                 wall_seconds=time.perf_counter() - t0, docs_per_sec=0.0)
         )
 
     # ---- optional: cold-tier blobs for the coarse tier ----

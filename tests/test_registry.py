@@ -1,0 +1,121 @@
+"""§2.10 metric-spec registry: default set equals the hand-written
+rollup; custom sets cascade losslessly, drive the pipeline end-to-end
+(including the fold hook), and honor their tier schedule."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.operators.fold import prepare_observations
+from chainalytic_framework_spark.operators.registry import (
+    MetricSet,
+    MetricSpec,
+    downsample_with_spec,
+    get_metric_set,
+    metric_sets,
+    register,
+    rollup_with_spec,
+)
+from chainalytic_framework_spark.operators.rollup import rollup_observations
+from chainalytic_framework_spark.plans.pipeline import run_pipeline
+from chainalytic_framework_spark.synth import generate_pages
+from chainalytic_framework_spark.tables import TableStore
+
+
+def _df_equal(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_default_set_matches_handwritten(spark, pages):
+    obs = prepare_observations(pages)
+    ms = get_metric_set("default")
+    a = rollup_with_spec(obs, ms, "1m")
+    b = rollup_observations(obs, "1m")
+    assert a.columns == b.columns
+    assert _df_equal(a, b)
+
+
+def test_registry_validation():
+    with pytest.raises(ValueError, match="point_count"):
+        register(MetricSet("nocount", (MetricSpec("x", lambda: F.count(F.lit(1)), lambda: F.sum("x")),)))
+    with pytest.raises(ValueError, match="already registered"):
+        register(MetricSet("default", get_metric_set("default").metrics))
+    with pytest.raises(ValueError, match="unknown tiers"):
+        register(MetricSet("badtier", get_metric_set("default").metrics, tiers=("5m",)))
+    with pytest.raises(KeyError):
+        get_metric_set("nope")
+    assert {"default", "textstats"} <= set(metric_sets())
+
+
+def test_custom_set_cascade_lossless(spark, pages):
+    """Mergeability invariant for every registered set: cascading the
+    fine tier through the schedule == direct rollup at the coarse tier."""
+    obs = prepare_observations(pages)
+    for name in metric_sets():
+        ms = get_metric_set(name)
+        fine = rollup_with_spec(obs, ms, ms.finest())
+        stepped = fine
+        for child, _parent in ms.cascade_pairs():
+            stepped = downsample_with_spec(stepped, ms, child)
+            direct = rollup_with_spec(obs, ms, child)
+            assert _df_equal(stepped, direct), (name, child)
+
+
+def test_pipeline_with_custom_metric_set(spark, tmp_path, pages):
+    """The reference's drop-in-a-Transform contract: register a set with
+    a custom metric + fold fn, run the pipeline, find both in output."""
+
+    def change_fold(obs):
+        # toy Transform: one row per (url, day) with the day's max text_len
+        return (
+            obs.groupBy("url", F.to_date("warc_ts").alias("d"))
+            .agg(F.max("warc_ts").alias("warc_ts"), F.max("text_len").alias("max_text_len"))
+            .drop("d")
+        )
+
+    ms = register(
+        MetricSet(
+            name="test_custom",
+            metrics=(
+                MetricSpec("point_count", lambda: F.count(F.lit(1)), lambda: F.sum("point_count")),
+                MetricSpec(
+                    "text_len_sq_sum",
+                    lambda: F.sum(F.col("text_len") * F.col("text_len")),
+                    lambda: F.sum("text_len_sq_sum"),
+                ),
+            ),
+            tiers=("1m", "1d"),  # schedule skips 1h and 30d
+            fold=change_fold,
+        ),
+        replace=True,
+    )
+    store = TableStore(spark, str(tmp_path / "wh"))
+    r = run_pipeline(spark, pages, store, metric_set="test_custom", with_fold=False)
+    assert r["pending_days"] > 0
+
+    t1d = store.read("tier_1d")
+    assert "text_len_sq_sum" in t1d.columns
+    assert not store.exists("tier_1h")  # schedule skipped it
+    assert not store.exists("tier_30d")
+
+    obs = prepare_observations(pages)
+    direct = rollup_with_spec(obs, ms, "1d")
+    stored = t1d.select(direct.columns)
+    assert _df_equal(stored, direct)
+
+    # fold hook committed, and is idempotent under re-run semantics
+    fold_tbl = store.read("fold_test_custom")
+    assert fold_tbl.count() > 0
+    assert "max_text_len" in fold_tbl.columns
+
+
+def test_textstats_variance_non_negative(spark, pages):
+    obs = prepare_observations(pages)
+    ms = get_metric_set("textstats")
+    t = rollup_with_spec(obs, ms, "1d")
+    neg = t.where(
+        F.col("point_count") * F.col("text_len_sq_sum")
+        < F.col("text_len_sum") * F.col("text_len_sum")
+    ).count()
+    assert neg == 0
