@@ -63,16 +63,47 @@ def gapfill_locf(
     bounds = obs.groupBy("url_hash", "url", "lang").agg(
         F.min("bucket_start").alias("_b0"), F.max("bucket_start").alias("_b1")
     )
-    spine = bounds.select(
-        "url_hash",
-        "url",
-        "lang",
-        F.explode(F.expr(f"sequence(_b0, _b1, interval {secs} seconds)")).alias("bucket_start"),
-    )
 
-    joined = spine.join(
-        obs, on=["url_hash", "url", "lang", "bucket_start"], how="left"
-    )
+    if range_start is None:
+        spine = bounds.select(
+            "url_hash",
+            "url",
+            "lang",
+            F.explode(F.expr(f"sequence(_b0, _b1, interval {secs} seconds)")).alias("bucket_start"),
+        )
+        joined = spine.join(
+            obs, on=["url_hash", "url", "lang", "bucket_start"], how="left"
+        ).withColumn("_pre", F.lit(False))
+    else:
+        # BOUNDED spine: clamp _b0 to the first tier bucket >= range_start.
+        # Without the clamp, spine size == a url's full active SPAN: a url
+        # observed in 2020 and again in 2026 explodes to ~3M rows at the
+        # 1m tier just to serve this window. Rows BEFORE the window
+        # (earlier observations and the boundary-state seed) still feed
+        # the LOCF carry — they are unioned into the window frame and
+        # dropped from output — so the result is identical to the
+        # unbounded spine filtered to [range_start, ∞) (equality-tested).
+        rs_e = F.lit(range_start).cast("timestamp").cast("long")
+        rs_c = F.timestamp_seconds(
+            ((rs_e + F.lit(secs - 1)) / secs).cast("long") * secs
+        )
+        bounds = bounds.withColumn("_b0", F.greatest(F.col("_b0"), rs_c)).where(
+            F.col("_b1") >= F.col("_b0")
+        )
+        spine = bounds.select(
+            "url_hash",
+            "url",
+            "lang",
+            F.explode(F.expr(f"sequence(_b0, _b1, interval {secs} seconds)")).alias("bucket_start"),
+        )
+        in_window = obs.where(F.col("bucket_start") >= rs_c)
+        pre = obs.where(F.col("bucket_start") < rs_c)
+        joined = (
+            spine.join(in_window, on=["url_hash", "url", "lang", "bucket_start"], how="left")
+            .withColumn("_pre", F.lit(False))
+            .unionByName(pre.withColumn("_pre", F.lit(True)))
+        )
+
     w = (
         Window.partitionBy("url_hash", "url", "lang")
         .orderBy("bucket_start")
@@ -87,10 +118,9 @@ def gapfill_locf(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in _CARRY],
         F.col("point_count").isNull().alias("gap_filled"),
         F.coalesce("_seed", F.lit(False)).alias("_seed"),
+        "_pre",
     )
-    out = filled.where(~F.col("_seed")).drop("_seed")
-    if range_start is not None:
-        out = out.where(F.col("bucket_start") >= F.lit(range_start))
+    out = filled.where(~F.col("_seed") & ~F.col("_pre")).drop("_seed", "_pre")
     return out.withColumn("tier", F.lit(tier_name))
 
 

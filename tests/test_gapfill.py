@@ -83,6 +83,74 @@ def test_boundary_carry_in_across_runs(spark, pages):
     assert b.exceptAll(a).count() == 0
 
 
+def test_bounded_spine_equals_unbounded_filtered(spark):
+    """A url whose previous observation is YEARS old must gap-fill only
+    the requested window — and produce output identical to the unbounded
+    spine filtered to the window (spine clamp, not semantics change)."""
+    import datetime
+
+    rows = [
+        # url 'a': one observation in 2024, then again in 2026 (the trap)
+        ("a", "2024-01-01 00:00:00", 10),
+        ("a", "2026-01-01 02:00:00", 20),
+        ("a", "2026-01-01 05:00:00", 30),
+        # url 'b': only ancient history — no output in the window
+        ("b", "2024-06-01 00:00:00", 40),
+        # url 'c': lives entirely inside the window
+        ("c", "2026-01-01 01:00:00", 50),
+        ("c", "2026-01-01 03:00:00", 60),
+    ]
+    t = spark.createDataFrame(rows, "url string, ts string, v long").selectExpr(
+        "cast(ts as timestamp) as bucket_start",
+        "xxhash64(url) as url_hash",
+        "url",
+        "'en' as lang",
+        "1L as point_count",
+        "v as byte_size",
+        "v as text_len_sum",
+        "v as text_len_min",
+        "v as text_len_max",
+    )
+    rs = datetime.datetime(2026, 1, 1)
+    bounded = gapfill_locf(t, "1h", range_start=rs).cache()
+    unbounded = gapfill_locf(t, "1h").where(F.col("bucket_start") >= F.lit(rs))
+
+    cols = ["bucket_start", "url", "lang", "point_count", "byte_size",
+            "text_len_sum", "text_len_max", "gap_filled"]
+    a, b = bounded.select(*cols), unbounded.select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # the spine is BOUNDED: url 'a' contributes only window buckets
+    # (00:00–05:00 → 6 rows at 1h), not 2 years (~17.5k rows)
+    assert bounded.where("url = 'a'").count() == 6
+    assert bounded.where("url = 'b'").count() == 0
+    # carry-in from the pre-window observation reaches the window's gap rows
+    first_a = bounded.where("url = 'a'").orderBy("bucket_start").first()
+    assert first_a["gap_filled"] and first_a["byte_size"] == 10
+
+
+def test_bounded_spine_with_boundary_state(spark, pages):
+    """range_start + boundary_state together (the pipeline's cross-run
+    shape): bounded output still equals the full-range recompute."""
+    t = _tier(spark, pages).cache()
+    mid = t.agg(F.min("bucket_start")).first()[0]
+    import datetime
+
+    split = mid + datetime.timedelta(days=3)
+    t1 = t.where(F.col("bucket_start") < F.lit(split))
+    t2 = t.where(F.col("bucket_start") >= F.lit(split))
+    state = last_observation_state(t1)
+    run2 = gapfill_locf(t2, "1h", boundary_state=state, range_start=split)
+    full = gapfill_locf(t, "1h").where(F.col("bucket_start") >= F.lit(split))
+    keys = t2.select("url").union(state.select("url")).distinct()
+    cols = ["bucket_start", "url", "lang", "point_count", "byte_size",
+            "text_len_sum", "text_len_max", "gap_filled"]
+    a = run2.join(keys, "url", "left_semi").select(*cols)
+    b = full.join(keys, "url", "left_semi").select(*cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_pandas_variant_equals_jvm_plan(spark, pages):
     from chainalytic_framework_spark.operators.gapfill import gapfill_locf_pandas
 
