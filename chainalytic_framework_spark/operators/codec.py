@@ -71,21 +71,42 @@ def _pack_codes(hi: np.ndarray, lo: np.ndarray, nbits: np.ndarray) -> bytes:
 
 
 class _BitReader:
-    """Sequential MSB-first bit reader over a pre-unpacked bit array."""
+    """Sequential MSB-first bit reader over 64-bit big-endian words.
 
-    __slots__ = ("bits", "pos")
+    Each read grabs a 128-bit window spanning the two words under the
+    cursor and shifts/masks with native Python ints — no per-bit loop
+    and no numpy scalar indexing in the hot path (the words are
+    converted to a Python list once). ``peek`` never advances and may
+    read past the logical end (the buffer is zero-padded), which lets
+    the decoders classify a prefix code with ONE read instead of
+    bit-at-a-time probing."""
+
+    __slots__ = ("words", "pos")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        pad = (-len(data)) % 8 + 24  # +3 words: a 3-word read may span past the end
+        buf = data + b"\x00" * pad
+        self.words = np.frombuffer(buf, dtype=">u8").tolist()
         self.pos = 0
 
+    def _window(self, pos: int, n: int) -> int:
+        w, off = pos >> 6, pos & 63
+        window = (self.words[w] << 64) | self.words[w + 1]
+        return (window >> (128 - off - n)) & ((1 << n) - 1)
+
     def take(self, n: int) -> int:
-        b = self.bits[self.pos : self.pos + n]
+        if n > 64:  # spans up to 3 words
+            hi = self.take(n - 64)
+            return (hi << 64) | self.take(64)
+        v = self._window(self.pos, n)
         self.pos += n
-        v = 0
-        for bit in b:
-            v = (v << 1) | int(bit)
         return v
+
+    def peek(self, n: int) -> int:
+        return self._window(self.pos, n)
+
+    def skip(self, n: int) -> None:
+        self.pos += n
 
 
 # ---------------------------------------------------------------------------
@@ -133,25 +154,44 @@ def _encode_ts(ts: np.ndarray) -> bytes:
 
 
 def _decode_ts(data: bytes, n: int, first_ts: int) -> np.ndarray:
+    """Decode delta-of-deltas. Per point: ONE 4-bit peek classifies the
+    prefix, then one value read — no bit-at-a-time probing. The doubly-
+    cumulative reconstruction (dod → delta → ts) is vectorized numpy."""
     out = np.empty(n, dtype=np.int64)
     out[0] = first_ts
     if n == 1:
         return out
-    r = _BitReader(data)
-    delta = 0
-    for i in range(1, n):
-        if r.take(1) == 0:
-            dod = 0
-        else:
-            for bound, vbits, _, _ in _TS_CLASSES:
-                if r.take(1) == 0:
-                    dod = r.take(vbits) - (bound - 1)
-                    break
-            else:
-                v = r.take(64)
-                dod = int(np.uint64(v).astype(np.int64))
-        delta += dod
-        out[i] = out[i - 1] + delta
+    words = _BitReader(data).words  # zero-padded big-endian word list
+    pos = 0
+    dod = np.zeros(n - 1, dtype=np.int64)
+    for i in range(n - 1):
+        # one window grab classifies the prefix AND carries the value
+        # bits for every class but the 68-bit raw one (max 16 bits)
+        w, off = pos >> 6, pos & 63
+        win = (((words[w] << 64) | words[w + 1]) >> (112 - off)) & 0xFFFF  # next 16 bits
+        if win < 0b1000_0000_0000_0000:  # '0'
+            pos += 1
+        elif win < 0b1100_0000_0000_0000:  # '10' + 7
+            dod[i] = ((win >> 7) & 0x7F) - 63
+            pos += 9
+        elif win < 0b1110_0000_0000_0000:  # '110' + 9
+            dod[i] = ((win >> 4) & 0x1FF) - 255
+            pos += 12
+        elif win < 0b1111_0000_0000_0000:  # '1110' + 12
+            dod[i] = (win & 0xFFF) - 2047
+            pos += 16
+        else:  # '1111' + 64 raw (spans ≤3 words)
+            pos += 4
+            w, off = pos >> 6, pos & 63
+            v = (
+                ((words[w] << 128) | (words[w + 1] << 64) | words[w + 2])
+                >> (128 - off)
+            ) & 0xFFFFFFFFFFFFFFFF
+            dod[i] = v - (1 << 64) if v >= (1 << 63) else v
+            pos += 64
+    # delta_i = Σ dod (implicit delta_{-1}=0); ts_i = first + Σ delta
+    np.cumsum(dod, out=dod)
+    out[1:] = first_ts + np.cumsum(dod)
     return out
 
 
@@ -225,26 +265,40 @@ def _encode_vals(bits64: np.ndarray) -> bytes:
 
 
 def _decode_vals(data: bytes, n: int, first_bits: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.uint64)
-    out[0] = np.uint64(first_bits)
+    """Decode XOR codes. Per point: one 2-bit peek classifies, one read
+    fetches (lead, sig) + meaningful bits; the running-XOR
+    reconstruction is a vectorized ``np.bitwise_xor.accumulate``."""
     if n == 1:
-        return out
-    r = _BitReader(data)
+        return np.array([first_bits], dtype=np.uint64)
+    words = _BitReader(data).words  # zero-padded big-endian word list
+    pos = 0
+    xors = np.zeros(n, dtype=np.uint64)
+    xors[0] = first_bits
     prev_lead, prev_sig = 0, 0
+    mask64 = (1 << 64) - 1
     for i in range(1, n):
-        if r.take(1) == 0:
-            out[i] = out[i - 1]
+        # one 13-bit window grab covers prefix + (lead, sig) head
+        w, off = pos >> 6, pos & 63
+        win = (((words[w] << 64) | words[w + 1]) >> (115 - off)) & 0x1FFF  # next 13 bits
+        if win < 0b1_0000_0000_0000:  # '0' → xor 0
+            pos += 1
             continue
-        if r.take(1) == 0:
-            lead, sig = prev_lead, prev_sig  # window-reuse branch (decoder support)
-        else:
-            lead = r.take(5)
-            sig = r.take(6) or 64
+        if win < 0b1_1000_0000_0000:  # '10': window-reuse (decoder support)
+            pos += 2
+            lead, sig = prev_lead, prev_sig
+        else:  # '11' + 5-bit lead + 6-bit sig
+            lead = (win >> 6) & 0x1F
+            sig = (win & 63) or 64
             prev_lead, prev_sig = lead, sig
-        m = r.take(sig)
-        xor = np.uint64(m) << np.uint64(64 - lead - sig)
-        out[i] = out[i - 1] ^ xor
-    return out
+            pos += 13
+        w, off = pos >> 6, pos & 63
+        m = (
+            ((words[w] << 128) | (words[w + 1] << 64) | words[w + 2])
+            >> (192 - off - sig)
+        ) & ((1 << sig) - 1)
+        pos += sig
+        xors[i] = (m << (64 - lead - sig)) & mask64
+    return np.bitwise_xor.accumulate(xors)
 
 
 # ---------------------------------------------------------------------------
