@@ -50,43 +50,46 @@ def _fold_url(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[
 
     outs = []
     for pdf in pdfs:
+        # Vectorized per-micro-batch fold: shift + cumsum, the same shape
+        # the batch fold proves out (operators/fold.py:_fold_frames) —
+        # no per-row Python. State splices in as the virtual row -1.
+        # nullable Int64 end-to-end keeps 64-bit hash compares EXACT
+        # (shift would otherwise upcast int64→float64 and corrupt low bits).
         pdf = pdf.sort_values("warc_ts", kind="mergesort")
-        ts_us = (pdf["warc_ts"].astype("int64") // 1000).to_numpy()  # us
-        hashes = pdf["text_hash"].to_numpy()
         n = len(pdf)
-        is_new = [False] * n
-        changed = [False] * n
-        revs = [0] * n
-        gaps: list = [None] * n
-        expired = [False] * n
-        cps = [0] * n
-        for i in range(n):
-            if last_ts_us is None:
-                is_new[i] = True
-            else:
-                # round (not floor) — must match the batch fold's
-                # total_seconds().round() semantics exactly
-                gap = round((ts_us[i] - last_ts_us) / 1_000_000)
-                gaps[i] = int(gap)
-                expired[i] = gap > TTL_SECONDS
-                if hashes[i] != last_hash:
-                    changed[i] = True
-                    rev += 1
-            pts += 1
-            last_ts_us = int(ts_us[i])
-            last_hash = int(hashes[i])
-            revs[i] = rev
-            cps[i] = pts
+        if n == 0:
+            continue
+        ts_us = (pdf["warc_ts"].astype("int64") // 1000).astype("Int64").reset_index(drop=True)
+        hashes = pdf["text_hash"].astype("Int64").reset_index(drop=True)
+        prev_ts = ts_us.shift(1)
+        prev_hash = hashes.shift(1)
+        if last_ts_us is not None:
+            prev_ts.iloc[0] = last_ts_us
+            prev_hash.iloc[0] = last_hash
+
+        is_new = prev_ts.isna()
+        # round (not floor) half-to-even — must match the batch fold's
+        # total_seconds().round() semantics exactly
+        gaps = ((ts_us - prev_ts) / 1_000_000).round().astype("Int64")
+        expired = (gaps > TTL_SECONDS).fillna(False)
+        changed = (hashes != prev_hash).fillna(False) & prev_hash.notna()
+        revs = rev + changed.cumsum().astype("int64")
+        cps = pts + pd.RangeIndex(1, n + 1).to_numpy()
+
+        rev = int(revs.iloc[-1])
+        pts = int(cps[-1])
+        last_ts_us = int(ts_us.iloc[-1])
+        last_hash = int(hashes.iloc[-1])
         outs.append(
             pd.DataFrame(
                 {
                     "url": url,
                     "warc_ts": pdf["warc_ts"].values,
-                    "is_new": pd.Series(is_new, dtype="bool"),
-                    "text_changed": pd.Series(changed, dtype="bool"),
-                    "content_rev": pd.Series(revs, dtype="int64"),
-                    "gap_seconds": pd.Series(gaps, dtype="Int64"),
-                    "expired": pd.Series(expired, dtype="bool"),
+                    "is_new": is_new.to_numpy(dtype="bool"),
+                    "text_changed": changed.to_numpy(dtype="bool"),
+                    "content_rev": revs.to_numpy(dtype="int64"),
+                    "gap_seconds": gaps,
+                    "expired": expired.to_numpy(dtype="bool"),
                     "cum_points": pd.Series(cps, dtype="int64"),
                 }
             )
