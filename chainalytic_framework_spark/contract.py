@@ -1331,3 +1331,106 @@ def registry_rollup_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_start").cast("long").alias("bucket_epoch"),
         "event_type", "point_count", "value_cents", "value_sq_sum", "min_cents", "max_cents",
     )
+
+
+# 64-bit SimHash as two 32-bit halves: DuckDB BIGINT shifts overflow at
+# bit 63, so the fingerprint lives as (hi, lo) in BOTH engines — which
+# also keeps every majority-sum term < 2^32.
+_FP32_LO_SQL = "CAST(('0x' || substr(md5({x}), 9, 8)) AS BIGINT)"
+
+_SIMHASH64_SUMS_SQL = ",\n           ".join(
+    [f"SUM(({_FP32_LO_SQL.format(x='tok')} >> {b}) & 1) AS lo_{b}" for b in range(32)]
+    + [f"SUM(({_FP32_SQL.format(x='tok')} >> {b}) & 1) AS hi_{b}" for b in range(32)]
+)
+
+
+def _simhash64_major_sql(prefix: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {prefix}_{b} * 2 > n_toks THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+
+
+_SIMHASH64_FPS_CTE = f"""
+    toks64 AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    sums64 AS (
+      SELECT doc_id, COUNT(*) AS n_toks,
+           {_SIMHASH64_SUMS_SQL}
+      FROM toks64 GROUP BY doc_id),
+    fps AS (
+      SELECT doc_id,
+             CAST({_simhash64_major_sql('hi')} AS BIGINT) AS simhash_hi,
+             CAST({_simhash64_major_sql('lo')} AS BIGINT) AS simhash_lo
+      FROM sums64)
+"""
+
+
+@q(
+    "simhash64_documents",
+    f"""
+    WITH {_SIMHASH64_FPS_CTE}
+    SELECT doc_id, simhash_hi, simhash_lo FROM fps
+    """,
+)
+def simhash64_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (hi/lo 32-bit halves) — the scale
+    form of the 16-bit simhash_documents (10^12 docs swamp 2^16
+    buckets)."""
+    d = _t(spark, sf_dir, "documents")
+    return _dd.simhash64(d)
+
+
+@q(
+    "simhash_hamming_pairs_documents",
+    f"""
+    WITH {_SIMHASH64_FPS_CTE},
+    segs AS (
+      SELECT doc_id, simhash_hi, simhash_lo, s.seg,
+             CASE s.seg
+               WHEN 0 THEN simhash_lo & 65535
+               WHEN 1 THEN (simhash_lo >> 16) & 65535
+               WHEN 2 THEN simhash_hi & 65535
+               ELSE (simhash_hi >> 16) & 65535 END AS val
+      FROM fps, (VALUES (0), (1), (2), (3)) s(seg)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             CAST(bit_count(xor(l.simhash_hi, r.simhash_hi))
+                  + bit_count(xor(l.simhash_lo, r.simhash_lo)) AS BIGINT) AS hamming
+      FROM segs l JOIN segs r
+        ON l.seg = r.seg AND l.val = r.val AND l.doc_id < r.doc_id)
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+    """,
+)
+def simhash_hamming_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤3 near-dup pairs over 64-bit SimHash via segment banding
+    (pigeonhole: a ≤3-bit-different pair agrees exactly on one of 4
+    16-bit segments) + exact popcount verify — the candidate generator
+    the 16-bit simhash lacked (reference has no analogue; north-rule
+    training-data dedup family)."""
+    d = _t(spark, sf_dir, "documents")
+    fps = _dd.simhash64(d)
+    return _dd.simhash_hamming_pairs(fps, k=3).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
+@q(
+    "prefix_scan_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE starts_with(event_type, 'p')
+    GROUP BY event_type
+    """,
+)
+def prefix_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal prefix predicate (reference F5 ``startswith`` key-prefix
+    test, S9 prefix scans) — pushed to the parquet scan as a
+    StartsWith filter."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").startswith("p"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents()).alias("cents"))
+    )

@@ -8,8 +8,13 @@ no Python UDFs) so Catalyst owns shuffles and pushdowns:
                 bucket-join for candidate pairs. The scale path: the
                 pair join only materializes within-bucket candidates,
                 never the n² cross product.
-- SimHash:      per-bit majority over token hashes → 16-bit fingerprint;
-                near-dups share fingerprints (or differ in ≤k bits).
+- SimHash:      per-bit majority over token hashes → fingerprint.
+                Scale form: 64-bit (two 32-bit halves, ``simhash64``)
+                with a Hamming-≤k candidate generator
+                (``simhash_hamming_pairs``: band the 64 bits into k+1
+                segments; pigeonhole guarantees every ≤k pair shares a
+                segment exactly). 16-bit ``simhash`` kept as the compact
+                single-column variant.
 - n-gram Jaccard: exact verification on candidate pairs via shingle-set
                 intersection/union counts.
 
@@ -157,6 +162,110 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text
         )
     )
     return out
+
+
+def fp32_at(col, hex_off: int) -> F.Column:
+    """32-bit cross-engine hash from md5 hex chars [hex_off, hex_off+8).
+    Independent 32-bit slices of one md5 give independent hash families
+    without ever materializing a ≥2^63 value (DuckDB BIGINT shifts
+    overflow at bit 63, so 64-bit fingerprints live as two 32-bit
+    halves everywhere)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), hex_off, 8), 16, 10).cast("long")
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as (simhash_hi, simhash_lo) 32-bit halves — the
+    scale form (16 bits = 65,536 buckets is collision-swamped at 10^12
+    docs). Bits 0-31 vote on an md5[9:16] token hash, bits 32-63 on
+    md5[1:8] — one token explode, one groupBy, 64 conditional sums, all
+    codegen."""
+    toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ", -1)).alias("tok"))
+    h_hi = fp32_at("tok", 1)
+    h_lo = fp32_at("tok", 9)
+    bit_sums = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        *[F.sum(F.shiftright(h_lo, b).bitwiseAND(F.lit(1))).alias(f"lo_{b}") for b in range(32)],
+        *[F.sum(F.shiftright(h_hi, b).bitwiseAND(F.lit(1))).alias(f"hi_{b}") for b in range(32)],
+    )
+
+    def _majority(prefix: str) -> F.Column:
+        fp = None
+        for b in range(32):
+            term = F.when(
+                F.col(f"{prefix}_{b}") * 2 > F.col("n_toks"), F.lit(1 << b)
+            ).otherwise(F.lit(0))
+            fp = term if fp is None else fp + term
+        return fp.cast("long")
+
+    return bit_sums.select(
+        F.col(id_col),
+        _majority("hi").alias("simhash_hi"),
+        _majority("lo").alias("simhash_lo"),
+    )
+
+
+def simhash_hamming_pairs(
+    fps: DataFrame, id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Hamming-≤k candidate pairs over 64-bit SimHash fingerprints via
+    LSH banding on the bits themselves: split the 64 bits into k+1
+    segments — two fingerprints within Hamming distance k MUST agree
+    exactly on at least one segment (pigeonhole), so an exact-match
+    self-join per segment finds every true pair without the n² cross
+    product (same banding trick as ``lsh_candidate_pairs``). Candidates
+    are then verified with an exact popcount distance filter.
+
+    With k=3 the 4 segments are 16 bits each; at 10^12 docs each
+    segment join keys on 65,536×(other segs) distinct values and AQE
+    splits skewed boilerplate buckets."""
+    n_segs = k + 1
+    seg_bits = 64 // n_segs
+    mask = (1 << seg_bits) - 1
+
+    def _segment(i: int) -> F.Column:
+        start = i * seg_bits  # bit offset within the 64-bit fingerprint
+        if start >= 32:
+            src, off = F.col("simhash_hi"), start - 32
+        else:
+            src, off = F.col("simhash_lo"), start
+        # seg_bits ≤ 32 and segments never straddle the hi/lo boundary
+        # for k ∈ {1, 3, 7}; assert the invariant for other k
+        if start < 32 < start + seg_bits:
+            raise ValueError(f"segment {i} straddles the hi/lo boundary (k={k})")
+        return F.shiftright(src, off).bitwiseAND(F.lit(mask))
+
+    segs = fps.select(
+        F.col(id_col),
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("seg"), _segment(i).alias("val"))
+                for i in range(n_segs)
+            ])
+        ).alias("sv"),
+    ).select(id_col, "simhash_hi", "simhash_lo", F.col("sv.seg").alias("seg"), F.col("sv.val").alias("val"))
+
+    l, r = segs.alias("l"), segs.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (
+                F.bit_count(F.col("l.simhash_hi").bitwiseXOR(F.col("r.simhash_hi")))
+                + F.bit_count(F.col("l.simhash_lo").bitwiseXOR(F.col("r.simhash_lo")))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= k)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
