@@ -12,9 +12,13 @@ Work unit: ``bucket_day``. A run:
 4. re-derives each coarser tier's affected partitions FROM THE STORED
    parent tier (continuous-aggregate maintenance: a coarse bucket is
    recomputed from child partials, never from raw pages),
-5. updates the per-url fold state table (incremental when all pending
-   days are past the state watermark, full rebuild otherwise —
-   correctness over cleverness for out-of-order backfills),
+5. updates the per-url fold state table INCREMENTALLY: change events
+   commit to FOLD_TABLE, then the state delta merges into only the
+   hash-bucket partitions it touches (TableStore.merge_upsert — Iceberg
+   MERGE INTO on a cluster, staged dynamic partition overwrite on
+   parquet). Out-of-order backfills re-fold ONLY the urls present in
+   the backfilled days (semi-joined history scan) and surgically
+   replace their fold rows and state rows,
 6. appends manifest rows with metrics.
 
 At 10^12 docs each step is one Spark job whose scan is partition-pruned
@@ -34,7 +38,6 @@ from ..operators.fold import (
     extract_state,
     fold_observations,
     fold_with_state,
-    merge_state,
     prepare_observations,
 )
 from ..operators.registry import downsample_with_spec, get_metric_set, rollup_with_spec
@@ -45,6 +48,16 @@ from .checkpoint import append_entries, committed_days
 TIER_TABLE = "tier_{name}"
 STATE_TABLE = "fold_state"
 FOLD_TABLE = "fold_events"
+
+# Hash-bucket partitioning of the state table: state commits touch only
+# the buckets a run's urls land in (merge_upsert), never the full table.
+# Size to the cluster: 64 buckets bound sandbox small-file counts; at
+# 10^12 urls export SPARK_GRAFT_STATE_BUCKETS=4096+ so one bucket stays
+# executor-sized. Changing N on an existing store requires one full
+# state rewrite (the partition layout is a function of N).
+import os as _os
+
+N_STATE_BUCKETS = int(_os.environ.get("SPARK_GRAFT_STATE_BUCKETS", "64"))
 
 
 def _tier_table(name: str) -> str:
@@ -192,28 +205,52 @@ def run_pipeline(
             watermark = state.agg(F.max(F.to_date("last_ts"))).first()[0]
             rebuild = watermark is not None and min(pend) <= watermark
 
+        sb = F.pmod(F.col("url_hash"), F.lit(N_STATE_BUCKETS)).cast("int")
         if rebuild:
-            # out-of-order backfill: re-fold the full history
-            fold_out = fold_observations(prepare_observations(pages))
-        elif state is not None:
-            fold_out = fold_with_state(obs, state)
-        else:
-            fold_out = fold_observations(obs)
+            # TARGETED backfill re-fold: an out-of-order day only
+            # perturbs the fold state of urls PRESENT in that day — so
+            # re-fold exactly those urls over their full history (one
+            # semi-joined scan + a pandas fold sized to the touched
+            # urls), then surgically replace their rows in FOLD_TABLE
+            # (within the day partitions they appear in) and their state
+            # rows (within the hash buckets they land in). Untouched
+            # urls' fold rows, day partitions, and state buckets are
+            # never read or rewritten. The previous design re-folded the
+            # ENTIRE raw history on any backfill.
+            from pyspark import StorageLevel
 
-        fold_days = fold_out.withColumn("bucket_day", F.to_date("warc_ts"))
-        store.overwrite_partitions(
-            store.cluster_for_write(fold_days, ["bucket_day"], secondary="url_hash"),
-            FOLD_TABLE, ["bucket_day"],
-        )
-
-        written = store.read(FOLD_TABLE)
-        if rebuild or state is None:
-            new_state = extract_state(written)
+            touched = obs.select("url").distinct()
+            hist = prepare_observations(pages).join(touched, "url", "left_semi")
+            restated = fold_observations(hist).withColumn(
+                "bucket_day", F.to_date("warc_ts")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            store.merge_upsert(
+                restated, FOLD_TABLE, key="url", partition_col="bucket_day",
+                single_row_per_key=False,
+            )
+            delta_state = extract_state(restated).withColumn("state_bucket", sb)
+            store.merge_upsert(delta_state, STATE_TABLE, key="url",
+                               partition_col="state_bucket")
+            restated.unpersist()
         else:
-            written = written.where(F.col("bucket_day").isin(pend))
-            new_state = merge_state(state, extract_state(written))
-        store.write(new_state, STATE_TABLE + "_next")
-        store.write(store.read(STATE_TABLE + "_next"), STATE_TABLE)
+            # Forward (in-order) run: fold pending days on top of the
+            # carried state; change events committed to FOLD_TABLE
+            # first, then the state delta is derived from the WRITTEN
+            # rows (no recomputation of the pandas stage) and merged
+            # into only the touched state buckets.
+            if state is not None:
+                fold_out = fold_with_state(obs, state)
+            else:
+                fold_out = fold_observations(obs)
+            fold_days = fold_out.withColumn("bucket_day", F.to_date("warc_ts"))
+            store.overwrite_partitions(
+                store.cluster_for_write(fold_days, ["bucket_day"], secondary="url_hash"),
+                FOLD_TABLE, ["bucket_day"],
+            )
+            written = store.read(FOLD_TABLE).where(F.col("bucket_day").isin(pend))
+            delta_state = extract_state(written).withColumn("state_bucket", sb)
+            store.merge_upsert(delta_state, STATE_TABLE, key="url",
+                               partition_col="state_bucket")
         wall = time.perf_counter() - t0
         entries.append(
             dict(tier="fold", bucket_range_start=dt.datetime.combine(pend[0], dt.time()),

@@ -69,13 +69,123 @@ def test_fold_state_incremental(spark, store):
     cut = dt.datetime(2024, 1, 4)
     run_pipeline(spark, pages.where(F.col("warc_ts") < F.lit(cut)), store, with_fold=True)
     run_pipeline(spark, pages, store, with_fold=True)
-    state_inc = store.read("fold_state")
+    state_inc = store.read("fold_state").drop("state_bucket")
 
     from chainalytic_framework_spark.operators.fold import extract_state, fold_observations, prepare_observations
 
     expect = extract_state(fold_observations(prepare_observations(pages)))
     assert state_inc.exceptAll(expect).count() == 0
     assert expect.exceptAll(state_inc).count() == 0
+
+
+def _mk_pages(spark, rows):
+    """rows: (url, ts_str, text) → pages frame."""
+    return spark.createDataFrame(
+        [(u, t, bytearray(f"<html>{txt}</html>", "utf8"), txt, "en") for u, t, txt in rows],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+
+def _file_listing(store, table):
+    import os
+
+    base = store.path(table)
+    out = {}
+    for dirpath, _, files in os.walk(base):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, base)] = (os.path.getsize(p), os.path.getmtime(p))
+    return out
+
+
+def test_state_merge_touches_only_affected_buckets(spark, tmp_path):
+    """State commits are bucket-surgical: a run that touches 2 urls must
+    leave every other state bucket's files byte-identical on disk."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    day1 = [(u, "2024-01-01 08:00:00", f"t1 {u}") for u in ("uA", "uB", "uC", "uD", "uE")]
+    run_pipeline(spark, _mk_pages(spark, day1), store, with_fold=True)
+    before = _file_listing(store, "fold_state")
+
+    day2 = [("uA", "2024-01-02 08:00:00", "t2 uA"), ("uD", "2024-01-02 09:00:00", "t2 uD")]
+    run_pipeline(spark, _mk_pages(spark, day1 + day2), store, with_fold=True)
+    after = _file_listing(store, "fold_state")
+
+    # buckets (xxhash64 pmod 64): uA=60 uB=24 uC=10 uD=56 uE=22
+    touched = {"state_bucket=60", "state_bucket=56"}
+    for rel, meta in before.items():
+        bucket = rel.split("/")[0]
+        if bucket not in touched:
+            assert after.get(rel) == meta, f"untouched {rel} was rewritten"
+    for b in touched:
+        assert {r for r in after if r.startswith(b)} != {
+            r for r in before if r.startswith(b)
+        }, f"{b} should have been rewritten"
+
+    # and the merged state equals a from-scratch fold of everything
+    from chainalytic_framework_spark.operators.fold import (
+        extract_state, fold_observations, prepare_observations,
+    )
+
+    expect = extract_state(fold_observations(prepare_observations(_mk_pages(spark, day1 + day2))))
+    got = store.read("fold_state").drop("state_bucket")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_targeted_backfill_equals_full_rebuild(spark, tmp_path):
+    """An out-of-order backfill day re-folds ONLY urls present in that
+    day: result equals a from-scratch rebuild bit-for-bit, and day
+    partitions / state buckets of untouched urls are never rewritten."""
+    store = TableStore(spark, str(tmp_path / "wh"))
+    v1 = [
+        ("uA", "2024-01-01 08:00:00", "a1"), ("uB", "2024-01-01 09:00:00", "b1"),
+        ("uD", "2024-01-02 08:00:00", "d1"),
+        ("uA", "2024-01-03 08:00:00", "a3"), ("uC", "2024-01-03 09:00:00", "c3"),
+        ("uE", "2024-01-04 08:00:00", "e4"),
+    ]
+    run_pipeline(spark, _mk_pages(spark, v1), store, with_fold=True, input_snapshot_id="s1")
+    fold_before = _file_listing(store, "fold_events")
+    state_before = _file_listing(store, "fold_state")
+
+    # day 2 is re-delivered with a previously-missed uA crawl: the
+    # orchestrator invalidates that day's manifest rows (re-delivery)
+    backfill_row = ("uA", "2024-01-02 12:00:00", "a2-late")
+    m = store.read("checkpoints")
+    keep = m.where("NOT (tier = '1m' AND to_date(bucket_range_start) = date'2024-01-02')")
+    keep.write.mode("overwrite").parquet(store.path("checkpoints_new"))
+    store.write(store.read("checkpoints_new"), "checkpoints")
+
+    v2 = v1 + [backfill_row]
+    r = run_pipeline(spark, _mk_pages(spark, v2), store, with_fold=True, input_snapshot_id="s1")
+    assert r["pending_days"] == 1  # only the invalidated day
+
+    # bit-for-bit equality with a from-scratch rebuild on v2
+    fresh = TableStore(spark, str(tmp_path / "fresh"))
+    run_pipeline(spark, _mk_pages(spark, v2), fresh, with_fold=True, input_snapshot_id="s1")
+    for tbl in ("fold_events", "fold_state"):
+        a, b = store.read(tbl), fresh.read(tbl)
+        assert a.exceptAll(b).count() == 0, tbl
+        assert b.exceptAll(a).count() == 0, tbl
+
+    # surgical scope: touched urls = {uA, uD} (present in day 2).
+    # uE lives alone in day 4 / bucket 22 — its fold partition and state
+    # bucket files must be byte-identical.
+    fold_after = _file_listing(store, "fold_events")
+    state_after = _file_listing(store, "fold_state")
+    for rel, meta in fold_before.items():
+        if rel.startswith("bucket_day=2024-01-04"):
+            assert fold_after.get(rel) == meta, f"day-4 fold partition rewritten: {rel}"
+    for rel, meta in state_before.items():
+        if rel.split("/")[0] in ("state_bucket=22", "state_bucket=10", "state_bucket=24"):
+            assert state_after.get(rel) == meta, f"untouched state bucket rewritten: {rel}"
+
+    # the staged merge covered only affected days (1-3), never day 4,
+    # and carried no rows for untouched urls
+    staged = store.read("fold_events__staged")
+    days = {str(r["bucket_day"]) for r in staged.select("bucket_day").distinct().collect()}
+    assert "2024-01-04" not in days
+    assert staged.where(F.col("url").isin("uE")).count() == 0
 
 
 def test_retention_drops_only_covered(spark, store):
