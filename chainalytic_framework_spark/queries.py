@@ -105,6 +105,68 @@ def urls_over_threshold(tier_df: DataFrame, measure: str = "byte_size",
     return topk.crossJoin(F.broadcast(count_df))
 
 
+def series_points(
+    hot_tier_df: DataFrame,
+    cold_df: DataFrame | None,
+    measure: str = "point_count",
+    url: str | None = None,
+    t0=None,
+    t1=None,
+) -> DataFrame:
+    """UNIFIED hot+cold series read: one (url, bucket_start, value) view
+    over the hot tier table and the Gorilla cold blobs, so history is
+    served uniformly after fine tiers are cold-migrated and
+    retention-dropped (reference serves its whole history from one
+    store, ``zones/.../warehouse/storage.py:143-154``).
+
+    Plan shape at scale: cold blobs are pruned BEFORE decode on their
+    (measure, url, t0/t1) metadata — only overlapping blobs cross the
+    Arrow decode hop; the hot side is a partition-pruned columnar scan.
+    Where both tiers hold a bucket (migration ran before retention),
+    the HOT row wins (it is the authoritative, uncompressed copy).
+
+    ``t0``/``t1`` accept naive-UTC/aware datetimes or epoch seconds;
+    comparisons happen in epoch space (timezone-safe)."""
+    from .operators.retention import _to_epoch
+
+    e0 = _to_epoch(t0) if t0 is not None else None
+    e1 = _to_epoch(t1) if t1 is not None else None
+
+    hot = hot_tier_df.select(
+        "url", "url_hash", "bucket_start", F.col(measure).cast("long").alias("value")
+    ).withColumn("_src", F.lit(1))
+    if "gap_filled" in hot_tier_df.columns:
+        hot = hot.where(~hot_tier_df["gap_filled"])
+    parts = hot
+    if cold_df is not None:
+        from .operators.cold_store import decode_cold
+
+        blobs = cold_df.where(F.col("measure") == measure)
+        if url is not None:
+            blobs = blobs.where(F.col("url") == url)
+        if e0 is not None:
+            blobs = blobs.where(F.col("t1") >= F.lit(e0))  # blob overlaps [e0, e1)
+        if e1 is not None:
+            blobs = blobs.where(F.col("t0") < F.lit(e1))
+        cold = decode_cold(blobs).select(
+            "url", "url_hash", "bucket_start", F.col("value").cast("long").alias("value")
+        ).withColumn("_src", F.lit(0))
+        parts = hot.unionByName(cold)
+
+    if url is not None:
+        parts = parts.where(F.col("url") == url)
+    if e0 is not None:
+        parts = parts.where(F.col("bucket_start").cast("long") >= F.lit(e0))
+    if e1 is not None:
+        parts = parts.where(F.col("bucket_start").cast("long") < F.lit(e1))
+
+    return (
+        parts.groupBy("url", "url_hash", "bucket_start")
+        .agg(F.max_by("value", "_src").alias("value"))
+        .select("url", "url_hash", "bucket_start", "value")
+    )
+
+
 def stale_urls(state_df: DataFrame, as_of: dt.datetime, max_inactive_seconds: int,
                k: int = 1000) -> DataFrame:
     """Longest-inactive urls (reference: passive_stake_wallets sorted by

@@ -41,3 +41,34 @@ def test_cold_metadata_and_compression(spark, pages):
     assert dense.count() > 0
     tot = dense.agg(F.sum("raw_bytes").alias("raw"), F.sum("blob_bytes").alias("enc")).first()
     assert tot["enc"] < tot["raw"]
+
+
+def test_series_points_unified_hot_cold(spark, pages):
+    """Cold-migrating a tier then retention-dropping the old hot buckets
+    must not change what series_points serves."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.operators.cold_store import encode_cold
+    from chainalytic_framework_spark.operators.rollup import rollup_pages
+    from chainalytic_framework_spark.queries import series_points
+
+    tier = rollup_pages(pages, "1d", grain="url").cache()
+    baseline = series_points(tier, None, measure="byte_size")
+
+    cold = encode_cold(tier, measures=["byte_size"]).cache()
+    cut = tier.agg(F.min("bucket_start")).first()[0] + dt.timedelta(days=3)
+    hot_recent = tier.where(F.col("bucket_start") >= F.lit(cut))  # retention dropped the rest
+    unified = series_points(hot_recent, cold, measure="byte_size")
+
+    assert unified.exceptAll(baseline).count() == 0
+    assert baseline.exceptAll(unified).count() == 0
+
+    # single-url + window path (blob pruning on metadata)
+    u = tier.select("url").first()["url"]
+    t0 = dt.datetime(2024, 1, 2)
+    a = series_points(tier, None, measure="byte_size", url=u, t0=t0)
+    b = series_points(hot_recent, cold, measure="byte_size", url=u, t0=t0)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
