@@ -1,0 +1,74 @@
+"""Mergeable sketch partials for tier tables (HLL distinct-url counts).
+
+At 10^12 rows an exact per-bucket COUNT(DISTINCT url) is a full shuffle
+of the key space every time a coarser window is asked for — so tiers
+store a MERGEABLE HyperLogLog partial instead: the finest tier
+aggregates raw urls once (``hll_sketch_agg``, Apache DataSketches HLL
+inside Spark), and every coarser bucket is a cheap ``hll_union_agg`` of
+its children — the same continuous-aggregate contract as the numeric
+measures (operators/cascade.py), extended to a non-algebraic metric.
+Standard error ≈ 1.04/√2^lg_k (~1.6% at the default lg_k=12);
+``tests/test_sketches.py`` asserts the bound through a full cascade.
+
+Contract queries stay exact-form (a sketch estimate is not
+oracle-hashable); the sketch path is property-tested against exact
+distinct counts instead.
+
+Reference analogue: A4 set-size counts (``recent_stake_wallets.py``
+tracks an exact wallet set per window — viable per-zone, not at
+10^12 urls; SURVEY.md §2.11 sketch gap)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bucketing import bucket_start
+
+DEFAULT_LG_K = 12  # ~1.6% standard error, 4 KB max sketch
+
+
+def url_sketch_rollup(
+    obs: DataFrame,
+    tier_name: str,
+    keys: tuple[str, ...] = ("lang",),
+    time_col: str = "warc_ts",
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """Finest-tier sketch build: one HLL partial of distinct urls per
+    (bucket, keys) — the ONLY pass that ever sees raw urls."""
+    b = bucket_start(time_col, tier_name).alias("bucket_start")
+    present = [k for k in keys if k in obs.columns]
+    return (
+        obs.groupBy(b, *present)
+        .agg(
+            F.hll_sketch_agg("url", F.lit(lg_k)).alias("url_sketch"),
+            F.count(F.lit(1)).alias("point_count"),
+        )
+        .withColumn("tier", F.lit(tier_name))
+    )
+
+
+def url_sketch_downsample(
+    parent_df: DataFrame, child_tier_name: str, keys: tuple[str, ...] = ("lang",)
+) -> DataFrame:
+    """Coarser-tier sketch: union the stored child partials — never
+    re-reads raw urls (lossless w.r.t. the sketch state: HLL union is
+    exact over registers)."""
+    b = bucket_start("bucket_start", child_tier_name).alias("bucket_start")
+    present = [k for k in keys if k in parent_df.columns]
+    return (
+        parent_df.groupBy(b, *present)
+        .agg(
+            F.hll_union_agg("url_sketch").alias("url_sketch"),
+            F.sum("point_count").alias("point_count"),
+        )
+        .withColumn("tier", F.lit(child_tier_name))
+    )
+
+
+def with_estimate(sketch_df: DataFrame) -> DataFrame:
+    """Materialize the distinct-url estimate column (query time)."""
+    return sketch_df.withColumn(
+        "distinct_urls_est", F.hll_sketch_estimate("url_sketch")
+    )

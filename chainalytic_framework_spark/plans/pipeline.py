@@ -106,6 +106,7 @@ def run_pipeline(
     persist_observations: bool = True,
     with_cold_tier: bool = False,
     cold_source_tier: str = "1d",
+    with_sketches: bool = False,
     enforce_retention_now=None,
 ) -> dict:
     t_run = time.perf_counter()
@@ -190,6 +191,34 @@ def run_pipeline(
                  bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
                  input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
                  wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
+        )
+
+    # ---- optional: HLL distinct-url sketch tiers ----
+    # Mergeable partials (operators/sketches.py): the finest sketch tier
+    # reads the persisted obs (urls seen once), coarser tiers union the
+    # stored child sketches — distinct counts at any grain without ever
+    # re-shuffling the url key space.
+    if with_sketches:
+        from ..operators.sketches import url_sketch_downsample, url_sketch_rollup
+
+        t0 = time.perf_counter()
+        sk = url_sketch_rollup(obs, finest).withColumn(
+            "bucket_day", F.to_date("bucket_start")
+        )
+        store.overwrite_partitions(sk, f"sketch_{finest}", ["bucket_day"])
+        for child, parent in ms.cascade_pairs():
+            pdf = store.read(f"sketch_{parent}")
+            if SECONDS[child] <= 86400:
+                pdf = pdf.where(F.col("bucket_day").isin(pend))
+            out = url_sketch_downsample(pdf.drop("bucket_day"), child).withColumn(
+                "bucket_day", F.to_date("bucket_start")
+            )
+            store.overwrite_partitions(out, f"sketch_{child}", ["bucket_day"])
+        entries.append(
+            dict(tier="sketches", bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
+                 bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
+                 input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
+                 wall_seconds=time.perf_counter() - t0, docs_per_sec=0.0)
         )
 
     # ---- stateful fold: change-event stream + state table ----

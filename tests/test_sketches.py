@@ -1,0 +1,69 @@
+"""HLL sketch partials: cascade-merge correctness and error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.operators.fold import prepare_observations
+from chainalytic_framework_spark.operators.sketches import (
+    url_sketch_downsample,
+    url_sketch_rollup,
+    with_estimate,
+)
+from chainalytic_framework_spark.plans.pipeline import run_pipeline
+from chainalytic_framework_spark.synth import generate_pages
+from chainalytic_framework_spark.tables import TableStore
+
+
+def _assert_close(est_df, exact_df, keys):
+    j = est_df.join(exact_df, keys).select("distinct_urls_est", "exact")
+    bad = j.where(
+        (F.abs(F.col("distinct_urls_est") - F.col("exact")) > 5)
+        & (F.abs(F.col("distinct_urls_est") - F.col("exact")) / F.col("exact") > 0.05)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_sketch_cascade_error_bound(spark, pages):
+    """Sketches built at 1m and UNIONED up to 1d must estimate within
+    the HLL error bound of the exact distinct count computed from raw."""
+    obs = prepare_observations(pages).cache()
+    sk = url_sketch_rollup(obs, "1m")
+    for child in ("1h", "1d"):
+        sk = url_sketch_downsample(sk, child)
+    est = with_estimate(sk)
+    exact = (
+        obs.select(
+            F.timestamp_seconds((F.col("warc_ts").cast("long") / 86400).cast("long") * 86400)
+            .alias("bucket_start"),
+            "lang",
+            "url",
+        )
+        .groupBy("bucket_start", "lang")
+        .agg(F.count_distinct("url").alias("exact"))
+    )
+    _assert_close(est, exact, ["bucket_start", "lang"])
+    # merged point_count partial must stay exact
+    pc = sk.groupBy().agg(F.sum("point_count").alias("n")).first()["n"]
+    assert pc == obs.count()
+
+
+def test_pipeline_writes_sketch_tiers(spark, tmp_path):
+    pages = generate_pages(spark, 3000).cache()
+    store = TableStore(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, pages, store, with_fold=False, with_sketches=True)
+    for t in ("1m", "1h", "1d", "30d"):
+        assert store.exists(f"sketch_{t}"), t
+    est = with_estimate(store.read("sketch_1d"))
+    exact = (
+        prepare_observations(pages)
+        .select(
+            F.timestamp_seconds((F.col("warc_ts").cast("long") / 86400).cast("long") * 86400)
+            .alias("bucket_start"),
+            "lang",
+            "url",
+        )
+        .groupBy("bucket_start", "lang")
+        .agg(F.count_distinct("url").alias("exact"))
+    )
+    _assert_close(est, exact, ["bucket_start", "lang"])
