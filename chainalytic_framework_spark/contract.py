@@ -1434,3 +1434,48 @@ def prefix_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents()).alias("cents"))
     )
+
+
+@q(
+    "lsh_verified_pairs_documents",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (
+      SELECT doc_id, {_MINHASH_COLS_SQL}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           CAST(round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) * 10000)
+                AS BIGINT) AS jaccard_x1e4
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.doc_id
+    JOIN sizes sb ON i.id_b = sb.doc_id
+    """,
+)
+def lsh_verified_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dup dedup pipeline wired end-to-end the way it runs
+    at 100 TB: LSH band buckets generate candidates, exact shingle
+    Jaccard verifies ONLY those candidates (never the shared-shingle
+    self-join of ngram_jaccard_pairs_documents, which is quadratic-ish
+    on boilerplate shingles at scale)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = _dd.minhash_signatures(d)
+    pairs = _dd.lsh_candidate_pairs(sigs)
+    v = _dd.ngram_jaccard_pairs(d, pairs, "text", "doc_id")
+    return v.select(
+        "id_a", "id_b",
+        F.round(F.col("jaccard") * 10000).cast("long").alias("jaccard_x1e4"),
+    )

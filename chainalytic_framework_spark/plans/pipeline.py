@@ -272,8 +272,10 @@ def run_pipeline(
             else:
                 fold_out = fold_observations(obs)
             fold_days = fold_out.withColumn("bucket_day", F.to_date("warc_ts"))
+            # hash clustering, NOT range: repartitionByRange's sampling
+            # job would recompute the entire pandas fold a second time
             store.overwrite_partitions(
-                store.cluster_for_write(fold_days, ["bucket_day"], secondary="url_hash"),
+                store.cluster_for_write_hash(fold_days, ["bucket_day"], secondary="url_hash"),
                 FOLD_TABLE, ["bucket_day"],
             )
             written = store.read(FOLD_TABLE).where(F.col("bucket_day").isin(pend))

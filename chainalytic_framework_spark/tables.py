@@ -80,6 +80,29 @@ class TableStore:
         n = self.spark.sparkContext.defaultParallelism
         return df.repartitionByRange(n, *cols)
 
+    def cluster_for_write_hash(self, df: DataFrame, partition_by: list[str],
+                               secondary: str | None = "url_hash",
+                               n_secondary_groups: int | None = None) -> DataFrame:
+        """Hash-clustered variant of ``cluster_for_write`` for EXPENSIVE
+        upstream plans: ``repartitionByRange`` runs a separate sampling
+        job that RECOMPUTES the child plan — when the child is a pandas
+        fold, that doubles the most expensive stage of the run. Hash
+        repartition on (partition cols, pmod(secondary)) does one
+        shuffle with no sampling pass; a local sort restores row-group
+        min/max clustering on the secondary key. File count ≈
+        one per (partition value, secondary group) per task — bounded,
+        though without range's global ordering."""
+        from pyspark.sql import functions as F
+
+        n = self.spark.sparkContext.defaultParallelism
+        cols = [F.col(c) for c in partition_by]
+        sort_cols = list(partition_by)
+        if secondary and secondary in df.columns:
+            groups = n_secondary_groups or n
+            cols.append(F.pmod(F.col(secondary), F.lit(groups)))
+            sort_cols.append(secondary)
+        return df.repartition(n, *cols).sortWithinPartitions(*sort_cols)
+
     def overwrite_partitions(self, df: DataFrame, name: str, partition_by: list[str]) -> None:
         """Dynamic partition overwrite — the parquet analogue of Iceberg
         ``overwritePartitions()``; idempotent re-runs of a bucket range
@@ -121,7 +144,7 @@ class TableStore:
         secondary = "url_hash" if "url_hash" in delta.columns else None
         if not self.exists(name):
             self.write(
-                self.cluster_for_write(delta, [partition_col], secondary=secondary),
+                self.cluster_for_write_hash(delta, [partition_col], secondary=secondary),
                 name, partition_by=[partition_col],
             )
             return
@@ -147,7 +170,9 @@ class TableStore:
             .join(delta.select(key).distinct(), key, "left_anti")
         )
         merged = delta.unionByName(keep.select(delta.columns))
-        merged = self.cluster_for_write(merged, [partition_col], secondary=secondary)
+        # hash clustering: range sampling would recompute the delta plan
+        # (often a pandas fold) a second time
+        merged = self.cluster_for_write_hash(merged, [partition_col], secondary=secondary)
         staged = f"{name}__staged"
         self.write(merged, staged, partition_by=[partition_col])
         self.overwrite_partitions(self.read(staged), name, [partition_col])
