@@ -1479,3 +1479,36 @@ def lsh_verified_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.round(F.col("jaccard") * 10000).cast("long").alias("jaccard_x1e4"),
     )
+
+
+@q(
+    "ivf_topk_embeddings",
+    """
+    WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(round(list_cosine_similarity(e.embedding, qv.q) * 10000) AS BIGINT)
+             AS cos_sim_x1e4
+    FROM embeddings e, qv
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim_x1e4 DESC, e.vec_id LIMIT 20
+    """,
+)
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN through the gate: train the coarse quantizer
+    (deterministic Lloyd's), assign, probe ALL clusters — full probe
+    degenerates to exact brute force, which the oracle can express.
+    (Partial-probe recall is property-tested in
+    tests/test_dedup_similarity.py; centroid float jitter cannot leak
+    into this result because every cluster is scanned.)"""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") != 0)
+    qvec = [float(v) for v in e.where("vec_id = 0").first()["embedding"]]
+    cents = _sim.ivf_train(base, n_centroids=8, n_iters=2)
+    hits = _sim.ivf_topk(base, qvec, cents, k=10_000, n_probe=len(cents))
+    return (
+        hits.select(
+            "vec_id", F.round(F.col("cos_sim") * 10000, 0).cast("long").alias("cos_sim_x1e4")
+        )
+        .orderBy(F.desc("cos_sim_x1e4"), "vec_id")
+        .limit(20)
+    )

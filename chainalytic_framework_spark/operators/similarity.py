@@ -13,6 +13,11 @@
 - ``cosine_pairs_over_threshold``: embedding near-dup detection —
   within-bucket pairwise cosine, thresholded (dedup family's
   embedding-cosine variant).
+- ``ivf_train`` / ``ivf_assign`` / ``ivf_topk``: IVF-flat ANN — a
+  deterministic Lloyd's coarse quantizer (centroids as plan literals),
+  codegen cluster assignment, and an n_probe-cluster probe. Full probe
+  degenerates to exact brute force (oracle-checked); partial probe is
+  the 1/k-scan scale path (recall property-tested).
 
 Projection vectors are deterministic (seeded splitmix64 → uniform in
 [-1, 1]) and embedded as plan literals — identical in the DuckDB
@@ -88,6 +93,66 @@ def ann_topk(emb: DataFrame, query_vec: list[float], planes: list[list[float]],
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its max-cosine centroid. Centroids are plan
+    literals (k is small: 2^4–2^12 even at 10^12 vectors), so the
+    assignment is pure codegen — one scan, no shuffle, no Python. At
+    scale the cluster id is a STORED column and the table is written
+    partitioned by it, making every probe a partition-pruned scan."""
+    sims = F.array(*[
+        cosine(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])) for c in centroids
+    ])
+    cluster = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return emb.withColumn("cluster", cluster)
+
+
+def ivf_train(emb: DataFrame, n_centroids: int = 16, n_iters: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    centroids seeded from the n lowest-id vectors (stateless, no RNG),
+    then ``n_iters`` assign→mean rounds. Each round is ONE scan: the
+    per-dimension mean is a codegen aggregation (dim avg columns); only
+    k×dim floats ever reach the driver (bounded metadata, not data).
+    Empty clusters keep their previous centroid."""
+    first = emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    cents = [[float(v) for v in r[vec_col]] for r in first]
+    dim = len(cents[0])
+    for _ in range(n_iters):
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col(vec_col)[i].cast("double")).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new = list(cents)
+        for r in rows:
+            new[r["cluster"]] = [float(r[f"d{i}"]) for i in range(dim)]
+        cents = new
+    return cents
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], centroids: list[list[float]],
+             k: int = 20, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF probe: rank centroids against the query DRIVER-side (k×dim
+    floats), scan only the ``n_probe`` nearest clusters, exact cosine
+    top-k within them. n_probe == n_centroids degenerates to the exact
+    brute-force result (tested); smaller n_probe trades recall for a
+    1/k-ish fraction of the scan — the standard IVF-flat contract."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    c = np.asarray(centroids, dtype=np.float64)
+    sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-30)
+    probes = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    cand = ivf_assign(emb, centroids, id_col, vec_col).where(F.col("cluster").isin(probes))
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
