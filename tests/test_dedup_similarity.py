@@ -112,3 +112,24 @@ def test_ivf_partial_probe_recall(spark):
     got = {r["vec_id"] for r in ivf_topk(base, qvec, cents, k=20, n_probe=4).collect()}
     recall = len(got & brute) / 20
     assert recall >= 0.5, recall  # measured 0.65 with half the clusters probed
+
+
+def test_multi_probe_lsh_recall_monotone(spark):
+    """Hamming-h multi-probe must monotonically raise recall over
+    single-probe (measured 0.15 / 0.50 / 0.70 at h=0/1/2 with 4 planes;
+    asserted with margin)."""
+    from chainalytic_framework_spark.operators.similarity import (
+        ann_topk, brute_force_topk, projection_planes,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = e.where("vec_id != 0").cache()
+    qvec = [float(v) for v in e.where("vec_id = 0").first()["embedding"]]
+    planes = projection_planes(64, n_planes=4)
+    brute = {r["vec_id"] for r in brute_force_topk(base, qvec, k=20).collect()}
+    recalls = []
+    for h in (0, 1, 2):
+        got = {r["vec_id"] for r in ann_topk(base, qvec, planes, k=20, hamming_probe=h).collect()}
+        recalls.append(len(got & brute) / 20)
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    assert recalls[1] >= 0.4 and recalls[2] >= 0.6, recalls
