@@ -72,3 +72,61 @@ def with_estimate(sketch_df: DataFrame) -> DataFrame:
     return sketch_df.withColumn(
         "distinct_urls_est", F.hll_sketch_estimate("url_sketch")
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL percentile partials (Datasketches KLL — mergeable quantiles)
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch_rollup(
+    obs: DataFrame,
+    tier_name: str,
+    value_col: str = "text_len",
+    keys: tuple[str, ...] = ("lang",),
+    time_col: str = "warc_ts",
+    k: int = 200,
+) -> DataFrame:
+    """Finest-tier KLL partial of a measure's distribution per (bucket,
+    keys): percentiles at ANY coarser grain become a merge of stored
+    partials instead of a re-sort of raw values (exact percentile is a
+    full per-group sort at 10^12 rows). k=200 ⇒ ~1.3% max rank error
+    (Datasketches KLL guarantee); tests assert the bound through a
+    cascade."""
+    b = bucket_start(time_col, tier_name).alias("bucket_start")
+    present = [k_ for k_ in keys if k_ in obs.columns]
+    return (
+        obs.groupBy(b, *present)
+        .agg(
+            F.kll_sketch_agg_bigint(F.col(value_col).cast("long"), F.lit(k)).alias("kll"),
+            F.count(F.lit(1)).alias("point_count"),
+        )
+        .withColumn("tier", F.lit(tier_name))
+    )
+
+
+def quantile_sketch_downsample(
+    parent_df: DataFrame, child_tier_name: str, keys: tuple[str, ...] = ("lang",)
+) -> DataFrame:
+    """Coarser-tier quantile partial: merge the stored child KLLs."""
+    b = bucket_start("bucket_start", child_tier_name).alias("bucket_start")
+    present = [k_ for k_ in keys if k_ in parent_df.columns]
+    return (
+        parent_df.groupBy(b, *present)
+        .agg(
+            F.kll_merge_agg_bigint("kll").alias("kll"),
+            F.sum("point_count").alias("point_count"),
+        )
+        .withColumn("tier", F.lit(child_tier_name))
+    )
+
+
+def with_quantiles(sketch_df: DataFrame, qs: tuple[float, ...] = (0.5, 0.95, 0.99)) -> DataFrame:
+    """Materialize quantile estimates from the stored KLL partial."""
+    out = sketch_df
+    for q in qs:
+        out = out.withColumn(
+            f"q{int(q * 100)}",
+            F.kll_sketch_get_quantile_bigint("kll", F.lit(float(q))),
+        )
+    return out

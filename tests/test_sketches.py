@@ -67,3 +67,49 @@ def test_pipeline_writes_sketch_tiers(spark, tmp_path):
         .agg(F.count_distinct("url").alias("exact"))
     )
     _assert_close(est, exact, ["bucket_start", "lang"])
+
+
+def test_kll_quantile_cascade_error_bound(spark, pages):
+    """KLL partials built at 1m and MERGED up to 1d must land within the
+    sketch's rank-error bound of the exact per-bucket percentiles."""
+    from chainalytic_framework_spark.operators.sketches import (
+        quantile_sketch_downsample,
+        quantile_sketch_rollup,
+        with_quantiles,
+    )
+
+    obs = prepare_observations(pages).cache()
+    sk = quantile_sketch_rollup(obs, "1m", value_col="text_len")
+    for child in ("1h", "1d"):
+        sk = quantile_sketch_downsample(sk, child)
+    est = with_quantiles(sk, qs=(0.5, 0.95))
+
+    exact = (
+        obs.select(
+            F.timestamp_seconds((F.col("warc_ts").cast("long") / 86400).cast("long") * 86400)
+            .alias("bucket_start"),
+            "lang",
+            "text_len",
+        )
+        .groupBy("bucket_start", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(text_len, 0.5)").alias("x50"),
+            F.expr("percentile(text_len, 0.95)").alias("x95"),
+            F.expr("percentile(text_len, 0.465)").alias("x50_lo"),
+            F.expr("percentile(text_len, 0.535)").alias("x50_hi"),
+            F.expr("percentile(text_len, 0.915)").alias("x95_lo"),
+            F.expr("percentile(text_len, 0.985)").alias("x95_hi"),
+        )
+    )
+    # KLL k=200 guarantees ~1.3% rank error; allow 3.5% rank slack:
+    # the q-th estimate must lie within the exact [q-3.5%, q+3.5%] band.
+    # Groups with n < 50 are excluded — there Spark's exact percentile
+    # INTERPOLATES between data values while KLL returns an actual data
+    # value, so the comparison is structural noise, not sketch error.
+    j = est.join(exact, ["bucket_start", "lang"]).where("n >= 50")
+    bad = j.where(
+        (F.col("q50") < F.col("x50_lo")) | (F.col("q50") > F.col("x50_hi"))
+        | (F.col("q95") < F.col("x95_lo")) | (F.col("q95") > F.col("x95_hi"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
