@@ -1,0 +1,90 @@
+"""spark-submit entry point (north rule: ``spark-submit --py-files``).
+
+Cluster usage:
+
+    zip -r cfs.zip chainalytic_framework_spark
+    spark-submit --py-files cfs.zip \
+        --conf spark.sql.shuffle.partitions=4096 \
+        -m chainalytic_framework_spark run \
+        --input s3://bucket/pages/ --warehouse s3://bucket/wh/ \
+        --snapshot-id $SNAPSHOT --with-sketches
+
+    python -m chainalytic_framework_spark synth --rows 1000000 --out /tmp/pages
+
+The ``run`` subcommand is one idempotent pipeline increment: pending
+days are derived from the manifest, tiers/fold/state commit via dynamic
+partition overwrite + merge_upsert, so re-running after a failure is
+safe. Environment knobs (SPARK_GRAFT_*) are documented in session.py,
+bucketing.py and plans/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def _cmd_run(args: argparse.Namespace) -> None:
+    from .plans.pipeline import run_pipeline
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-run")
+    pages = spark.read.parquet(args.input)
+    store = TableStore(spark, args.warehouse)
+    retention_now = (
+        dt.datetime.fromisoformat(args.retention_now) if args.retention_now else None
+    )
+    result = run_pipeline(
+        spark,
+        pages,
+        store,
+        metric_set=args.metric_set,
+        input_snapshot_id=args.snapshot_id,
+        with_fold=not args.no_fold,
+        with_sketches=args.with_sketches,
+        with_cold_tier=args.with_cold_tier,
+        enforce_retention_now=retention_now,
+    )
+    print(json.dumps(result))
+
+
+def _cmd_synth(args: argparse.Namespace) -> None:
+    from .session import get_active_or_build
+    from .synth import generate_pages
+
+    spark = get_active_or_build(app_name="cfs-synth")
+    generate_pages(spark, args.rows, seed=args.seed).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": args.rows, "out": args.out}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="chainalytic_framework_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="one idempotent pipeline increment")
+    r.add_argument("--input", required=True, help="pages parquet/Iceberg path")
+    r.add_argument("--warehouse", required=True, help="tier/state warehouse root")
+    r.add_argument("--metric-set", default="default")
+    r.add_argument("--snapshot-id", default="", help="input snapshot lineage id")
+    r.add_argument("--no-fold", action="store_true")
+    r.add_argument("--with-sketches", action="store_true")
+    r.add_argument("--with-cold-tier", action="store_true")
+    r.add_argument("--retention-now", default=None,
+                   help="ISO datetime (UTC) to enforce retention against")
+    r.set_defaults(fn=_cmd_run)
+
+    s = sub.add_parser("synth", help="generate deterministic synthetic pages")
+    s.add_argument("--rows", type=int, required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=_cmd_synth)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

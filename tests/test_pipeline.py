@@ -233,3 +233,26 @@ def test_pipeline_cold_and_retention_stages(spark, store):
         store.read("tier_1m").count() < store.read("tier_1h").count() * 100
     m = read_manifest(store)
     assert m.where("tier = 'cold_1d'").count() == 1
+
+
+def test_cli_run_idempotent(spark, tmp_path):
+    """python -m chainalytic_framework_spark: synth -> run -> no-op re-run
+    (the spark-submit entry point; reuses the active test session)."""
+    import json
+
+    from chainalytic_framework_spark.__main__ import main
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
+    store = TableStore(spark, wh)
+    assert store.exists("tier_30d") and store.exists("fold_state")
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["pending_days"] == 0
