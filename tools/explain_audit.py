@@ -70,6 +70,32 @@ def main() -> int:
     ok &= audit("asof join: one shuffle family on key",
                 contract.asof_join_events(spark, sf),
                 {"max_exchanges": 4})
+    ok &= audit("registry rollup+cascade: two agg shuffles, no extra",
+                contract.registry_rollup_1h_events(spark, sf),
+                {"max_exchanges": 2})
+    ok &= audit("ivf assign+probe: codegen literals, single topk shuffle family",
+                contract.ivf_topk_embeddings(spark, sf),
+                {"max_exchanges": 2, "take_ordered": True})
+    ok &= audit("simhash hamming pairs: segment-keyed join, no cartesian",
+                contract.simhash_hamming_pairs_documents(spark, sf),
+                {})
+
+    # fold_events write path must NOT contain a range-sampling exchange:
+    # repartitionByRange would recompute the pandas fold for its sample
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.operators.fold import fold_observations
+    from chainalytic_framework_spark.tables import TableStore
+
+    fold_days = fold_observations(prepare_observations(pages)).withColumn(
+        "bucket_day", F.to_date("warc_ts")
+    )
+    store = TableStore(spark, "/tmp/cfs_audit_wh")
+    clustered = store.cluster_for_write_hash(fold_days, ["bucket_day"], secondary="url_hash")
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    no_range = "rangepartitioning" not in plan.lower()
+    print(("OK " if no_range else "BAD") + " fold write clustering: hash, no range-sampling pass")
+    ok &= no_range
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
