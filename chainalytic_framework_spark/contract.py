@@ -1512,3 +1512,38 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim_x1e4"), "vec_id")
         .limit(20)
     )
+
+
+@q(
+    "retained_users_daily_events",
+    """
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT CAST(epoch(CAST(b.day AS TIMESTAMP)) AS BIGINT) AS day_epoch,
+           COUNT(*) AS retained
+    FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day + 1
+    GROUP BY 1
+    """,
+)
+def retained_users_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact day-over-day retained distinct users (set intersection over
+    time — the exact form of the theta-sketch retention path in
+    operators/sketches.py, which replaces this key-space self-join with
+    a join of per-day sketch rows at 10^12 keys)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "user_id"
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
+    )
+    return (
+        j.groupBy(F.col("b.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("retained"))
+        .select(
+            F.col("day").cast("timestamp").cast("long").alias("day_epoch"),
+            "retained",
+        )
+    )

@@ -130,3 +130,42 @@ def with_quantiles(sketch_df: DataFrame, qs: tuple[float, ...] = (0.5, 0.95, 0.9
             F.kll_sketch_get_quantile_bigint("kll", F.lit(float(q))),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches: SET-OPERATION distinct counts (retention / churn)
+# ---------------------------------------------------------------------------
+
+
+def theta_key_sketch_daily(
+    df: DataFrame, key_col: str = "url", time_col: str = "warc_ts"
+) -> DataFrame:
+    """One theta sketch of the distinct keys per day. Unlike HLL, theta
+    sketches support INTERSECTION and DIFFERENCE — the primitives behind
+    retention/churn questions ("how many of yesterday's urls came back
+    today?") that at 10^12 keys would otherwise be a day-over-day
+    distinct self-join of the full key space."""
+    return (
+        df.select(F.to_date(F.col(time_col).cast("timestamp")).alias("day"), key_col)
+        .groupBy("day")
+        .agg(F.theta_sketch_agg(key_col).alias("keys_theta"))
+    )
+
+
+def retained_estimate(daily_theta: DataFrame) -> DataFrame:
+    """Day-over-day retention from stored theta partials: for each day,
+    the estimated |keys(day) ∩ keys(day-1)|, |union|, and the retention
+    ratio — a join of 365 sketch rows/year, never of the key space."""
+    a = daily_theta.alias("a")
+    b = daily_theta.alias("b")
+    j = a.join(b, F.col("b.day") == F.date_add(F.col("a.day"), 1))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("a.keys_theta"), F.col("b.keys_theta"))
+    )
+    prev = F.theta_sketch_estimate(F.col("a.keys_theta"))
+    return j.select(
+        F.col("b.day").alias("day"),
+        inter.alias("retained_est"),
+        prev.alias("prev_total_est"),
+        (inter / prev).alias("retention_ratio_est"),
+    )

@@ -113,3 +113,31 @@ def test_kll_quantile_cascade_error_bound(spark, pages):
         | (F.col("q95") < F.col("x95_lo")) | (F.col("q95") > F.col("x95_hi"))
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_theta_retention_error_bound(spark, pages):
+    """Theta-sketch retention estimates must track the exact day-over-day
+    intersection within 5% (or ±5 keys on small days)."""
+    from chainalytic_framework_spark.operators.sketches import (
+        retained_estimate,
+        theta_key_sketch_daily,
+    )
+
+    obs = prepare_observations(pages).cache()
+    est = retained_estimate(theta_key_sketch_daily(obs, key_col="url"))
+
+    d = obs.select(F.to_date("warc_ts").alias("day"), "url").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    exact = (
+        a.join(b, (F.col("a.url") == F.col("b.url"))
+               & (F.col("b.day") == F.date_add(F.col("a.day"), 1)))
+        .groupBy(F.col("b.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    j = est.join(exact, "day")
+    bad = j.where(
+        (F.abs(F.col("retained_est") - F.col("exact")) > 5)
+        & (F.abs(F.col("retained_est") - F.col("exact")) / F.col("exact") > 0.05)
+    )
+    assert j.count() > 0
+    assert bad.count() == 0, bad.limit(5).collect()
