@@ -58,12 +58,21 @@ def append_entries(
     """Atomically append manifest rows (one parquet commit)."""
     if not entries:
         return
-    now = dt.datetime.utcnow()
+
+    def _utc(x: dt.datetime) -> dt.datetime:
+        # tz-aware UTC: a NAIVE datetime is serialized through the
+        # driver's LOCAL timezone (TimestampType.toInternal/mktime), so
+        # on a non-UTC driver naive manifest rows shift — committed_days
+        # then renders a different UTC day and resume re-runs committed
+        # work forever. Aware datetimes serialize via .timestamp(): exact.
+        return x.replace(tzinfo=dt.timezone.utc) if x.tzinfo is None else x
+
+    now = dt.datetime.now(dt.timezone.utc)
     rows = [
         (
             e["tier"],
-            e["bucket_range_start"],
-            e["bucket_range_end"],
+            _utc(e["bucket_range_start"]),
+            _utc(e["bucket_range_end"]),
             int(e.get("partition_id", -1)),
             e.get("input_snapshot_id", ""),
             int(e.get("rows_in", 0)),

@@ -172,8 +172,12 @@ def stale_urls(state_df: DataFrame, as_of: dt.datetime, max_inactive_seconds: in
     """Longest-inactive urls (reference: passive_stake_wallets sorted by
     inactive duration desc, cap 1000, storage.py:357-381) over the fold
     state table."""
+    from .operators.retention import _to_epoch
+
+    # epoch compare: a naive as_of literal would be re-interpreted in the
+    # driver's local timezone (naive inputs mean UTC here)
     inact = state_df.withColumn(
         "inactive_seconds",
-        (F.lit(as_of).cast("long") - F.col("last_ts").cast("long")),
+        (F.lit(_to_epoch(as_of)) - F.col("last_ts").cast("long")),
     ).where(F.col("inactive_seconds") <= max_inactive_seconds)
     return inact.orderBy(F.desc("inactive_seconds"), "url").limit(k)
