@@ -47,6 +47,10 @@ def gapfill_locf(
     """Fill per-url bucket gaps with LOCF. Input: url-grain tier table
     (bucket_start, url_hash, url, lang, measures...). Output: same
     schema, gap rows added with gap_filled=true.
+
+    ``range_start`` contract: pass a value on the SAME timestamp basis
+    as the tier data — a timestamp collected from the tier (or derived
+    from one) round-trips consistently through F.lit on any driver.
     """
     secs = SECONDS[tier_name]
     obs = tier_df.select(

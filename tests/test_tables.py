@@ -35,3 +35,32 @@ def test_delete_where_partition(spark, tmp_path):
     removed = store.delete_where_partition("t", "p", ["0", "nonexistent"])
     assert removed == 1
     assert store.read("t").where("p = '0'").count() == 0
+
+
+def test_merge_upsert_sequence_equals_last_wins(spark, tmp_path):
+    """N sequential merge_upserts must leave exactly the last-written row
+    per key, regardless of which buckets each delta touched."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    rng = random.Random(7)
+    expected: dict[str, int] = {}
+    for round_no in range(4):
+        keys = rng.sample([f"u{i}" for i in range(40)], k=rng.randint(5, 15))
+        rows = [(k, round_no * 1000 + i) for i, k in enumerate(keys)]
+        for k, v in rows:
+            expected[k] = v
+        delta = spark.createDataFrame(rows, "url string, val long").select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            "val",
+            F.pmod(F.xxhash64("url"), F.lit(8)).cast("int").alias("state_bucket"),
+        )
+        store.merge_upsert(delta, "seq_state", key="url", partition_col="state_bucket")
+
+    got = {r["url"]: r["val"] for r in store.read("seq_state").collect()}
+    assert got == expected
