@@ -73,20 +73,36 @@ def start_stream_to_store(
     store: TableStore,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    with_sketches: bool = False,
 ):
     """foreachBatch sink: each micro-batch's tier rows are appended
     through the TableStore (Iceberg MERGE on a cluster; partitioned
     parquet append here). availableNow=True drains the backlog and
-    stops — the batch-parity mode used by tests."""
+    stops — the batch-parity mode used by tests.
+
+    ``with_sketches``: additionally append one HLL distinct-url partial
+    per finalized (bucket, lang) — an APPEND-ONLY partial log (never a
+    streaming read-modify-write): sketches are mergeable, so the read
+    path unions the log (``stream_sketch_estimate``), and the batch
+    cascade compacts it, exactly like the numeric-measure split."""
     stream = streaming_rollup_1m(read_pages_stream(spark, pages_path))
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         out = with_layout_columns(batch_df)
+        out.persist()
         out.write.mode("append").partitionBy("bucket_day").parquet(
             store.path("tier_1m_stream")
         )
+        if with_sketches:
+            (
+                out.groupBy("bucket_start", "lang")
+                .agg(F.hll_sketch_agg("url").alias("url_sketch"))
+                .write.mode("append")
+                .parquet(store.path("sketch_1m_stream"))
+            )
+        out.unpersist()
 
     writer = (
         stream.writeStream.outputMode("append")
@@ -96,3 +112,15 @@ def start_stream_to_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sketch_estimate(store: TableStore) -> DataFrame:
+    """Merge-at-read over the streaming sketch partial log: distinct-url
+    estimates per (bucket, lang) via hll_union_agg — correct however
+    many micro-batches contributed partials for a bucket."""
+    return (
+        store.read("sketch_1m_stream")
+        .groupBy("bucket_start", "lang")
+        .agg(F.hll_union_agg("url_sketch").alias("url_sketch"))
+        .withColumn("distinct_urls_est", F.hll_sketch_estimate("url_sketch"))
+    )

@@ -42,3 +42,42 @@ def test_stream_drain_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert store.read("tier_1m_stream").count() == n_before
+
+
+def test_stream_sketch_partials_match_exact(spark, tmp_path):
+    """Streaming HLL partial log, merged at read, must estimate the
+    exact per-bucket distinct-url counts within the sketch bound."""
+    pages = generate_pages(spark, 2000)
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    from chainalytic_framework_spark.streaming.stream import stream_sketch_estimate
+
+    q = start_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True, with_sketches=True,
+    )
+    q.awaitTermination(300)
+
+    est = stream_sketch_estimate(store)
+    raw = spark.read.parquet(src)
+    horizon = raw.agg(F.max("warc_ts")).first()[0] - __import__("datetime").timedelta(minutes=11)
+    exact = (
+        raw.select(
+            F.timestamp_seconds((F.col("warc_ts").cast("long") / 60).cast("long") * 60)
+            .alias("bucket_start"),
+            "lang",
+            "url",
+        )
+        .groupBy("bucket_start", "lang")
+        .agg(F.count_distinct("url").alias("exact"))
+        .where(F.col("bucket_start") < F.lit(horizon))
+    )
+    j = est.join(exact, ["bucket_start", "lang"])
+    bad = j.where(
+        (F.abs(F.col("distinct_urls_est") - F.col("exact")) > 5)
+        & (F.abs(F.col("distinct_urls_est") - F.col("exact")) / F.col("exact") > 0.05)
+    )
+    assert j.count() > 0
+    assert bad.count() == 0
