@@ -124,3 +124,37 @@ def stream_sketch_estimate(store: TableStore) -> DataFrame:
         .agg(F.hll_union_agg("url_sketch").alias("url_sketch"))
         .withColumn("distinct_urls_est", F.hll_sketch_estimate("url_sketch"))
     )
+
+
+def compact_stream_into_batch(store: TableStore) -> list:
+    """Fold the streaming edge into the batch history: move the stream
+    table's CLOSED days into ``tier_1m`` (idempotent dynamic partition
+    overwrite, deduped — a crash between foreachBatch's write and the
+    checkpoint commit can double-append a finalized window, and
+    finalized windows are deterministic so ``distinct`` is exact), then
+    drop those days from the stream table. Coarser tiers re-derive from
+    the compacted 1m partitions on the next batch run — the standard
+    continuous-aggregate handoff (streaming keeps the edge fresh, batch
+    owns the heavy history). Returns the compacted day list."""
+    if not store.exists("tier_1m_stream"):
+        return []
+    stream_rows = store.read("tier_1m_stream").distinct()
+    days = [r["bucket_day"] for r in stream_rows.select("bucket_day").distinct().collect()]
+    if not days:
+        return []
+    merged = stream_rows
+    if store.exists("tier_1m"):
+        existing = store.read("tier_1m").where(F.col("bucket_day").isin(days))
+        # stream rows win inside their days (they carry the freshest edge)
+        keep = existing.join(
+            stream_rows.select("bucket_start", "url_hash").distinct(),
+            ["bucket_start", "url_hash"],
+            "left_anti",
+        )
+        merged = stream_rows.unionByName(keep.select(stream_rows.columns))
+    store.overwrite_partitions(
+        store.cluster_for_write_hash(merged, ["bucket_day"], secondary="url_hash"),
+        "tier_1m", ["bucket_day"],
+    )
+    store.delete_where_partition("tier_1m_stream", "bucket_day", [str(d) for d in days])
+    return days

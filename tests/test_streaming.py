@@ -81,3 +81,39 @@ def test_stream_sketch_partials_match_exact(spark, tmp_path):
     )
     assert j.count() > 0
     assert bad.count() == 0
+
+
+def test_compact_stream_into_batch_matches_batch_rollup(spark, tmp_path):
+    """Drain a stream, compact into tier_1m: the compacted region must
+    equal the batch rollup of the same input, and the stream table must
+    be empty afterwards (handoff complete)."""
+    from chainalytic_framework_spark.streaming.stream import compact_stream_into_batch
+
+    pages = generate_pages(spark, 2000)
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    q = start_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination(300)
+
+    days = compact_stream_into_batch(store)
+    assert days
+    assert not store.exists("tier_1m_stream")  # partitions dropped
+
+    raw = spark.read.parquet(src)
+    horizon = raw.agg(F.max("warc_ts")).first()[0] - __import__("datetime").timedelta(minutes=11)
+    got = (
+        store.read("tier_1m").drop("bucket_day", "url_bucket", "tier", "gap_filled")
+        .where(F.col("bucket_start") < F.lit(horizon))
+    )
+    exp = (
+        rollup_pages(raw, "1m", grain="url").drop("tier", "gap_filled")
+        .where(F.col("bucket_start") < F.lit(horizon))
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    # idempotent: compacting again is a no-op
+    assert compact_stream_into_batch(store) == []
