@@ -111,3 +111,60 @@ def streaming_fold(pages_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# TTL-timer variant: true W5 expiry EVENTS via EventTimeTimeout
+# ---------------------------------------------------------------------------
+
+EXPIRY_OUTPUT_SCHEMA = OUTPUT_SCHEMA + ", expiry_event boolean"
+
+
+def _fold_url_ttl(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """The fold plus a REAL timer: when the event-time watermark passes
+    last_ts + TTL without a new crawl, the state times out and one
+    explicit expiry EVENT row is emitted (reference W5: the unlock
+    timer fires a state transition by itself, ``stake_history.py:85-100``
+    — not merely a flag on the next observation), then the key's state
+    is dropped (bounded state under url churn)."""
+    (url,) = key
+    if state.hasTimedOut:
+        last_ts_us, last_hash, rev, pts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "url": [url],
+                "warc_ts": pd.to_datetime([(last_ts_us + TTL_SECONDS * 1_000_000)], unit="us"),
+                "is_new": pd.Series([False], dtype="bool"),
+                "text_changed": pd.Series([False], dtype="bool"),
+                "content_rev": pd.Series([rev], dtype="int64"),
+                "gap_seconds": pd.Series([None], dtype="Int64"),
+                "expired": pd.Series([True], dtype="bool"),
+                "cum_points": pd.Series([pts], dtype="int64"),
+                "expiry_event": pd.Series([True], dtype="bool"),
+            }
+        )
+        return
+    last_ts_us = None
+    for out in _fold_url(key, pdfs, state):
+        out["expiry_event"] = False
+        last_ts_us = int(out["warc_ts"].astype("int64").iloc[-1] // 1000)
+        yield out
+    if last_ts_us is not None:
+        # timer: fire when the watermark passes last event + TTL (millis)
+        state.setTimeoutTimestamp(last_ts_us // 1000 + TTL_SECONDS * 1000)
+
+
+def streaming_fold_with_expiry(pages_stream: DataFrame, watermark: str = "1 minute") -> DataFrame:
+    """streaming_fold + TTL expiry events. EventTimeTimeout requires a
+    watermark on the stream (late data beyond it is dropped, T3)."""
+    obs = pages_stream.select(
+        "url", "warc_ts", F.xxhash64("text").alias("text_hash")
+    ).withWatermark("warc_ts", watermark)
+    return obs.groupBy("url").applyInPandasWithState(
+        _fold_url_ttl,
+        outputStructType=EXPIRY_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

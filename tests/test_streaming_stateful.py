@@ -55,3 +55,69 @@ def test_streaming_fold_matches_batch(spark, tmp_path):
     assert got.count() == batch.count()
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_streaming_fold_emits_ttl_expiry_events(spark, tmp_path):
+    """A url that goes silent while event time (watermark) advances past
+    its TTL must produce one explicit expiry EVENT row (W5 timer), and
+    its state must be dropped."""
+    import datetime as dt
+
+    from chainalytic_framework_spark.streaming.stateful import (
+        TTL_SECONDS,
+        streaming_fold_with_expiry,
+    )
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, t, bytearray(b"<html>x</html>"), txt, "en") for u, t, txt in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    # file 1: A and B crawl; then A goes silent while B keeps crawling
+    # far past A's TTL (3 days); trailing files advance the watermark.
+    files = [
+        [("A", t0, "a0"), ("B", t0, "b0")],
+        [("B", t0 + dt.timedelta(days=2), "b1")],
+        [("B", t0 + dt.timedelta(days=6), "b2")],
+        [("B", t0 + dt.timedelta(days=9), "b3")],
+        [("B", t0 + dt.timedelta(days=12), "b4")],
+    ]
+    for rows in files:
+        mk(rows).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        streaming_fold_with_expiry(stream)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(out_dir)
+    exp = out.where("expiry_event").collect()
+    assert len(exp) == 1 and exp[0]["url"] == "A"
+    assert exp[0]["expired"] is True and exp[0]["cum_points"] == 1
+    # the timer fired AT last_ts + TTL in event time
+    assert exp[0]["warc_ts"] == t0 + dt.timedelta(seconds=TTL_SECONDS)
+    # observation rows unaffected
+    assert out.where("NOT expiry_event").count() == 6
