@@ -1547,3 +1547,39 @@ def retained_users_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retained",
         )
     )
+
+
+@q(
+    "churned_users_daily_events",
+    """
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT CAST(epoch(CAST(n.day AS TIMESTAMP)) AS BIGINT) AS day_epoch,
+           COUNT(*) AS churned
+    FROM d p
+    JOIN days n ON n.day = p.day + 1
+    LEFT JOIN d q ON q.user_id = p.user_id AND q.day = n.day
+    WHERE q.user_id IS NULL
+    GROUP BY 1
+    """,
+)
+def churned_users_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact day-over-day churned users (set DIFFERENCE over time: active
+    on d-1, absent on d, counted only for days that exist) — the exact
+    form of theta_difference in operators/sketches.py."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "user_id"
+    ).distinct()
+    days = d.select("day").distinct()
+    p, n, qy = d.alias("p"), days.alias("n"), d.alias("q")
+    j = p.join(n, F.col("n.day") == F.date_add(F.col("p.day"), 1)).join(
+        qy,
+        (F.col("q.user_id") == F.col("p.user_id")) & (F.col("q.day") == F.col("n.day")),
+        "left_anti",
+    )
+    return (
+        j.groupBy(F.col("n.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+        .select(F.col("day").cast("timestamp").cast("long").alias("day_epoch"), "churned")
+    )

@@ -28,6 +28,22 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def merge_into_sql(table: str, source_view: str, key: str, cols: list[str]) -> str:
+    """Row-level upsert statement for the Iceberg branch of
+    ``TableStore.merge_upsert`` (reference S7 batched ledger upsert).
+    Pure string construction so the cluster-only branch is unit-testable
+    without Iceberg jars."""
+    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
+    ins_cols = ", ".join(cols)
+    ins_vals = ", ".join(f"s.{c}" for c in cols)
+    return (
+        f"MERGE INTO {table} t "
+        f"USING {source_view} s ON t.{key} = s.{key} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg catalog is configured (cluster deployments)."""
     try:
@@ -149,18 +165,10 @@ class TableStore:
             )
             return
         if single_row_per_key and iceberg_available(self.spark):
-            catalog = self.spark.conf.get("spark.sql.catalog.rollup")
             ns = self.spark.conf.get("spark.sql.catalog.rollup.namespace", "rollup")
             delta.createOrReplaceTempView(f"_merge_src_{name}")
-            cols = delta.columns
-            sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c != key)
-            ins_cols = ", ".join(cols)
-            ins_vals = ", ".join(f"s.{c}" for c in cols)
             self.spark.sql(
-                f"MERGE INTO rollup.{ns}.{name} t "
-                f"USING _merge_src_{name} s ON t.{key} = s.{key} "
-                f"WHEN MATCHED THEN UPDATE SET {sets} "
-                f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+                merge_into_sql(f"rollup.{ns}.{name}", f"_merge_src_{name}", key, delta.columns)
             )
             return
         old = self.read(name)

@@ -64,3 +64,20 @@ def test_merge_upsert_sequence_equals_last_wins(spark, tmp_path):
 
     got = {r["url"]: r["val"] for r in store.read("seq_state").collect()}
     assert got == expected
+
+
+def test_merge_into_sql_shape():
+    from chainalytic_framework_spark.tables import merge_into_sql
+
+    sql = merge_into_sql(
+        "rollup.ns.fold_state", "_src", "url",
+        ["url", "url_hash", "last_ts", "content_rev"],
+    )
+    assert sql == (
+        "MERGE INTO rollup.ns.fold_state t "
+        "USING _src s ON t.url = s.url "
+        "WHEN MATCHED THEN UPDATE SET t.url_hash = s.url_hash, "
+        "t.last_ts = s.last_ts, t.content_rev = s.content_rev "
+        "WHEN NOT MATCHED THEN INSERT (url, url_hash, last_ts, content_rev) "
+        "VALUES (s.url, s.url_hash, s.last_ts, s.content_rev)"
+    )
