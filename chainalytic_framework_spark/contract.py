@@ -814,7 +814,9 @@ _SIMHASH_VAL_SQL = " + ".join(
     """,
 )
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints (per-bit token-hash majority)."""
+    """16-bit SimHash fingerprints (per-bit token-hash majority) — the
+    compact single-column variant; the 10^12-doc form is
+    simhash64_documents + simhash_hamming_pairs_documents."""
     d = _t(spark, sf_dir, "documents")
     return _dd.simhash(d)
 
@@ -838,8 +840,11 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard for pairs sharing ≥3 shingles (verification
-    stage of the MinHash pipeline)."""
+    """Exact n-gram Jaccard for pairs sharing ≥3 shingles — candidate
+    GENERATION by shared shingle (fine at sf; boilerplate-quadratic at
+    100 TB). The scale composition is lsh_verified_pairs_documents:
+    LSH banding generates candidates, this verification runs only on
+    them."""
     d = _t(spark, sf_dir, "documents")
     sh = _dd.shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
