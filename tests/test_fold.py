@@ -110,3 +110,27 @@ def test_no_state_urls_are_new(spark, obs):
     j = out.join(firsts, "url").where(F.col("warc_ts") == F.col("t0"))
     assert j.where(~F.col("is_new")).count() == 0
     assert out.where(F.col("is_new") & F.col("gap_seconds").isNotNull()).count() == 0
+
+
+def test_split_run_equals_full_run_any_split(spark, obs):
+    """T1 resumability holds for ANY split point, not just the median —
+    including a 3-way split chain (state threaded twice)."""
+    for q1, q2 in ((0.2, 0.7), (0.05, 0.95), (0.5, 0.8)):
+        t1 = obs.agg(F.percentile_approx("warc_ts", q1, 10000)).first()[0]
+        t2 = obs.agg(F.percentile_approx("warc_ts", q2, 10000)).first()[0]
+        p1 = obs.where(F.col("warc_ts") <= F.lit(t1))
+        p2 = obs.where((F.col("warc_ts") > F.lit(t1)) & (F.col("warc_ts") <= F.lit(t2)))
+        p3 = obs.where(F.col("warc_ts") > F.lit(t2))
+
+        full = fold_observations(obs, ttl_seconds=TTL)
+        s1 = extract_state(fold_observations(p1, ttl_seconds=TTL))
+        r2 = fold_with_state(p2, s1, ttl_seconds=TTL)
+        s2 = merge_state(s1, extract_state(r2))
+        r3 = fold_with_state(p3, s2, ttl_seconds=TTL)
+
+        full_p3 = full.join(p3.select("url", "warc_ts").distinct(), ["url", "warc_ts"], "left_semi")
+        cols = ["url", "warc_ts", "is_new", "text_changed", "content_rev",
+                "gap_seconds", "expired", "cum_points", "cum_bytes"]
+        a, b = r3.select(*cols), full_p3.select(*cols)
+        assert a.exceptAll(b).count() == 0, (q1, q2)
+        assert b.exceptAll(a).count() == 0, (q1, q2)
