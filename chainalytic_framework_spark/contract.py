@@ -1588,3 +1588,116 @@ def churned_users_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("churned"))
         .select(F.col("day").cast("timestamp").cast("long").alias("day_epoch"), "churned")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup groups: connected components over verified near-dup pairs
+# ---------------------------------------------------------------------------
+
+from .operators import components as _cc
+
+# the full verified-pairs pipeline as a reusable CTE chain ending in
+# `vpairs(id_a, id_b, jaccard_x1e4)` — identical semantics to
+# lsh_verified_pairs_documents
+_VERIFIED_PAIRS_CTE = f"""{_SHINGLE_CTE},
+    sigs AS (
+      SELECT doc_id, {_MINHASH_COLS_SQL}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+{_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b),
+    vpairs AS (
+      SELECT i.id_a, i.id_b,
+             CAST(round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) * 10000)
+                  AS BIGINT) AS jaccard_x1e4
+      FROM inter i
+      JOIN sizes sa ON i.id_a = sa.doc_id
+      JOIN sizes sb ON i.id_b = sb.doc_id)
+"""
+
+_DEDUP_JACCARD_X1E4 = 5000  # near-dup edge threshold (jaccard >= 0.5)
+
+# components of the thresholded pair graph via transitive closure
+# (DuckDB recursive CTE — exact oracle for the large-star/small-star
+# DataFrame algorithm in operators/components.py)
+_COMPONENTS_CTE = f"""{_VERIFIED_PAIRS_CTE},
+    thr AS (SELECT id_a, id_b FROM vpairs
+            WHERE jaccard_x1e4 >= {_DEDUP_JACCARD_X1E4}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM thr
+            UNION SELECT id_b, id_a FROM thr),
+    reach(node, r) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT reach.node, s.b FROM reach JOIN sym s ON s.a = reach.r),
+    comp AS (SELECT node, least(node, MIN(r)) AS component
+             FROM reach GROUP BY node)
+"""
+
+
+def _verified_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = _dd.minhash_signatures(d)
+    cand = _dd.lsh_candidate_pairs(sigs)
+    v = _dd.ngram_jaccard_pairs(d, cand, "text", "doc_id")
+    return v.where(
+        F.round(F.col("jaccard") * 10000).cast("long") >= _DEDUP_JACCARD_X1E4
+    ).select("id_a", "id_b")
+
+
+@q(
+    "dedup_groups_documents",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTE}
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS group_id,
+           (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_representative
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def dedup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document mapped to its near-dup GROUP: connected components
+    (large-star/small-star, operators/components.py) over the
+    LSH-verified pair graph thresholded at jaccard >= 0.5; singletons
+    map to themselves. The oracle computes the same components by
+    recursive-CTE transitive closure — exact because the component id
+    is canonically the minimum member in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _verified_dedup_pairs(spark, sf_dir)
+    return _cc.dedup_groups(d, pairs)
+
+
+@q(
+    "dedup_survivors_documents",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTE}
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def dedup_survivors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEDUPLICATED corpus, summarized per lang: one representative
+    (minimum doc_id) kept per near-dup group, singletons kept — the
+    keep-set a training pipeline feeds downstream. Exercises the full
+    chain minhash → LSH bands → verify → components → semi-join."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _verified_dedup_pairs(spark, sf_dir)
+    kept = _cc.dedup_survivors(d, pairs, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )

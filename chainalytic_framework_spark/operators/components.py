@@ -1,0 +1,166 @@
+"""Connected components over near-duplicate pair graphs → dedup groups.
+
+The dedup family (minhash → LSH bands → verified pairs, operators/
+dedup.py) ends with PAIRS; a training-data pipeline needs GROUPS: every
+cluster of mutually-near documents collapses to one representative.
+Pairs → components is a connected-components problem on a graph whose
+components are tiny (near-dup clusters) but whose node count is the
+corpus (10^12 docs), so the algorithm must be shuffle-bounded and
+converge in a logarithmic number of rounds — NOT label propagation
+(O(diameter) rounds) and NOT anything driver-side.
+
+This is the alternating large-star / small-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014),
+expressed as DataFrame ops:
+
+- ``large_star``: every node connects its LARGER neighbors to its
+  minimum neighbor (including itself).
+- ``small_star``: every node connects its smaller-or-equal neighbors
+  (and itself) to their minimum.
+
+Each round is two shuffles (a groupBy(min) and a re-join on the node
+key — same key, so with AQE the exchange is reused); the edge set
+monotonically flattens into stars rooted at each component's minimum
+id. Convergence is O(log n) rounds with high probability; a round's
+"changed?" check is a bounded driver aggregate (count + order-free
+hash-sum), never a data collect. Lineage is truncated with an eager
+``localCheckpoint`` every round so 30-round plans don't accumulate
+(on a cluster with a reliable checkpoint dir, swap for
+``checkpoint``).
+
+Reference analogue: none — the reference (yudus-labs/
+chainalytic-framework) has no graph or dedup machinery; this extends
+the north-rule training-data operator family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ROUNDS = 50  # safety backstop; the algorithm converges in O(log n)
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions of an undirected edge list (a, b)."""
+    return edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Output edges oriented (child > parent)."""
+    nbrs = _sym(edges)
+    mins = nbrs.groupBy("a").agg(F.min(F.least("b", "a")).alias("m"))
+    return (
+        nbrs.where(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every smaller-or-equal neighbor and u
+    itself to the minimum of those. Output oriented (child > parent)."""
+    nbrs = _sym(edges)
+    small = nbrs.where(F.col("b") <= F.col("a"))
+    j = small.join(
+        small.groupBy("a").agg(F.min("b").alias("m")), "a"
+    )
+    out = j.select(F.col("b").alias("node"), "m").union(
+        j.select(F.col("a").alias("node"), "m")
+    )
+    return (
+        out.where(F.col("node") != F.col("m"))
+        .select(F.col("node").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Order-free convergence fingerprint: (row count, XOR-fold of
+    per-edge hashes — edges are distinct, so XOR is a set fingerprint;
+    never overflows under ANSI mode). Bounded driver aggregate — never
+    collects data."""
+    r = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+    ).first()
+    return int(r["n"]), int(r["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """Map every node appearing in ``pairs`` to its component id (the
+    minimum node id in the component). Returns (node, component).
+
+    At 10^12 docs: each round shuffles only the current edge set (which
+    shrinks toward one edge per non-root node), partitioned by node id;
+    components of near-dup graphs are small, so the edge set after the
+    first large_star is already near-final and rounds are cheap.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = _sym(edges).select(F.col("a").alias("node")).distinct()
+
+    prev = None
+    for _ in range(max_rounds):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        fp = _fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+
+    # stars: (child, root); roots have no outgoing edge → map to self
+    return nodes.join(
+        edges.select(F.col("a").alias("node"), F.col("b").alias("root")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("root", "node").alias("component")
+    )
+
+
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every doc mapped to its dedup group: component root for docs in
+    the pair graph, self for singletons. Adds ``is_representative``
+    (keep exactly one doc per group — the minimum id, matching the
+    component root)."""
+    cc = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col))
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("group_id"),
+        )
+        .withColumn("is_representative", F.col(id_col) == F.col("group_id"))
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The deduplicated corpus: one representative per near-dup group
+    (minimum id), all singletons kept. This is the operator a training
+    pipeline actually runs — everything upstream (minhash, LSH,
+    verify, components) exists to produce this keep-set."""
+    g = dedup_groups(docs, pairs, id_col)
+    keep = g.where(F.col("is_representative")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
