@@ -1701,3 +1701,83 @@ def dedup_survivors_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (training-data splits; operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+from .operators import sampling as _samp
+
+# DuckDB twin of sampling.key_hash(col, seed) % 1e6
+_KEYHASH_PPM_SQL = (
+    "CAST(('0x' || substr(md5(CAST({x} AS VARCHAR) || ':{seed}'), 1, 15)) AS BIGINT)"
+    " % 1000000"
+)
+
+# full 60-bit hash (ordering key for reservoir ranks)
+_KEYHASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST({x} AS VARCHAR) || ':{seed}'), 1, 15)) AS BIGINT)"
+)
+
+
+@q(
+    "hash_sample_documents",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_KEYHASH_PPM_SQL.format(x='doc_id', seed=0)} < 100000
+    """,
+)
+def hash_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample keyed on a content hash of
+    doc_id — reproducible across reruns, partitionings, and cluster
+    sizes (df.sample() is none of those). Pure scan-side filter, no
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return _samp.hash_sample(d, 0.10, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@q(
+    "stratified_sample_documents",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_KEYHASH_PPM_SQL.format(x='doc_id', seed=7)} <
+          CASE lang WHEN 'en' THEN 100000 WHEN 'zh' THEN 800000 ELSE 400000 END
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic rates (downsample the dominant
+    language, keep more of the rare ones) — the curation move every
+    web-corpus pipeline makes before training. CASE-expression
+    threshold: still a single shuffle-free filter."""
+    d = _t(spark, sf_dir, "documents")
+    s = _samp.stratified_sample(
+        d, "lang", {"en": 0.10, "zh": 0.80}, key="doc_id",
+        default_rate=0.40, seed=7,
+    )
+    return s.select("doc_id", "lang")
+
+
+@q(
+    "reservoir_per_group_documents",
+    f"""
+    SELECT lang, source, doc_id
+    FROM (
+      SELECT lang, source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY {_KEYHASH_SQL.format(x='doc_id', seed=3)}, doc_id
+             ) AS rn
+      FROM documents)
+    WHERE rn <= 3
+    """,
+)
+def reservoir_per_group_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-without-replacement 3 docs per (lang, source): hash-rank
+    inside each group — a deterministic reservoir sample, one shuffle
+    on the group key."""
+    d = _t(spark, sf_dir, "documents")
+    r = _samp.reservoir_per_group(d, ["lang", "source"], 3, key="doc_id", seed=3)
+    return r.select("lang", "source", "doc_id")

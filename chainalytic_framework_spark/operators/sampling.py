@@ -1,0 +1,105 @@
+"""Deterministic sampling for training-data curation.
+
+A 100 TB corpus pipeline needs samples that are (a) reproducible across
+reruns, cluster sizes, and partition layouts, (b) computable in a
+single scan with no shuffle, and (c) consistent between the engine and
+any external verifier. ``df.sample()`` gives none of these (its
+Bernoulli draw depends on partition iteration order). Every operator
+here instead derives the keep/drop decision from a CONTENT hash of the
+row's key — a pure projection/filter that pushes down, parallelizes
+embarrassingly, and yields byte-identical samples on 1 or 1000
+executors.
+
+Hash: md5-prefix (cross-engine stable — DuckDB/Trino/Spark all agree on
+md5 of the same bytes), 60 bits → uniform in [0, 1) with ~2^-60
+granularity. The seed is mixed into the hashed string, so different
+seeds give independent samples and a holdout split never leaks into a
+training sample drawn with another seed.
+
+Reference analogue: none (the reference processes every block) — this
+is north-rule training-data tooling, same family as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 15 hex digits = 60 bits, exact in int64 and in DOUBLE-free integer math
+_HASH_MOD = 1_000_000  # ppm resolution for rates
+
+
+def key_hash(col, seed: int = 0) -> F.Column:
+    """Deterministic 60-bit hash of a key column (+ seed), cross-engine
+    reproducible (md5 prefix — same value in DuckDB via
+    ``CAST(('0x' || substr(md5(x || ':' || seed), 1, 15)) AS BIGINT)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat_ws(":", c.cast("string"), F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+
+
+def _ppm(col, seed: int) -> F.Column:
+    return F.pmod(key_hash(col, seed), F.lit(_HASH_MOD))
+
+
+def hash_sample(df: DataFrame, rate: float, key: str, seed: int = 0) -> DataFrame:
+    """Keep rows whose key hashes below ``rate``: a deterministic
+    Bernoulli(rate) sample, stable across partitioning. One scan, no
+    shuffle; the predicate is a plain filter Catalyst keeps next to the
+    scan."""
+    return df.where(_ppm(key, seed) < int(round(rate * _HASH_MOD)))
+
+
+def split_train_holdout(
+    df: DataFrame, holdout_frac: float, key: str, seed: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, holdout) split on the SAME hash —
+    every row lands in exactly one side, forever, regardless of when it
+    arrives (new data joins the same split it would always have)."""
+    thr = int(round(holdout_frac * _HASH_MOD))
+    h = _ppm(key, seed)
+    return df.where(h >= thr), df.where(h < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key: str,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample boilerplate
+    languages, keep all of rare ones). The rate table is a CASE
+    expression — a broadcast-free, shuffle-free filter."""
+    thr = F.lit(int(round(default_rate * _HASH_MOD)))
+    expr = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(stratum_col) == value
+        t = F.lit(int(round(rate * _HASH_MOD)))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = expr.otherwise(thr) if expr is not None else thr
+    return df.where(_ppm(key, seed) < thr)
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Uniform-without-replacement k rows per group: rank rows by their
+    key hash inside each group and keep the k smallest. Equivalent to a
+    per-group reservoir sample but deterministic and order-free; one
+    shuffle on the group key (the same shuffle any per-group operator
+    pays). Ties broken by the key itself, so the result is total-order
+    stable even under hash collisions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(key_hash(key, seed).asc(), F.col(key).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
