@@ -44,6 +44,19 @@ def merge_into_sql(table: str, source_view: str, key: str, cols: list[str]) -> s
     )
 
 
+def rewrite_data_files_sql(catalog: str, namespace: str, table: str,
+                           target_bytes: int) -> str:
+    """Iceberg compaction call for the cluster branch of
+    ``TableStore.compact_partitions`` (bin-pack small files produced by
+    many incremental commits). Pure string construction so the
+    cluster-only branch is unit-testable without Iceberg jars."""
+    return (
+        f"CALL {catalog}.system.rewrite_data_files("
+        f"table => '{namespace}.{table}', strategy => 'binpack', "
+        f"options => map('target-file-size-bytes', '{target_bytes}'))"
+    )
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg catalog is configured (cluster deployments)."""
     try:
@@ -184,6 +197,89 @@ class TableStore:
         staged = f"{name}__staged"
         self.write(merged, staged, partition_by=[partition_col])
         self.overwrite_partitions(self.read(staged), name, [partition_col])
+
+    def partition_file_stats(self, name: str) -> dict[str, tuple[int, int]]:
+        """{partition dir (relative, e.g. 'bucket_day=2026-01-01'):
+        (n_files, total_bytes)} from the file listing — driver-side
+        METADATA only (the Iceberg analogue reads the ``files`` metadata
+        table), never data."""
+        base = self.path(name)
+        stats: dict[str, tuple[int, int]] = {}
+        if not os.path.isdir(base):
+            return stats
+        for dirpath, _, files in os.walk(base):
+            pq = [f for f in files if f.endswith(".parquet")]
+            if not pq:
+                continue
+            rel = os.path.relpath(dirpath, base)
+            n, b = stats.get(rel, (0, 0))
+            stats[rel] = (
+                n + len(pq),
+                b + sum(os.path.getsize(os.path.join(dirpath, f)) for f in pq),
+            )
+        return stats
+
+    def compact_partitions(
+        self,
+        name: str,
+        partition_by: list[str],
+        max_files_per_partition: int = 4,
+        target_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Bin-pack small files inside oversized partitions — the
+        maintenance job every incremental-commit table needs: daily
+        pipeline runs append/overwrite per-day partitions with
+        task-count files, and at 10^12 docs an uncompacted year of
+        1m-tier commits is millions of KB-files whose open/seek overhead
+        dominates scans.
+
+        Only partitions with more than ``max_files_per_partition`` files
+        are touched; each is rewritten to ceil(bytes/target) files via
+        dynamic partition overwrite, so readers never see a partial
+        state and untouched partitions keep their files byte-identical.
+        On Iceberg clusters use ``rewrite_data_files_sql`` (snapshot-
+        isolated binpack) instead. Returns partitions rewritten."""
+        if iceberg_available(self.spark):
+            ns = self.spark.conf.get("spark.sql.catalog.rollup.namespace", "rollup")
+            self.spark.sql(rewrite_data_files_sql("rollup", ns, name, target_bytes))
+            return -1  # Iceberg reports via its own snapshot summary
+        from pyspark.sql import functions as F
+
+        stats = self.partition_file_stats(name)
+        todo = {p: s for p, s in stats.items() if s[0] > max_files_per_partition}
+        if not todo:
+            return 0
+        base = self.path(name)
+        # hash-repartition on the partition cols sends each partition's
+        # rows to exactly ONE task → one output file per partition; a
+        # partition bigger than target_bytes additionally salts on a
+        # content hash into ceil(bytes/target) files. One job for all
+        # touched partitions — no driver loop over data.
+        small = [p for p, (_, b) in todo.items() if b <= target_bytes]
+        out = []
+        if small:
+            df = self.spark.read.option("basePath", base).parquet(
+                *[os.path.join(base, p) for p in small]
+            )
+            out.append(df.repartition(len(small), *partition_by))
+        for p, (_, b) in todo.items():
+            if b <= target_bytes:
+                continue
+            k = -(-b // target_bytes)
+            df = self.spark.read.option("basePath", base).parquet(
+                os.path.join(base, p)
+            )
+            data_cols = [c for c in df.columns if c not in partition_by]
+            salt = F.pmod(F.xxhash64(*data_cols), F.lit(int(k)))
+            out.append(df.repartition(int(k), *partition_by, salt))
+        merged = out[0]
+        for o in out[1:]:
+            merged = merged.unionByName(o)
+        staged = f"{name}__compact_staged"
+        self.write(merged, staged, partition_by=partition_by)
+        self.overwrite_partitions(self.read(staged), name, partition_by)
+        shutil.rmtree(self.path(staged), ignore_errors=True)
+        return len(todo)
 
     def delete_where_partition(self, name: str, partition_col: str, values: list[str]) -> int:
         """Partition-level delete (Iceberg ``deleteWhere`` fallback):
