@@ -1781,3 +1781,44 @@ def reservoir_per_group_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     d = _t(spark, sf_dir, "documents")
     r = _samp.reservoir_per_group(d, ["lang", "source"], 3, key="doc_id", seed=3)
     return r.select("lang", "source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (functions/text.py)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tfidf_top_terms_documents",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents)
+      WHERE length(term) >= 4
+      GROUP BY doc_id, term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT term,
+             CAST(round(ln(CAST(n.n_docs AS DOUBLE) / cnt) * 10000) AS BIGINT)
+               AS idf_x1e4
+      FROM (SELECT term, COUNT(*) AS cnt FROM tf GROUP BY term), n),
+    s AS (
+      SELECT d.lang, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS sum_tf
+      FROM tf JOIN documents d USING (doc_id)
+      GROUP BY d.lang, tf.term),
+    sc AS (
+      SELECT s.lang, s.term, s.sum_tf * i.idf_x1e4 AS score
+      FROM s JOIN idf i USING (term))
+    SELECT lang, term, score
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY score DESC, term) AS rn FROM sc)
+    WHERE rn <= 10
+    """,
+)
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 characteristic terms per language by corpus TF-IDF —
+    integer-scored (Σtf × round(ln(N/df)·1e4)) so the ranking is
+    bit-deterministic across engines and cluster sizes."""
+    d = _t(spark, sf_dir, "documents")
+    return _tx.tfidf_top_terms(d, "lang", k=10, min_len=4)

@@ -119,3 +119,70 @@ def rolling_fingerprint(text: Column | str, window: int = 64) -> Column:
         F.xxhash64(F.substring(c, i * window + 1, window)) for i in range(4)
     ]
     return F.xxhash64(*parts)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (corpus-level term weighting)
+# ---------------------------------------------------------------------------
+
+def term_frequencies(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_len: int = 1) -> DataFrame:
+    """Per-(doc, term) counts: lowercase space tokens, length-filtered.
+    One explode + one partial-aggregated groupBy — the canonical
+    distributed TF stage (map-side combine collapses the repeats before
+    the shuffle)."""
+    toks = F.split(F.lower(F.col(text_col)), " ", -1)
+    t = docs.select(F.col(id_col), F.explode(toks).alias("term")).where(
+        F.length("term") >= min_len
+    )
+    return t.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def idf_x1e4(docs: DataFrame, tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Integer-scaled inverse document frequency per term:
+    round(ln(N / df) * 1e4) — integer so downstream rankings are
+    deterministic across engines (floats order-tie only at < 0.5e-4,
+    far above libm's 1-ulp divergence). N rides in as a broadcast
+    1-row aggregate, keeping this a single logical plan."""
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return df_.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(F.log(F.col("n_docs") / F.col("df")) * 10000)
+        .cast("long")
+        .alias("idf_x1e4"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_len: int = 4,
+) -> DataFrame:
+    """Top-k characteristic terms per group by summed TF-IDF
+    (integer score = Σtf × idf_x1e4; ties broken by term). All
+    shuffles are keyed aggregations/joins; the explode stage dominates
+    at corpus scale and everything after runs on the (term)-sized
+    reduction, not the corpus."""
+    from pyspark.sql import Window
+
+    tf = term_frequencies(docs, text_col, id_col, min_len=min_len)
+    idf = idf_x1e4(docs, tf, id_col)
+    per_group = (
+        tf.join(docs.select(id_col, group_col), id_col)
+        .groupBy(group_col, "term")
+        .agg(F.sum("tf").alias("sum_tf"))
+    )
+    scored = per_group.join(idf, "term").select(
+        group_col, "term",
+        (F.col("sum_tf") * F.col("idf_x1e4")).cast("long").alias("score"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
