@@ -80,6 +80,27 @@ def main() -> int:
                 contract.simhash_hamming_pairs_documents(spark, sf),
                 {})
 
+    ok &= audit("hash_sample: scan-side filter, zero shuffles",
+                contract.hash_sample_documents(spark, sf),
+                {"max_exchanges": 0})
+    ok &= audit("reservoir per group: one group-key shuffle",
+                contract.reservoir_per_group_documents(spark, sf),
+                {"max_exchanges": 1})
+    ok &= audit("tfidf top terms: keyed agg/join shuffles only, no cartesian",
+                contract.tfidf_top_terms_documents(spark, sf),
+                {"broadcast": True})
+
+    # components: each large/small-star round must be keyed joins, never
+    # a cartesian, and the convergence check is a 1-row aggregate
+    from chainalytic_framework_spark.operators.components import large_star, small_star
+
+    pairs = spark.range(2000).selectExpr("id AS id_a", "pmod(id * 37, 2000) AS id_b")
+    edges = pairs.where("id_a != id_b")
+    round1 = small_star(large_star(
+        edges.selectExpr("id_a AS a", "id_b AS b")))
+    ok &= audit("components round (large+small star): keyed joins only",
+                round1, {})
+
     # fold_events write path must NOT contain a range-sampling exchange:
     # repartitionByRange would recompute the pandas fold for its sample
     from pyspark.sql import functions as F
