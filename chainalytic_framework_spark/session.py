@@ -60,6 +60,14 @@ def build_session(
         )
         # Deterministic timestamp semantics for parquet across engines.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Parquet codec: snappy default; zstd trades CPU for ~35% fewer
+        # written bytes — worth flipping on bandwidth-bound hardware
+        # (export SPARK_GRAFT_PARQUET_CODEC=zstd; measured in
+        # BENCH/BASELINE.md optimization log).
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         # metadata-only MIN/MAX/COUNT over parquet (pending-range probes)
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
