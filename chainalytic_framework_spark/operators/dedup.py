@@ -287,3 +287,56 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         term = F.when(F.col(f"bit_{b}") * 2 > F.col("n_toks"), F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return bit_sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def band_table(sigs: DataFrame, id_col: str = "doc_id",
+               n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+    """(id, band, key) rows — the stored form of the LSH index. A
+    corpus pipeline persists this once (partitioned by band, bucketed
+    by key) so each crawl increment probes it instead of re-banding
+    10^12 documents."""
+    rows = n_hashes // n_bands
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"minhash_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws(":", *[p.cast("string") for p in parts]).alias("key"))
+        )
+    return sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def incremental_lsh_pairs(new_sigs: DataFrame, corpus_bands: DataFrame,
+                          id_col: str = "doc_id",
+                          n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+    """Candidate near-dup pairs between a NEW batch and the stored
+    corpus (plus within the new batch itself) — the daily-increment
+    form of ``lsh_candidate_pairs``: band-key equi-join of the small
+    new side against the persisted band table, never re-pairing the
+    existing corpus against itself. At 10^12 docs this is the only
+    affordable shape: the probe side is crawl-day-sized and the join
+    is keyed on (band, key), so AQE can broadcast the new side when
+    it is small enough.
+
+    Output (id_a, id_b) with id_a < id_b; a pair of two old docs never
+    appears (it was found the day both were new)."""
+    nb = band_table(new_sigs, id_col, n_hashes, n_bands)
+    new_ids = new_sigs.select(F.col(id_col).alias("_nid"))
+    both = nb.alias("n").join(
+        corpus_bands.alias("c"),
+        (F.col("n.band") == F.col("c.band")) & (F.col("n.key") == F.col("c.key")),
+    ).select(
+        F.least(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_b"),
+    ).where(F.col("id_a") != F.col("id_b"))
+    # drop old-old pairs: at least one side must be new. (When the
+    # corpus table already CONTAINS the new batch — upsert-then-probe —
+    # this also dedupes the doubled new-new matches.)
+    keep = (
+        both.join(new_ids, both.id_a == F.col("_nid"), "left_semi")
+        .unionByName(both.join(new_ids, both.id_b == F.col("_nid"), "left_semi"))
+        .distinct()
+    )
+    return keep
