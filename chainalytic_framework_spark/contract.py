@@ -1822,3 +1822,33 @@ def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic across engines and cluster sizes."""
     d = _t(spark, sf_dir, "documents")
     return _tx.tfidf_top_terms(d, "lang", k=10, min_len=4)
+
+
+@q(
+    "incremental_lsh_pairs_documents",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (
+      SELECT doc_id, {_MINHASH_COLS_SQL}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+{_BANDS_SQL}
+    )
+    SELECT DISTINCT least(n.doc_id, c.doc_id) AS id_a,
+           greatest(n.doc_id, c.doc_id) AS id_b
+    FROM bands n JOIN bands c
+      ON n.band = c.band AND n.key = c.key
+     AND n.doc_id >= 450 AND c.doc_id < 450
+    """,
+)
+def incremental_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup shape: docs >= 450 are 'today's crawl',
+    probing the persisted band table of the existing corpus — the
+    corpus is never re-paired against itself (at 10^12 docs that is the
+    only affordable form; the probe side is day-sized and broadcastable).
+    """
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") < 450)
+    new = d.where(F.col("doc_id") >= 450)
+    corpus_bands = _dd.band_table(_dd.minhash_signatures(old))
+    return _dd.incremental_lsh_pairs(_dd.minhash_signatures(new), corpus_bands)
