@@ -60,6 +60,21 @@ def _cmd_synth(args: argparse.Namespace) -> None:
     print(json.dumps({"rows": args.rows, "out": args.out}))
 
 
+def _cmd_compact(args: argparse.Namespace) -> None:
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-compact")
+    store = TableStore(spark, args.warehouse)
+    n = store.compact_partitions(
+        args.table,
+        args.partition_by.split(","),
+        max_files_per_partition=args.max_files,
+        target_bytes=args.target_bytes,
+    )
+    print(json.dumps({"table": args.table, "partitions_rewritten": n}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="chainalytic_framework_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -81,6 +96,14 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--out", required=True)
     s.add_argument("--seed", type=int, default=42)
     s.set_defaults(fn=_cmd_synth)
+
+    c = sub.add_parser("compact", help="bin-pack small files in oversized partitions")
+    c.add_argument("--warehouse", required=True)
+    c.add_argument("--table", required=True)
+    c.add_argument("--partition-by", default="bucket_day", help="comma-separated")
+    c.add_argument("--max-files", type=int, default=4)
+    c.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    c.set_defaults(fn=_cmd_compact)
 
     args = p.parse_args(argv)
     args.fn(args)
