@@ -48,24 +48,29 @@ def _sym(edges: DataFrame) -> DataFrame:
     )
 
 
-def large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """For each node u: connect every strictly-larger neighbor to
-    min(N(u) ∪ {u}). Output edges oriented (child > parent)."""
-    nbrs = _sym(edges)
+    min(N(u) ∪ {u}). Output edges oriented (child > parent).
+
+    The symmetric neighbor list feeds BOTH the per-node min aggregate
+    and the re-join, so it is persisted; the (result, handle) pair lets
+    the caller unpersist once the round is materialized."""
+    nbrs = _sym(edges).persist()
     mins = nbrs.groupBy("a").agg(F.min(F.least("b", "a")).alias("m"))
-    return (
+    out = (
         nbrs.where(F.col("b") > F.col("a"))
         .join(mins, "a")
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    return out, nbrs
 
 
-def small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """For each node u: connect every smaller-or-equal neighbor and u
     itself to the minimum of those. Output oriented (child > parent)."""
-    nbrs = _sym(edges)
+    nbrs = _sym(edges).persist()
     small = nbrs.where(F.col("b") <= F.col("a"))
     j = small.join(
         small.groupBy("a").agg(F.min("b").alias("m")), "a"
@@ -73,11 +78,20 @@ def small_star(edges: DataFrame) -> DataFrame:
     out = j.select(F.col("b").alias("node"), "m").union(
         j.select(F.col("a").alias("node"), "m")
     )
-    return (
+    out = (
         out.where(F.col("node") != F.col("m"))
         .select(F.col("node").alias("a"), F.col("m").alias("b"))
         .distinct()
     )
+    return out, nbrs
+
+
+def large_star(edges: DataFrame) -> DataFrame:
+    return _large_star(edges)[0]
+
+
+def small_star(edges: DataFrame) -> DataFrame:
+    return _small_star(edges)[0]
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -115,7 +129,14 @@ def connected_components(
 
     prev = None
     for _ in range(max_rounds):
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        ls, h1 = _large_star(edges)
+        ss, h2 = _small_star(ls)
+        # eager checkpoint materializes the round; the two neighbor-list
+        # caches are then dead — release them so 30-round runs don't
+        # accumulate executor storage
+        edges = ss.localCheckpoint(eager=True)
+        h1.unpersist()
+        h2.unpersist()
         fp = _fingerprint(edges)
         if fp == prev:
             break
