@@ -48,14 +48,18 @@ def _sym(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _large_star(edges: DataFrame, persist: bool = True) -> tuple[DataFrame, DataFrame | None]:
     """For each node u: connect every strictly-larger neighbor to
     min(N(u) ∪ {u}). Output edges oriented (child > parent).
 
     The symmetric neighbor list feeds BOTH the per-node min aggregate
-    and the re-join, so it is persisted; the (result, handle) pair lets
-    the caller unpersist once the round is materialized."""
-    nbrs = _sym(edges).persist()
+    and the re-join, so the loop persists it; the (result, handle) pair
+    lets the caller unpersist once the round is materialized. With
+    ``persist=False`` (one-shot public API) nothing is cached and the
+    handle is None."""
+    nbrs = _sym(edges)
+    if persist:
+        nbrs = nbrs.persist()
     mins = nbrs.groupBy("a").agg(F.min(F.least("b", "a")).alias("m"))
     out = (
         nbrs.where(F.col("b") > F.col("a"))
@@ -64,14 +68,18 @@ def _large_star(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    return out, nbrs
+    return out, (nbrs if persist else None)
 
 
-def _small_star(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _small_star(edges: DataFrame, persist: bool = True) -> tuple[DataFrame, DataFrame | None]:
     """For each node u: connect every smaller-or-equal neighbor and u
-    itself to the minimum of those. Output oriented (child > parent)."""
-    nbrs = _sym(edges).persist()
-    small = nbrs.where(F.col("b") <= F.col("a"))
+    itself to the minimum of those. Output oriented (child > parent).
+
+    Only the ``b <= a`` half of the neighbor list is consumed twice, so
+    that half (|E| rows, not 2|E|) is what gets persisted."""
+    small = _sym(edges).where(F.col("b") <= F.col("a"))
+    if persist:
+        small = small.persist()
     j = small.join(
         small.groupBy("a").agg(F.min("b").alias("m")), "a"
     )
@@ -83,15 +91,18 @@ def _small_star(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select(F.col("node").alias("a"), F.col("m").alias("b"))
         .distinct()
     )
-    return out, nbrs
+    return out, (small if persist else None)
 
 
 def large_star(edges: DataFrame) -> DataFrame:
-    return _large_star(edges)[0]
+    """One-shot form (no caching side effects); the iteration in
+    ``connected_components`` uses the persisting internals."""
+    return _large_star(edges, persist=False)[0]
 
 
 def small_star(edges: DataFrame) -> DataFrame:
-    return _small_star(edges)[0]
+    """One-shot form (no caching side effects)."""
+    return _small_star(edges, persist=False)[0]
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -132,11 +143,14 @@ def connected_components(
         ls, h1 = _large_star(edges)
         ss, h2 = _small_star(ls)
         # eager checkpoint materializes the round; the two neighbor-list
-        # caches are then dead — release them so 30-round runs don't
-        # accumulate executor storage
-        edges = ss.localCheckpoint(eager=True)
-        h1.unpersist()
-        h2.unpersist()
+        # caches are then dead — release them (on error paths too) so
+        # long runs and retried failures don't accumulate executor
+        # storage
+        try:
+            edges = ss.localCheckpoint(eager=True)
+        finally:
+            h1.unpersist()
+            h2.unpersist()
         fp = _fingerprint(edges)
         if fp == prev:
             break
