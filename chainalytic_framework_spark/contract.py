@@ -1838,15 +1838,15 @@ def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            greatest(n.doc_id, c.doc_id) AS id_b
     FROM bands n JOIN bands c
       ON n.band = c.band AND n.key = c.key
-     AND n.doc_id >= 450 AND c.doc_id < 450
+     AND n.doc_id >= 450 AND n.doc_id <> c.doc_id
     """,
 )
 def incremental_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-increment dedup shape: docs >= 450 are 'today's crawl',
-    probing the persisted band table of the existing corpus — the
-    corpus is never re-paired against itself (at 10^12 docs that is the
-    only affordable form; the probe side is day-sized and broadcastable).
-    """
+    probing the persisted band table of the existing corpus plus its
+    own bands (same-day duplicates pair too) — the corpus is never
+    re-paired against itself (at 10^12 docs that is the only affordable
+    form; the probe side is day-sized and broadcastable)."""
     d = _t(spark, sf_dir, "documents")
     old = d.where(F.col("doc_id") < 450)
     new = d.where(F.col("doc_id") >= 450)

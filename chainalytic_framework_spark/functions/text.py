@@ -138,7 +138,7 @@ def term_frequencies(docs: DataFrame, text_col: str = "text",
     return t.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
-def idf_x1e4(docs: DataFrame, tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def idf_x1e4(docs: DataFrame, tf: DataFrame) -> DataFrame:
     """Integer-scaled inverse document frequency per term:
     round(ln(N / df) * 1e4) — integer so downstream rankings are
     deterministic across engines (floats order-tie only at < 0.5e-4,
@@ -170,7 +170,7 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     tf = term_frequencies(docs, text_col, id_col, min_len=min_len)
-    idf = idf_x1e4(docs, tf, id_col)
+    idf = idf_x1e4(docs, tf)
     per_group = (
         tf.join(docs.select(id_col, group_col), id_col)
         .groupBy(group_col, "term")

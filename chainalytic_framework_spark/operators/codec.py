@@ -71,42 +71,18 @@ def _pack_codes(hi: np.ndarray, lo: np.ndarray, nbits: np.ndarray) -> bytes:
 
 
 class _BitReader:
-    """Sequential MSB-first bit reader over 64-bit big-endian words.
+    """MSB-first bit view over 64-bit big-endian words: the decoders
+    index ``words`` directly with their own cursor math (128-bit
+    windows spanning the two words under the cursor — no per-bit loop).
+    The buffer is zero-padded three words past the end so a window read
+    at the last logical bit never falls off the list."""
 
-    Each read grabs a 128-bit window spanning the two words under the
-    cursor and shifts/masks with native Python ints — no per-bit loop
-    and no numpy scalar indexing in the hot path (the words are
-    converted to a Python list once). ``peek`` never advances and may
-    read past the logical end (the buffer is zero-padded), which lets
-    the decoders classify a prefix code with ONE read instead of
-    bit-at-a-time probing."""
-
-    __slots__ = ("words", "pos")
+    __slots__ = ("words",)
 
     def __init__(self, data: bytes):
-        pad = (-len(data)) % 8 + 24  # +3 words: a 3-word read may span past the end
+        pad = (-len(data)) % 8 + 24  # +3 words: a window may span past the end
         buf = data + b"\x00" * pad
         self.words = np.frombuffer(buf, dtype=">u8").tolist()
-        self.pos = 0
-
-    def _window(self, pos: int, n: int) -> int:
-        w, off = pos >> 6, pos & 63
-        window = (self.words[w] << 64) | self.words[w + 1]
-        return (window >> (128 - off - n)) & ((1 << n) - 1)
-
-    def take(self, n: int) -> int:
-        if n > 64:  # spans up to 3 words
-            hi = self.take(n - 64)
-            return (hi << 64) | self.take(64)
-        v = self._window(self.pos, n)
-        self.pos += n
-        return v
-
-    def peek(self, n: int) -> int:
-        return self._window(self.pos, n)
-
-    def skip(self, n: int) -> None:
-        self.pos += n
 
 
 # ---------------------------------------------------------------------------

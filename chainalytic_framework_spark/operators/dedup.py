@@ -310,22 +310,33 @@ def band_table(sigs: DataFrame, id_col: str = "doc_id",
 
 def incremental_lsh_pairs(new_sigs: DataFrame, corpus_bands: DataFrame,
                           id_col: str = "doc_id",
-                          n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+                          n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+                          include_new_new: bool = True) -> DataFrame:
     """Candidate near-dup pairs between a NEW batch and the stored
-    corpus (plus within the new batch itself) — the daily-increment
-    form of ``lsh_candidate_pairs``: band-key equi-join of the small
-    new side against the persisted band table, never re-pairing the
-    existing corpus against itself. At 10^12 docs this is the only
-    affordable shape: the probe side is crawl-day-sized and the join
-    is keyed on (band, key), so AQE can broadcast the new side when
-    it is small enough.
+    corpus, plus (``include_new_new``, default on) within the new batch
+    itself — the daily-increment form of ``lsh_candidate_pairs``:
+    band-key equi-join of the small new side against the persisted band
+    table, never re-pairing the existing corpus against itself. At
+    10^12 docs this is the only affordable shape: the probe side is
+    crawl-day-sized and the join is keyed on (band, key), so AQE can
+    broadcast the new side when it is small enough.
+
+    ``include_new_new=True`` additionally self-joins the new batch's
+    own bands (day-sized × day-sized), so two near-duplicates arriving
+    in the SAME crawl still pair up when the corpus table does not yet
+    contain them (probe-before-upsert flow). Pass False only when the
+    corpus was upserted first (the probe then already sees the new
+    bands).
 
     Output (id_a, id_b) with id_a < id_b; a pair of two old docs never
     appears (it was found the day both were new)."""
     nb = band_table(new_sigs, id_col, n_hashes, n_bands)
     new_ids = new_sigs.select(F.col(id_col).alias("_nid"))
+    probe_side = corpus_bands
+    if include_new_new:
+        probe_side = corpus_bands.select(id_col, "band", "key").unionByName(nb)
     both = nb.alias("n").join(
-        corpus_bands.alias("c"),
+        probe_side.alias("c"),
         (F.col("n.band") == F.col("c.band")) & (F.col("n.key") == F.col("c.key")),
     ).select(
         F.least(F.col(f"n.{id_col}"), F.col(f"c.{id_col}")).alias("id_a"),

@@ -59,10 +59,19 @@ def safe_horizon(requested_horizon, parent_committed_max, parent_name: str | Non
     """Clamp the expiry horizon so we never drop buckets whose coarser
     cover is not yet committed: the parent bucket containing
     ``parent_committed_max`` is complete only up to its own start.
-    All math in epoch space; returns a naive-UTC datetime."""
+    All math in epoch space; returns a naive-UTC datetime.
+
+    ``parent_name is None`` means the tier HAS no coarser cover (the
+    coarsest scheduled tier) — horizon applies unclamped. A tier that
+    HAS a designated cover whose table is missing or empty
+    (``parent_committed_max is None``) clamps to epoch 0: deleting fine
+    buckets before any coarser cover exists is exactly the data loss
+    this function guards against."""
     req_e = _to_epoch(requested_horizon)
-    if parent_name is None or parent_committed_max is None:
+    if parent_name is None:
         out_e = req_e
+    elif parent_committed_max is None:
+        out_e = 0
     else:
         psecs = SECONDS[parent_name]
         covered_until = (_to_epoch(parent_committed_max) // psecs) * psecs
@@ -90,14 +99,24 @@ def enforce_retention(
     now: dt.datetime,
     horizons: dict[str, int | None] | None = None,
     parent_committed_max: dt.datetime | None = None,
+    parent_name: str | None | type(...) = ...,
 ) -> int:
     """Drop expired bucket_day partitions of a tier table. Returns the
-    number of partitions removed."""
+    number of partitions removed.
+
+    ``parent_name`` is the tier's ACTUAL coarser cover; metric sets may
+    skip tiers (1m → 1d directly), in which case the default global
+    chain (1m→1h) would name a tier that never exists and the clamp
+    would never engage. Pass the schedule's cover explicitly (the
+    pipeline derives it from ``ms.cascade_pairs()``); ``None`` means
+    "no cover" (coarsest tier, unclamped)."""
     horizons = horizons or DEFAULT_HORIZONS
     h = horizons.get(tier_name)
     if h is None:
         return 0
-    horizon = safe_horizon(_to_epoch(now) - h, parent_committed_max, parent_tier(tier_name))
+    if parent_name is ...:
+        parent_name = parent_tier(tier_name)
+    horizon = safe_horizon(_to_epoch(now) - h, parent_committed_max, parent_name)
     victims = expired_partitions(store, table, horizon)
     return store.delete_where_partition(table, "bucket_day", victims)
 

@@ -33,7 +33,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.bucketing import SECONDS, TIER_ORDER
+from ..operators.bucketing import SECONDS
 from ..operators.fold import (
     extract_state,
     fold_observations,
@@ -45,7 +45,8 @@ from ..operators.rollup import with_layout_columns
 from ..tables import TableStore
 from .checkpoint import append_entries, committed_days
 
-TIER_TABLE = "tier_{name}"
+TIER_TABLE = "tier_{name}"          # default metric set
+TIER_TABLE_NS = "tier_{ms}_{name}"  # non-default sets get their own tables
 STATE_TABLE = "fold_state"
 FOLD_TABLE = "fold_events"
 
@@ -60,8 +61,16 @@ import os as _os
 N_STATE_BUCKETS = int(_os.environ.get("SPARK_GRAFT_STATE_BUCKETS", "64"))
 
 
-def _tier_table(name: str) -> str:
-    return TIER_TABLE.format(name=name)
+def _tier_table(name: str, metric_set: str = "default") -> str:
+    """Tier table name, NAMESPACED by metric set: two sets have
+    different column sets, and dynamic partition overwrite into a
+    shared path would leave a table whose partitions disagree on
+    schema (parquet infers from one footer — later reads fail or
+    silently null). The default set keeps the bare name for
+    compatibility with the query layer and stored warehouses."""
+    if metric_set == "default":
+        return TIER_TABLE.format(name=name)
+    return TIER_TABLE_NS.format(ms=metric_set, name=name)
 
 
 def pending_days(spark: SparkSession, pages: DataFrame, store: TableStore,
@@ -132,13 +141,13 @@ def run_pipeline(
     t0 = time.perf_counter()
     m1 = with_layout_columns(rollup_with_spec(obs, ms, finest))
     m1 = store.cluster_for_write(m1, ["bucket_day"])
-    store.overwrite_partitions(m1, _tier_table(finest), ["bucket_day"])
+    store.overwrite_partitions(m1, _tier_table(finest, ms.name), ["bucket_day"])
     wall = time.perf_counter() - t0
     # one manifest row PER DAY — the resume anti-join's work unit.
     # n_in (input docs) = Σ point_count of the written 1m rows: free from
     # this small agg, no second scan of the raw input.
     day_stats = (
-        store.read(_tier_table(finest))
+        store.read(_tier_table(finest, ms.name))
         .where(F.col("bucket_day").isin(pend))
         .groupBy("bucket_day")
         .agg(F.count(F.lit(1)).alias("rows_out"), F.sum("point_count").alias("docs"))
@@ -158,7 +167,7 @@ def run_pipeline(
     # ---- cascade: each scheduled coarser tier from its STORED parent ----
     for child, parent in ms.cascade_pairs():
         t0 = time.perf_counter()
-        parent_df = store.read(_tier_table(parent))
+        parent_df = store.read(_tier_table(parent, ms.name))
         csecs = SECONDS[child]
         if csecs > 86400:
             # child buckets span multiple days: re-derive every child
@@ -184,7 +193,7 @@ def run_pipeline(
             downsample_with_spec(src.drop("bucket_day", "url_bucket"), ms, child)
         )
         out = store.cluster_for_write(out, ["bucket_day"])
-        store.overwrite_partitions(out, _tier_table(child), ["bucket_day"])
+        store.overwrite_partitions(out, _tier_table(child, ms.name), ["bucket_day"])
         wall = time.perf_counter() - t0
         entries.append(
             dict(tier=child, bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
@@ -208,8 +217,24 @@ def run_pipeline(
         store.overwrite_partitions(sk, f"sketch_{finest}", ["bucket_day"])
         for child, parent in ms.cascade_pairs():
             pdf = store.read(f"sketch_{parent}")
-            if SECONDS[child] <= 86400:
+            csecs = SECONDS[child]
+            if csecs <= 86400:
                 pdf = pdf.where(F.col("bucket_day").isin(pend))
+            else:
+                # same epoch-window pruning as the numeric cascade: only
+                # parent sketches inside the affected child windows —
+                # otherwise every incremental run re-unions the ENTIRE
+                # sketch history and rewrites every coarse partition
+                import calendar
+
+                starts = sorted(
+                    {(calendar.timegm(d.timetuple()) // csecs) * csecs for d in pend}
+                )
+                lo_e, hi_e = min(starts), max(starts) + csecs
+                pdf = pdf.where(
+                    (F.col("bucket_start").cast("long") >= F.lit(lo_e))
+                    & (F.col("bucket_start").cast("long") < F.lit(hi_e))
+                )
             out = url_sketch_downsample(pdf.drop("bucket_day"), child).withColumn(
                 "bucket_day", F.to_date("bucket_start")
             )
@@ -314,7 +339,7 @@ def run_pipeline(
         t0 = time.perf_counter()
         from ..operators.cold_store import encode_cold
 
-        cold = encode_cold(store.read(_tier_table(cold_source_tier)))
+        cold = encode_cold(store.read(_tier_table(cold_source_tier, ms.name)))
         store.write(cold, f"cold_{cold_source_tier}")
         entries.append(
             dict(tier=f"cold_{cold_source_tier}",
@@ -328,21 +353,26 @@ def run_pipeline(
     if enforce_retention_now is not None:
         from ..operators.retention import enforce_retention
 
-        for tname in TIER_ORDER[:-1]:
-            parent = TIER_ORDER[TIER_ORDER.index(tname) + 1]
+        # each scheduled tier's ACTUAL coarser cover comes from the
+        # metric set's schedule (sets may skip tiers, e.g. 1m → 1d
+        # directly) — the global TIER_ORDER chain would name a tier
+        # that never exists, the clamp would never engage, and fine
+        # buckets could be dropped with no committed cover
+        cover = {parent: child for child, parent in ms.cascade_pairs()}
+        for tname, cov in cover.items():
             pmax = None
-            if store.exists(_tier_table(parent)):
+            if store.exists(_tier_table(cov, ms.name)):
                 # collect as EPOCH — collecting a TimestampType renders a
                 # driver-local naive datetime (fromInternal), which would
                 # shift retention math off-UTC on a non-UTC driver
                 pmax = (
-                    store.read(_tier_table(parent))
+                    store.read(_tier_table(cov, ms.name))
                     .agg(F.max(F.col("bucket_start").cast("long")))
                     .first()[0]
                 )
             enforce_retention(
-                store, _tier_table(tname), tname, enforce_retention_now,
-                parent_committed_max=pmax,
+                store, _tier_table(tname, ms.name), tname, enforce_retention_now,
+                parent_committed_max=pmax, parent_name=cov,
             )
 
     if persist_observations:

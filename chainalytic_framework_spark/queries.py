@@ -125,6 +125,12 @@ def series_points(
     Where both tiers hold a bucket (migration ran before retention),
     the HOT row wins (it is the authoritative, uncompressed copy).
 
+    A url can hold several tier rows in one bucket (the tier grain
+    includes ``lang``, which flaps between crawls): the series value is
+    their SUM — deterministic, and correct for the additive measures
+    this serves (point_count, byte_size, text_len_sum). Variants are
+    summed WITHIN each source first, then hot-wins applies per bucket.
+
     ``t0``/``t1`` accept naive-UTC/aware datetimes or epoch seconds;
     comparisons happen in epoch space (timezone-safe)."""
     from .operators.retention import _to_epoch
@@ -160,8 +166,11 @@ def series_points(
     if e1 is not None:
         parts = parts.where(F.col("bucket_start").cast("long") < F.lit(e1))
 
+    per_src = parts.groupBy("url", "url_hash", "bucket_start", "_src").agg(
+        F.sum("value").alias("value")
+    )
     return (
-        parts.groupBy("url", "url_hash", "bucket_start")
+        per_src.groupBy("url", "url_hash", "bucket_start")
         .agg(F.max_by("value", "_src").alias("value"))
         .select("url", "url_hash", "bucket_start", "value")
     )

@@ -126,7 +126,7 @@ def stream_sketch_estimate(store: TableStore) -> DataFrame:
     )
 
 
-def compact_stream_into_batch(store: TableStore) -> list:
+def compact_stream_into_batch(store: TableStore, closed_before=None) -> list:
     """Fold the streaming edge into the batch history: move the stream
     table's CLOSED days into ``tier_1m`` (idempotent dynamic partition
     overwrite, deduped — a crash between foreachBatch's write and the
@@ -135,21 +135,34 @@ def compact_stream_into_batch(store: TableStore) -> list:
     drop those days from the stream table. Coarser tiers re-derive from
     the compacted 1m partitions on the next batch run — the standard
     continuous-aggregate handoff (streaming keeps the edge fresh, batch
-    owns the heavy history). Returns the compacted day list."""
+    owns the heavy history). Returns the compacted day list.
+
+    ``closed_before`` (date / naive-UTC datetime): only stream days
+    strictly BEFORE it move — pass the stream's watermark day while the
+    stream is live, so the still-open day is never compacted out from
+    under it. ``None`` moves every day (safe only with the stream
+    stopped)."""
     if not store.exists("tier_1m_stream"):
         return []
     stream_rows = store.read("tier_1m_stream").distinct()
+    if closed_before is not None:
+        cb = closed_before.date() if hasattr(closed_before, "date") else closed_before
+        stream_rows = stream_rows.where(F.col("bucket_day") < F.lit(cb))
     days = [r["bucket_day"] for r in stream_rows.select("bucket_day").distinct().collect()]
     if not days:
         return []
     merged = stream_rows
     if store.exists("tier_1m"):
         existing = store.read("tier_1m").where(F.col("bucket_day").isin(days))
-        # stream rows win inside their days (they carry the freshest edge)
+        # stream rows win inside their days (freshest edge), but a
+        # conflict is the FULL tier grain — (bucket_start, url_hash,
+        # url, lang) — not just (bucket_start, url_hash): lang can flap
+        # between crawls of one url, and anti-joining on the short key
+        # would silently drop the batch row of the other lang variant
+        grain = [c for c in ("bucket_start", "url_hash", "url", "lang")
+                 if c in stream_rows.columns]
         keep = existing.join(
-            stream_rows.select("bucket_start", "url_hash").distinct(),
-            ["bucket_start", "url_hash"],
-            "left_anti",
+            stream_rows.select(*grain).distinct(), grain, "left_anti",
         )
         merged = stream_rows.unionByName(keep.select(stream_rows.columns))
     store.overwrite_partitions(

@@ -171,6 +171,12 @@ class TableStore:
         TOUCHED partitions, not 2× the table (the previous design
         rewrote the full state table twice per run)."""
         secondary = "url_hash" if "url_hash" in delta.columns else None
+        # empty delta = nothing to merge. Without this guard the staged
+        # table is written with ZERO parquet files and the read-back
+        # dies with UNABLE_TO_INFER_SCHEMA (zero-row pending days hit
+        # this: obs empty -> empty state delta).
+        if delta.isEmpty():
+            return
         if not self.exists(name):
             self.write(
                 self.cluster_for_write_hash(delta, [partition_col], secondary=secondary),
@@ -197,6 +203,7 @@ class TableStore:
         staged = f"{name}__staged"
         self.write(merged, staged, partition_by=[partition_col])
         self.overwrite_partitions(self.read(staged), name, [partition_col])
+        shutil.rmtree(self.path(staged), ignore_errors=True)
 
     def partition_file_stats(self, name: str) -> dict[str, tuple[int, int]]:
         """{partition dir (relative, e.g. 'bucket_day=2026-01-01'):

@@ -36,12 +36,9 @@ def test_incremental_equals_full_restricted_to_new(spark):
     expected = {p for p in full_pairs if p[0] in new_ids or p[1] in new_ids}
 
     corpus_bands = band_table(minhash_signatures(old))
+    # default include_new_new=True: new-vs-old AND new-vs-new in one call
     inc = incremental_lsh_pairs(minhash_signatures(new), corpus_bands)
-    # probe finds new-vs-old; new-vs-new needs the new batch's own bands
-    inc_all = inc.unionByName(
-        lsh_candidate_pairs(minhash_signatures(new))
-    ).distinct()
-    got = {(r["id_a"], r["id_b"]) for r in inc_all.collect()}
+    got = {(r["id_a"], r["id_b"]) for r in inc.collect()}
     assert got == expected
     assert len(expected) > 0  # the fixture actually collides
 

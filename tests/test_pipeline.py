@@ -180,12 +180,14 @@ def test_targeted_backfill_equals_full_rebuild(spark, tmp_path):
         if rel.split("/")[0] in ("state_bucket=22", "state_bucket=10", "state_bucket=24"):
             assert state_after.get(rel) == meta, f"untouched state bucket rewritten: {rel}"
 
-    # the staged merge covered only affected days (1-3), never day 4,
-    # and carried no rows for untouched urls
-    staged = store.read("fold_events__staged")
-    days = {str(r["bucket_day"]) for r in staged.select("bucket_day").distinct().collect()}
-    assert "2024-01-04" not in days
-    assert staged.where(F.col("url").isin("uE")).count() == 0
+    # staging scratch is cleaned up after the merge commits (it held a
+    # full copy of the touched partitions); the surgical-scope claims it
+    # used to witness are covered by the byte-identical file listings
+    # above (day-4 partition and uE's state bucket never rewritten)
+    import os
+
+    assert not os.path.isdir(store.path("fold_events__staged"))
+    assert not os.path.isdir(store.path("fold_state__staged"))
 
 
 def test_retention_drops_only_covered(spark, store):

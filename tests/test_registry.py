@@ -94,10 +94,13 @@ def test_pipeline_with_custom_metric_set(spark, tmp_path, pages):
     r = run_pipeline(spark, pages, store, metric_set="test_custom", with_fold=False)
     assert r["pending_days"] > 0
 
-    t1d = store.read("tier_1d")
+    # non-default sets write NAMESPACED tier tables (schema isolation
+    # from the default set's warehouse)
+    t1d = store.read("tier_test_custom_1d")
     assert "text_len_sq_sum" in t1d.columns
-    assert not store.exists("tier_1h")  # schedule skipped it
-    assert not store.exists("tier_30d")
+    assert not store.exists("tier_1d")  # default tables untouched
+    assert not store.exists("tier_test_custom_1h")  # schedule skipped it
+    assert not store.exists("tier_test_custom_30d")
 
     obs = prepare_observations(pages)
     direct = rollup_with_spec(obs, ms, "1d")
