@@ -1852,3 +1852,40 @@ def incremental_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFra
     new = d.where(F.col("doc_id") >= 450)
     corpus_bands = _dd.band_table(_dd.minhash_signatures(old))
     return _dd.incremental_lsh_pairs(_dd.minhash_signatures(new), corpus_bands)
+
+
+@q(
+    "curation_pipeline_documents",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTE},
+    kept AS (
+      SELECT d.* FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+      WHERE COALESCE(c.component, d.doc_id) = d.doc_id),
+    q AS (SELECT * FROM kept WHERE len(string_split(text, ' ')) >= 20),
+    s AS (SELECT * FROM q
+          WHERE {_KEYHASH_PPM_SQL.format(x='doc_id', seed=11)} <
+                CASE lang WHEN 'en' THEN 200000 ELSE 600000 END)
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM s GROUP BY lang
+    """,
+)
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline a training-data user actually
+    runs, as ONE declarative plan: near-dup dedup (minhash → LSH →
+    verify → components → keep one representative per group), then a
+    token-count quality floor, then per-language stratified
+    downsampling — summarized per lang. Every stage is an operator from
+    this engine composed lazily, so Catalyst sees one DAG: the corpus
+    is scanned once for the dedup chain and once for the survivor
+    semi-join; nothing materializes in between."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _verified_dedup_pairs(spark, sf_dir)
+    kept = _cc.dedup_survivors(d, pairs, "doc_id")
+    q = kept.where(F.size(F.split("text", " ", -1)) >= 20)
+    s = _samp.stratified_sample(
+        q, "lang", {"en": 0.20}, key="doc_id", default_rate=0.60, seed=11
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
