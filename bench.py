@@ -38,6 +38,12 @@ HEADLINE = [
     "text_stats_lang_documents",
     "dedup_exact_documents",
     "knn_bruteforce_embeddings",
+    # round-2 additions: the verified-dedup chain and TF-IDF (the
+    # iterative ops — components, IVF — are correctness-gated at sf0.01
+    # by the driver; their per-round fixed job overhead at this sf would
+    # swamp the headline without measuring anything scale-relevant)
+    "lsh_verified_pairs_documents",
+    "tfidf_top_terms_documents",
 ]
 
 
