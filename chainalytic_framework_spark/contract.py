@@ -1889,3 +1889,62 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+@q(
+    "gapfill_interp_events",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS bucket_epoch,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events WHERE user_id < 20 GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, MIN(bucket_epoch) AS b0, MAX(bucket_epoch) AS b1 FROM b GROUP BY user_id),
+    spine AS (
+      SELECT user_id, UNNEST(range(b0, b1 + 21600, 21600)) AS bucket_epoch FROM bounds),
+    j AS (
+      SELECT s.user_id, s.bucket_epoch, b.value_cents,
+             (b.value_cents IS NULL) AS gap_filled
+      FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket_epoch = b.bucket_epoch),
+    w AS (
+      SELECT user_id, bucket_epoch, value_cents, gap_filled,
+             last_value(value_cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bucket_epoch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             last_value(CASE WHEN value_cents IS NOT NULL THEN bucket_epoch END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket_epoch
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+             first_value(value_cents IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY bucket_epoch
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+             first_value(CASE WHEN value_cents IS NOT NULL THEN bucket_epoch END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket_epoch
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+      FROM j)
+    SELECT user_id, bucket_epoch,
+           CAST(CASE WHEN gap_filled
+                THEN v0 * 10000 + CAST(floor(CAST((v1 - v0) * 10000 * (bucket_epoch - t0) AS DOUBLE)
+                                              / (t1 - t0)) AS BIGINT)
+                ELSE value_cents * 10000 END AS BIGINT) AS value_cents_x1e4,
+           gap_filled
+    FROM w
+    """,
+)
+def gapfill_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation gap-fill over 6h buckets (the TimescaleDB
+    ``interpolate()`` analogue to LOCF) — integer-exact scaled math, so
+    the oracle pairing is bit-deterministic (operators/gapfill.py::
+    gapfill_interpolate_epoch)."""
+    from .operators.gapfill import gapfill_interpolate_epoch
+
+    ev = _t(spark, sf_dir, "events")
+    secs = 21600
+    b = (
+        ev.where(F.col("user_id") < 20)
+        .select("user_id", _bucket_epoch("ts", secs), _cents().alias("_c"))
+        .groupBy("user_id", "bucket_epoch")
+        .agg(F.sum("_c").alias("value_cents"))
+    )
+    return gapfill_interpolate_epoch(
+        b, ["user_id"], "bucket_epoch", "value_cents", secs
+    ).withColumnRenamed("value_cents_x1e4", "value_cents_x1e4")

@@ -201,3 +201,76 @@ def last_observation_state(tier_df: DataFrame) -> DataFrame:
         )
         .select("bucket_start", "url_hash", "url", "lang", "point_count", *_CARRY)
     )
+
+
+def gapfill_interpolate_epoch(
+    obs: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    secs: int,
+) -> DataFrame:
+    """LINEAR-interpolation gap-fill (the TimescaleDB ``interpolate()``
+    analogue to LOCF): per-key spine over [first, last] observation,
+    gap buckets get v0 + (v1-v0)·(t-t0)/(t1-t0) between their bracketing
+    observations. Works on an epoch-seconds bucket column and an
+    INTEGER value column, and keeps the interpolation in pure integer
+    math (scaled ×1e4, floor division) so results are bit-identical
+    across engines and partitionings — no float rounding at .5
+    boundaries.
+
+    Every spine row lies between two observations of its key (the spine
+    spans first..last), so v0/t0 (last non-null preceding) and v1/t1
+    (first non-null following) always exist. Plan: one groupBy for
+    bounds, sequence+explode spine (JVM), one left join, two window
+    passes over the same (key, bucket) ordering — the same shuffle
+    family as gapfill_locf.
+
+    Output: key cols, bucket col, ``{value}_x1e4`` (scaled long),
+    ``gap_filled``.
+    """
+    from pyspark.sql import Window
+
+    bounds = obs.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1")
+    )
+    spine = bounds.select(
+        *key_cols, F.explode(F.sequence("_b0", "_b1", F.lit(secs))).alias(bucket_col)
+    )
+    j = spine.join(obs, [*key_cols, bucket_col], "left").withColumn(
+        "gap_filled", F.col(value_col).isNull()
+    )
+    w_back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    t = F.col(bucket_col)
+    obs_t = F.when(v.isNotNull(), t)
+    out = (
+        j.withColumn("_v0", F.last(v, ignorenulls=True).over(w_back))
+        .withColumn("_t0", F.last(obs_t, ignorenulls=True).over(w_back))
+        .withColumn("_v1", F.first(v, ignorenulls=True).over(w_fwd))
+        .withColumn("_t1", F.first(obs_t, ignorenulls=True).over(w_fwd))
+    )
+    interp = F.col("_v0") * 10000 + F.floor(
+        (F.col("_v1") - F.col("_v0"))
+        * 10000
+        * (t - F.col("_t0"))
+        / (F.col("_t1") - F.col("_t0"))
+    ).cast("long")
+    return out.select(
+        *key_cols,
+        bucket_col,
+        F.when(F.col("gap_filled"), interp)
+        .otherwise(v * 10000)
+        .cast("long")
+        .alias(f"{value_col}_x1e4"),
+        "gap_filled",
+    )

@@ -161,3 +161,37 @@ def test_pandas_variant_equals_jvm_plan(spark, pages):
     b = gapfill_locf_pandas(t, "1h").select(*cols)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_interpolate_midpoints_and_passthrough(spark):
+    from chainalytic_framework_spark.operators.gapfill import gapfill_interpolate_epoch
+
+    # key 1: observations at t=0 (v=100) and t=300 (v=130); 60s buckets
+    obs = spark.createDataFrame(
+        [(1, 0, 100), (1, 300, 130), (2, 0, 7)],
+        "k long, bucket_epoch long, v long",
+    )
+    out = gapfill_interpolate_epoch(obs, ["k"], "bucket_epoch", "v", 60)
+    got = {(r["k"], r["bucket_epoch"]): (r["v_x1e4"], r["gap_filled"]) for r in out.collect()}
+    # exact linear ramp: 100, 106, 112, 118, 124, 130 (x1e4)
+    assert got[(1, 0)] == (1_000_000, False)
+    assert got[(1, 60)] == (1_060_000, True)
+    assert got[(1, 120)] == (1_120_000, True)
+    assert got[(1, 180)] == (1_180_000, True)
+    assert got[(1, 240)] == (1_240_000, True)
+    assert got[(1, 300)] == (1_300_000, False)
+    # single-observation key: no gaps, passthrough only
+    assert got[(2, 0)] == (70_000, False)
+    assert len([k for k in got if k[0] == 2]) == 1
+
+
+def test_interpolate_no_gaps_is_identity(spark):
+    from chainalytic_framework_spark.operators.gapfill import gapfill_interpolate_epoch
+
+    obs = spark.createDataFrame(
+        [(1, 0, 10), (1, 60, 20), (1, 120, 15)],
+        "k long, bucket_epoch long, v long",
+    )
+    out = gapfill_interpolate_epoch(obs, ["k"], "bucket_epoch", "v", 60).collect()
+    assert all(not r["gap_filled"] for r in out)
+    assert {r["v_x1e4"] for r in out} == {100_000, 200_000, 150_000}
