@@ -1948,3 +1948,91 @@ def gapfill_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_interpolate_epoch(
         b, ["user_id"], "bucket_epoch", "value_cents", secs
     ).withColumnRenamed("value_cents_x1e4", "value_cents_x1e4")
+
+
+# ---------------------------------------------------------------------------
+# Counter semantics / time weighting (operators/counters.py)
+# ---------------------------------------------------------------------------
+
+from .operators import counters as _ctr
+
+
+@q(
+    "counter_increase_events",
+    """
+    WITH series AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) % 100000 AS BIGINT) AS ctr
+      FROM events WHERE user_id < 50),
+    d AS (
+      SELECT user_id, t, ctr,
+             lag(ctr) OVER (PARTITION BY user_id ORDER BY t, ctr) AS prev
+      FROM series)
+    SELECT user_id,
+           CAST(floor(t / 86400.0) AS BIGINT) * 86400 AS bucket_epoch,
+           CAST(COALESCE(SUM(CASE WHEN prev IS NULL THEN NULL
+                        WHEN ctr < prev THEN ctr
+                        ELSE ctr - prev END), 0) AS BIGINT) AS increase,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND ctr < prev THEN 1 ELSE 0 END)
+                AS BIGINT) AS resets
+    FROM d GROUP BY 1, 2
+    """,
+)
+def counter_increase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style ``increase()`` over a monotonic counter WITH reset
+    detection: a synthetic per-user counter (running cents mod 1e5 —
+    wraps = resets) is delta'd with reset correction and summed per day.
+    Lag/window + one keyed agg, integer-exact."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    series = (
+        ev.where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            _epoch("ts").alias("t"),
+            (F.sum(_cents()).over(w) % 100000).cast("long").alias("ctr"),
+        )
+    )
+    # order by (t, ctr): events sharing a timestamp order the same way
+    # in both engines (ctr is the running total, strictly increasing
+    # within a tie group up to the mod wrap)
+    out = _ctr.counter_increase(series, ["user_id"], ["t", "ctr"], "ctr", 86400)
+    return out.select("user_id", "bucket_epoch", "increase", "resets")
+
+
+@q(
+    "time_weighted_avg_events",
+    """
+    WITH series AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 50),
+    seg AS (
+      SELECT user_id, cents,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+      FROM series),
+    agg AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(cents * dt), 0) AS BIGINT) AS twa_num,
+             CAST(COALESCE(SUM(dt), 0) AS BIGINT) AS twa_den
+      FROM seg GROUP BY user_id)
+    SELECT user_id, twa_num, twa_den,
+           CASE WHEN twa_den > 0
+                THEN CAST(floor(CAST(twa_num AS DOUBLE) * 10000 / twa_den) AS BIGINT)
+           END AS twa_x1e4
+    FROM agg
+    """,
+)
+def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user over the irregular event series
+    (TimescaleDB ``time_weight('locf')`` analogue): integer num/den
+    components plus a floor-scaled ratio — exact across engines and
+    accumulation orders."""
+    ev = _t(spark, sf_dir, "events")
+    series = ev.where(F.col("user_id") < 50).select(
+        "user_id", _epoch("ts").alias("t"), "event_id", _cents().alias("cents")
+    )
+    return _ctr.time_weighted_avg_x1e4(series, ["user_id"], ["t", "event_id"], "cents")
