@@ -2036,3 +2036,29 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", _epoch("ts").alias("t"), "event_id", _cents().alias("cents")
     )
     return _ctr.time_weighted_avg_x1e4(series, ["user_id"], ["t", "event_id"], "cents")
+
+
+@q(
+    "lttb_downsample_events",
+    None,  # sequential per-series selection is not SQL-expressible;
+           # correctness is property-tested (tests/test_lttb.py):
+           # endpoint retention, spike retention, partitioning invariance
+)
+def lttb_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets decimation of each user's value
+    series to 50 shape-preserving points (operators/lttb.py) — the
+    chart-serving path over tier tables."""
+    from .operators.lttb import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.where(F.col("user_id") < 20).select(
+        "user_id",
+        _epoch("ts").cast("double").alias("t"),
+        F.col("value").cast("double").alias("v"),
+    )
+    out = lttb_downsample(series, ["user_id"], "t", "v", 50)
+    return out.select(
+        "user_id",
+        F.col("t").cast("long").alias("t_epoch"),
+        F.round(F.col("v") * 100).cast("long").alias("v_cents"),
+    )

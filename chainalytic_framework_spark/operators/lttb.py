@@ -1,0 +1,75 @@
+"""Largest-Triangle-Three-Buckets downsampling per series.
+
+A dashboard serving 10^12-point tiers cannot ship raw buckets to a
+chart; LTTB (Steinarsson 2013, public thesis) picks the n points that
+preserve a series' visual shape. Selection is inherently sequential
+per series (each pick depends on the previous pick), so this is a
+pandas-UDF ``applyInPandas`` operator — the documented "Spark lacks the
+primitive" escape hatch — with the sequential part vectorized per
+bucket inside NumPy. Series are key-partitioned; one shuffle, each
+series decimated independently (the same cogroup shape as the fold).
+
+Output is a deterministic function of the series content: no RNG, ties
+broken by first index, so the result is identical across partitionings
+and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lttb_indices(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
+    n = len(t)
+    if n_out >= n or n_out < 3:
+        return np.arange(n)
+    # bucket boundaries over the interior points (first/last always kept)
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    idx = np.empty(n_out, dtype=np.int64)
+    idx[0] = 0
+    a = 0  # previously selected point
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        nlo, nhi = hi, min(n, edges[i + 1 + 1] if i + 2 < n_out - 1 else n)
+        # average of the NEXT bucket (the third triangle corner)
+        if nhi > nlo:
+            avg_t, avg_v = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+        else:
+            avg_t, avg_v = t[-1], v[-1]
+        # triangle areas for every candidate in this bucket, vectorized
+        tt, vv = t[lo:hi], v[lo:hi]
+        area = np.abs(
+            (t[a] - avg_t) * (vv - v[a]) - (t[a] - tt) * (avg_v - v[a])
+        )
+        a = lo + int(area.argmax())
+        idx[i + 1] = a
+    idx[-1] = n - 1
+    return idx
+
+
+def lttb_downsample(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    v_col: str,
+    n_out: int,
+) -> DataFrame:
+    """Decimate each key's (t, v) series to ``n_out`` shape-preserving
+    points. Series shorter than ``n_out`` pass through unchanged."""
+    keys = list(key_cols)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in series.select(*keys, t_col, v_col).schema.fields
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort").reset_index(drop=True)
+        t = pdf[t_col].to_numpy(dtype="float64")
+        v = pdf[v_col].to_numpy(dtype="float64")
+        keep = _lttb_indices(t, v, n_out)
+        return pdf.loc[keep, [*keys, t_col, v_col]]
+
+    return series.select(*keys, t_col, v_col).groupBy(*keys).applyInPandas(_one, schema=schema)
