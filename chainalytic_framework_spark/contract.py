@@ -2062,3 +2062,210 @@ def lttb_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("long").alias("t_epoch"),
         F.round(F.col("v") * 100).cast("long").alias("v_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window analytics + snapshot diff (operators/rolling.py, diff.py)
+# ---------------------------------------------------------------------------
+
+from .operators import rolling as _rol
+from .operators.diff import snapshot_diff as _snapshot_diff
+
+
+@q(
+    "moving_window_events",
+    f"""
+    WITH h AS (
+      SELECT {_bucket_epoch_sql('ts', 3600)} AS bucket_epoch, event_type,
+             COUNT(*) AS point_count,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2)
+    SELECT bucket_epoch, event_type, value_cents,
+           CAST(SUM(value_cents) OVER w AS BIGINT) AS mov_value_cents,
+           CAST(SUM(point_count) OVER w AS BIGINT) AS mov_point_count,
+           CAST(COUNT(*) OVER w AS BIGINT) AS mov_n
+    FROM h
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_epoch
+                 RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 6h moving sums at 1h resolution per series — RANGE
+    (value-based) framing so sparse series keep the correct time
+    horizon across bucket gaps (operators/rolling.py). Engine-added vs
+    the reference's cumulative-only aggregates (A1)."""
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select(_bucket_epoch("ts", 3600), "event_type", _cents().alias("_c"))
+        .groupBy("bucket_epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("point_count"),
+            F.sum("_c").alias("value_cents"),
+        )
+    )
+    out = _rol.sliding_range_sum(
+        h, ["event_type"], "bucket_epoch", 18000,
+        ["value_cents", "point_count"],
+    )
+    return out.select(
+        "bucket_epoch", "event_type", "value_cents",
+        "mov_value_cents", "mov_point_count", "mov_n",
+    )
+
+
+@q(
+    "zscore_anomaly_events",
+    f"""
+    WITH d AS (
+      SELECT {_bucket_epoch_sql('ts', 21600)} AS bucket_epoch, event_type,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT bucket_epoch, event_type, value_cents,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n_win,
+             SUM(CAST(value_cents AS HUGEINT)) OVER win AS s1,
+             SUM(CAST(value_cents AS HUGEINT) * CAST(value_cents AS HUGEINT)) OVER win AS s2
+      FROM d
+      WINDOW win AS (PARTITION BY event_type ORDER BY bucket_epoch
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+    SELECT bucket_epoch, event_type, value_cents, n_win,
+           CAST(CASE WHEN n_win >= 4 AND
+                  (n_win * CAST(value_cents AS HUGEINT) - s1)
+                * (n_win * CAST(value_cents AS HUGEINT) - s1)
+                > 9 * (n_win * s2 - s1 * s1)
+                THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM w
+    """,
+)
+def zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z>3 outlier flag per series at 6h resolution, exact in
+    integers: cross-multiplied z² inequality over the 6 PRIOR buckets
+    (operators/rolling.py — window excludes the current row; including
+    it caps z² at n−1 and the detector never fires)."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(_bucket_epoch("ts", 21600), "event_type", _cents().alias("_c"))
+        .groupBy("bucket_epoch", "event_type")
+        .agg(F.sum("_c").alias("value_cents"))
+    )
+    out = _rol.rolling_anomaly_flags(
+        d, ["event_type"], "bucket_epoch", "value_cents",
+        n_prev=6, z2_threshold=9, min_window=4,
+    )
+    return out.select("bucket_epoch", "event_type", "value_cents", "n_win", "is_anomaly")
+
+
+@q(
+    "seasonal_profile_events",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour_of_day,
+           (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS day_of_week,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def seasonal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day × day-of-week) load profile per series —
+    pure epoch integer arithmetic (1970-01-01 = Thursday = 4), never
+    session-timezone calendar functions, so the profile is identical on
+    any driver/engine. The grouping key space is tiny (24×7×types): a
+    single partial-agg shuffle at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    e = _epoch("ts")
+    return (
+        ev.select(
+            ((e / 3600).cast("long") % 24).alias("hour_of_day"),
+            (((e / 86400).cast("long") + 4) % 7).alias("day_of_week"),
+            "event_type",
+            _cents().alias("_c"),
+        )
+        .groupBy("hour_of_day", "day_of_week", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_c").alias("value_cents"),
+        )
+    )
+
+
+@q(
+    "snapshot_diff_events",
+    """
+    WITH b AS (
+      SELECT lo + CAST(floor((hi - lo + 1) / 2) AS BIGINT) AS bday FROM (
+        SELECT CAST(floor(epoch(MIN(ts)) / 86400) AS BIGINT) AS lo,
+               CAST(floor(epoch(MAX(ts)) / 86400) AS BIGINT) AS hi
+        FROM events)),
+    o AS (
+      SELECT user_id,
+             arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS last_cents
+      FROM events, b
+      WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT) < bday GROUP BY user_id),
+    n AS (
+      SELECT user_id,
+             arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS last_cents
+      FROM events, b
+      WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT) >= bday GROUP BY user_id)
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'new'
+                WHEN n.user_id IS NULL THEN 'vanished'
+                WHEN o.last_cents = n.last_cents THEN 'stable'
+                ELSE 'changed' END AS status,
+           o.last_cents AS old_last_cents,
+           n.last_cents AS new_last_cents
+    FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+    """,
+)
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-crawl change detection (operators/diff.py): the event
+    range is split at its midpoint day into two 'crawl snapshots'; each
+    user's last-observed value per half is diffed into
+    new/vanished/changed/stable. Drives incremental re-processing —
+    only new/changed keys re-enter the pipeline."""
+    ev = _t(spark, sf_dir, "events")
+    r = ev.agg(
+        (F.min(_epoch("ts")) / 86400).cast("long").alias("lo"),
+        (F.max(_epoch("ts")) / 86400).cast("long").alias("hi"),
+    ).first()
+    bday = r["lo"] + (r["hi"] - r["lo"] + 1) // 2
+    day = (_epoch("ts") / 86400).cast("long")
+    base = ev.select("user_id", "event_id", day.alias("_day"), _cents().alias("_c"))
+    halves = [
+        base.where(cond)
+        .groupBy("user_id")
+        .agg(F.max_by("_c", "event_id").alias("last_cents"))
+        for cond in (F.col("_day") < bday, F.col("_day") >= bday)
+    ]
+    out = _snapshot_diff(halves[0], halves[1], ["user_id"], "last_cents")
+    return out.select(
+        "user_id", "status",
+        F.col("old_last_cents").alias("old_last_cents"),
+        F.col("new_last_cents").alias("new_last_cents"),
+    )
+
+
+@q(
+    "repetition_documents",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+      FROM documents),
+    per AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(MAX(c) AS BIGINT) AS top_token_count,
+           CAST(floor((SUM(c) - COUNT(*)) * 10000 / SUM(c)) AS BIGINT) AS dup_token_frac_x1e4,
+           CAST(floor(MAX(c) * 10000 / SUM(c)) AS BIGINT) AS top_token_share_x1e4
+    FROM per GROUP BY doc_id
+    """,
+)
+def repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality features per document
+    (functions/text.py::token_repetition): duplicate-token fraction and
+    most-frequent-token share, exact ×1e4 integers."""
+    from .functions.text import token_repetition
+
+    return token_repetition(_t(spark, sf_dir, "documents"))

@@ -186,3 +186,39 @@ def tfidf_top_terms(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def token_repetition(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Repetition features per document — the Gopher-style repetitive-
+    content signals (duplicate-token fraction, most-frequent-token
+    share) that catch keyword-stuffed / boilerplate pages the length
+    and punctuation features miss.
+
+    Exact integer outputs: ``n_tokens``, ``n_distinct_tokens``,
+    ``top_token_count`` (longs) and floor-scaled ×1e4 ratios
+    ``dup_token_frac_x1e4`` / ``top_token_share_x1e4`` — bit-identical
+    across engines and shuffle orders.
+
+    Plan: explode → two-level groupBy, both shuffles keyed by id (the
+    second agg reuses the first's partitioning). Partial aggregation
+    absorbs the per-token fan-out map-side, so at 10^12 docs the
+    shuffle carries (doc, distinct-token) pairs, not raw tokens."""
+    c = F.col(text_col)
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(c, r"\s+", -1)).alias("_tok")
+    ).where(F.col("_tok") != "")
+    per = tok.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    agg = per.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.max("_c").cast("long").alias("top_token_count"),
+    )
+    n = F.col("n_tokens")
+    return agg.withColumn(
+        "dup_token_frac_x1e4",
+        F.floor((n - F.col("n_distinct_tokens")) * 10000 / n).cast("long"),
+    ).withColumn(
+        "top_token_share_x1e4",
+        F.floor(F.col("top_token_count") * 10000 / n).cast("long"),
+    )

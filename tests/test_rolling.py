@@ -1,0 +1,116 @@
+"""Sliding-window analytics (operators/rolling.py) and snapshot diff
+(operators/diff.py): range-vs-rows framing, anomaly exactness and the
+excluded-current-row property, and diff classification semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.operators.diff import snapshot_diff
+from chainalytic_framework_spark.operators.rolling import (
+    rolling_anomaly_flags,
+    sliding_range_sum,
+)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "k string, t long, v long")
+
+
+def test_sliding_range_sum_excludes_gapped_buckets(spark):
+    # buckets at t=0,60,120 then a 10-minute gap to t=720: with a 120s
+    # trailing range, the post-gap row must see ONLY itself — a ROWS
+    # frame would wrongly reach back across the gap.
+    df = _series(spark, [("a", 0, 1), ("a", 60, 2), ("a", 120, 4), ("a", 720, 8)])
+    out = sliding_range_sum(df, ["k"], "t", 120, ["v"])
+    got = {r["t"]: (r["mov_v"], r["mov_n"]) for r in out.collect()}
+    assert got[0] == (1, 1)
+    assert got[60] == (3, 2)
+    assert got[120] == (7, 3)       # 0,60,120 all within [0,120]
+    assert got[720] == (8, 1)       # gap: nothing within [600,720] but itself
+
+
+def test_sliding_range_sum_is_per_key(spark):
+    df = _series(spark, [("a", 0, 1), ("b", 0, 100), ("a", 60, 2)])
+    out = sliding_range_sum(df, ["k"], "t", 3600, ["v"])
+    got = {(r["k"], r["t"]): r["mov_v"] for r in out.collect()}
+    assert got[("a", 60)] == 3       # never mixes b's rows
+    assert got[("b", 0)] == 100
+
+
+def test_anomaly_fires_on_spike_only(spark):
+    # stable baseline 100±1 then a spike: only the spike flags, and
+    # only once it has >= min_window prior rows.
+    rows = [("a", i * 60, 100 + (i % 2)) for i in range(6)] + [("a", 360, 500)]
+    out = rolling_anomaly_flags(
+        _series(spark, rows), ["k"], "t", "v", n_prev=6, min_window=4
+    )
+    got = {r["t"]: (r["n_win"], r["is_anomaly"]) for r in out.collect()}
+    assert got[360] == (6, 1)
+    assert all(flag == 0 for t, (_, flag) in got.items() if t != 360)
+
+
+def test_anomaly_window_excludes_current_row(spark):
+    # THE property that makes a z>3 detector live: with the current row
+    # included in its own baseline, z² is capped at n−1 (= 6 here) and
+    # the spike below could never flag. Verify the flag fires, and that
+    # n_win counts PRIOR rows only (first row has 0).
+    rows = [("a", i * 60, 100) for i in range(6)] + [("a", 360, 101)]
+    out = rolling_anomaly_flags(
+        _series(spark, rows), ["k"], "t", "v", n_prev=6, min_window=4
+    )
+    got = {r["t"]: (r["n_win"], r["is_anomaly"]) for r in out.collect()}
+    assert got[0][0] == 0
+    # zero prior variance: ANY deviation is infinitely surprising
+    assert got[360] == (6, 1)
+    # ... but an exactly-equal value is not (LHS = 0 is not > 0)
+    rows2 = [("a", i * 60, 100) for i in range(7)]
+    out2 = rolling_anomaly_flags(
+        _series(spark, rows2), ["k"], "t", "v", n_prev=6, min_window=4
+    )
+    assert all(r["is_anomaly"] == 0 for r in out2.collect())
+
+
+def test_anomaly_matches_float_zscore_oracle(spark):
+    # the integer cross-multiplied inequality must agree with the
+    # textbook float z² on a varied series (no near-threshold ties here)
+    import statistics
+
+    vals = [100, 104, 98, 102, 96, 103, 99, 180, 101, 97, 250, 100]
+    rows = [("a", i * 60, v) for i, v in enumerate(vals)]
+    out = rolling_anomaly_flags(
+        _series(spark, rows), ["k"], "t", "v", n_prev=6, min_window=4
+    )
+    got = {r["t"]: r["is_anomaly"] for r in out.collect()}
+    for i, v in enumerate(vals):
+        prior = vals[max(0, i - 6):i]
+        if len(prior) < 4:
+            expect = 0
+        else:
+            mu = statistics.mean(prior)
+            var = statistics.pvariance(prior)
+            expect = int(var >= 0 and (v - mu) ** 2 > 9 * var)
+        assert got[i * 60] == expect, f"row {i}"
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (5, None)], "id long, h long"
+    )
+    new = spark.createDataFrame(
+        [(2, 20), (3, 31), (4, 40), (5, None)], "id long, h long"
+    )
+    out = snapshot_diff(old, new, ["id"], "h")
+    got = {r["id"]: r["status"] for r in out.collect()}
+    assert got == {1: "vanished", 2: "stable", 3: "changed", 4: "new", 5: "stable"}
+    row4 = out.where(F.col("id") == 4).first()
+    assert row4["old_h"] is None and row4["new_h"] == 40
+
+
+def test_snapshot_diff_null_vs_value_is_changed(spark):
+    # presence is membership, not value non-nullness: NULL on one side
+    # with a value on the other is 'changed', never 'new'/'vanished'
+    old = spark.createDataFrame([(1, None)], "id long, h long")
+    new = spark.createDataFrame([(1, 7)], "id long, h long")
+    assert snapshot_diff(old, new, ["id"], "h").first()["status"] == "changed"

@@ -99,3 +99,23 @@ def test_media_embeddings_compose_with_ann(spark):
     buckets = sim.hyperplane_lsh_buckets(emb, planes, id_col="media_id")
     assert buckets.count() == 20
     assert buckets.where(F.col("bucket") < 0).count() == 0
+
+
+def test_token_repetition_exact_counts(spark):
+    from chainalytic_framework_spark.functions.text import token_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 tokens, 2 distinct, top=3
+            (2, "x y z"),            # no repetition
+            (3, "w  w"),             # double space: empty token dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in token_repetition(docs).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct_tokens"] == 2
+    assert got[1]["top_token_count"] == 3
+    assert got[1]["dup_token_frac_x1e4"] == 5000       # 2/4
+    assert got[1]["top_token_share_x1e4"] == 7500      # 3/4
+    assert got[2]["dup_token_frac_x1e4"] == 0
+    assert got[3]["n_tokens"] == 2 and got[3]["top_token_count"] == 2

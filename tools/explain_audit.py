@@ -90,6 +90,19 @@ def main() -> int:
                 contract.tfidf_top_terms_documents(spark, sf),
                 {"broadcast": True})
 
+    ok &= audit("moving window: one agg shuffle + one window shuffle",
+                contract.moving_window_events(spark, sf),
+                {"max_exchanges": 2})
+    ok &= audit("zscore anomaly: one agg shuffle + one window shuffle",
+                contract.zscore_anomaly_events(spark, sf),
+                {"max_exchanges": 2})
+    ok &= audit("seasonal profile: single agg shuffle",
+                contract.seasonal_profile_events(spark, sf),
+                {"max_exchanges": 1})
+    ok &= audit("snapshot diff: keyed aggs reused by the outer join, no cartesian",
+                contract.snapshot_diff_events(spark, sf),
+                {"max_exchanges": 4})
+
     # components: each large/small-star round must be keyed joins, never
     # a cartesian, and the convergence check is a 1-row aggregate
     from chainalytic_framework_spark.operators.components import large_star, small_star
