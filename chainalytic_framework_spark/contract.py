@@ -2269,3 +2269,164 @@ def repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import token_repetition
 
     return token_repetition(_t(spark, sf_dir, "documents"))
+
+
+_HB_CENTS = "CAST(round(value * 100) AS BIGINT)"
+_HB_EXPR = (
+    f"CASE WHEN {_HB_CENTS} <= 0 THEN 0 ELSE "
+    f"CAST(rpad(substr(CAST({_HB_CENTS} AS VARCHAR), 1, 1), "
+    f"CAST(length(CAST({_HB_CENTS} AS VARCHAR)) AS INTEGER), '0') AS BIGINT) END"
+)
+
+
+@q(
+    "histogram_1h_events",
+    f"""
+    SELECT {_bucket_epoch_sql('ts', 3600)} AS bucket_epoch,
+           event_type,
+           {_HB_EXPR} AS hb_lo,
+           COUNT(*) AS hb_count
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def histogram_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution tier (operators/histogram.py): per (1h bucket,
+    event_type) counts in leading-decimal-digit value buckets — the
+    mergeable histogram artifact a Prometheus-native-histogram /
+    continuous-aggregate layer stores instead of recomputing
+    percentiles from raw. Bucket ids are pure string/integer math, so
+    both engines bucket bit-identically."""
+    from .operators.histogram import histogram_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn("_c", _cents())
+    return histogram_rollup(ev, _bucket_epoch("ts", 3600), ["event_type"], F.col("_c")).select(
+        "bucket_epoch", "event_type", "hb_lo", "hb_count"
+    )
+
+
+@q(
+    "histogram_p90_daily_events",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {_bucket_epoch_sql('ts', 86400)} AS bucket_epoch,
+             {_HB_EXPR} AS hb_lo,
+             COUNT(*) AS hb_count
+      FROM events GROUP BY 1, 2, 3),
+    c AS (
+      SELECT event_type, bucket_epoch, hb_lo,
+             SUM(hb_count) OVER (PARTITION BY event_type, bucket_epoch
+                                 ORDER BY hb_lo) AS cum,
+             SUM(hb_count) OVER (PARTITION BY event_type, bucket_epoch) AS total
+      FROM h)
+    SELECT event_type, bucket_epoch, MIN(hb_lo) AS p90_lo
+    FROM c WHERE cum >= CAST(ceil(total * 90 / 100) AS BIGINT)
+    GROUP BY 1, 2
+    """,
+)
+def histogram_p90_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p90 read off the MERGED histogram cascade: Spark builds the 1m
+    histogram tier, merges 1m->1h->1d (two downsample steps over stored
+    partials only), then answers p90 per (event_type, day) from the
+    merged counts. The oracle buckets raw directly at 1d — equality
+    through the hash gate proves the histogram partials merge
+    losslessly across two cascade levels, the property that lets a
+    dashboard answer quantiles at 10^12 rows without touching raw."""
+    from .operators.histogram import (
+        histogram_downsample,
+        histogram_rollup,
+        quantile_from_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("_c", _cents())
+    h1m = histogram_rollup(ev, _bucket_epoch("ts", 60), ["event_type"], F.col("_c"))
+    h1h = histogram_downsample(h1m, ["event_type"], 3600)
+    h1d = histogram_downsample(h1h, ["event_type"], 86400)
+    return quantile_from_histogram(h1d, ["event_type"], 90, out_col="p90_lo").select(
+        "event_type", "bucket_epoch", "p90_lo"
+    )
+
+
+@q(
+    "cusum_drift_events",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_bucket_epoch_sql('ts', 3600)} AS bucket_epoch,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, bucket_epoch, v,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(v) OVER (PARTITION BY event_type) AS tot
+      FROM h),
+    c AS (
+      SELECT event_type, bucket_epoch,
+             SUM(n * v * 1000 - tot * 1000) OVER (
+               PARTITION BY event_type ORDER BY bucket_epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s)
+    SELECT event_type, bucket_epoch,
+           CAST(cum - least(CAST(0 AS BIGINT), MIN(cum) OVER (
+             PARTITION BY event_type ORDER BY bucket_epoch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+             AS cusum_scaled
+    FROM c
+    """,
+)
+def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM drift statistic per event_type over the 1h series
+    (operators/rolling.py::cusum_drift): the sequential recursion
+    max(0, S+(x−k)) evaluated as the reflection identity
+    C_t − min(0, running-min C) — two running window aggregates, pure
+    codegen, integer-exact (k = series mean, cross-multiplied by n·1000
+    so no division ever happens). Catches slow drifts the z-score
+    spike detector never sees."""
+    from .operators.rolling import cusum_drift
+
+    ev = _t(spark, sf_dir, "events")
+    h1h = (
+        ev.select("event_type", _bucket_epoch("ts", 3600), _cents().alias("_c"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("_c").alias("v"))
+    )
+    out = cusum_drift(h1h, ["event_type"], "bucket_epoch", "v", slack_x1000=0)
+    return out.select(
+        "event_type", "bucket_epoch", F.col("cusum_scaled").cast("long").alias("cusum_scaled")
+    )
+
+
+@q(
+    "ewma_1h_events",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_bucket_epoch_sql('ts', 3600)} AS bucket_epoch,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bucket_epoch,
+             list(v) OVER (PARTITION BY event_type ORDER BY bucket_epoch
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+      FROM h)
+    SELECT event_type, bucket_epoch,
+           CAST(round(list_reduce(l, (acc, x) -> acc * (1.0 - 0.3) + 0.3 * x)
+                      * 10000) AS BIGINT) AS ewma_x1e4
+    FROM w
+    """,
+)
+def ewma_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA smoothing of the per-type 1h series
+    (operators/rolling.py::ewma_smooth): recursive smoothing as a pure
+    JVM higher-order-function plan — collect_list window + aggregate()
+    fold, seeded with the window's oldest value. Spark and DuckDB run
+    the IDENTICAL fold order over IEEE doubles (both literally compute
+    acc·(1.0−0.3)+0.3·x), so the ×1e4-rounded outputs hash-match."""
+    from .operators.rolling import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    h1h = (
+        ev.select("event_type", _bucket_epoch("ts", 3600), _cents().alias("_c"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("_c").cast("double").alias("v"))
+    )
+    out = ewma_smooth(h1h, ["event_type"], "bucket_epoch", "v", alpha=0.3, window_k=20)
+    return out.select("event_type", "bucket_epoch", "ewma_x1e4")

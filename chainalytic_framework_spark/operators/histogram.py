@@ -1,0 +1,133 @@
+"""Mergeable value-distribution histograms per tier + quantile-from-
+histogram reads — the distribution analogue of the count/sum tiers.
+
+Why histograms as a tier artifact: at 10^12 rows you cannot recompute
+a percentile from raw for every dashboard window. Prometheus native
+histograms and TimescaleDB continuous aggregates both solve this the
+same way: store per-bucket COUNTS in a fixed, data-independent bucket
+layout, because counts merge losslessly across both time (1m → 1h →
+1d cascade) and space (partial aggregation on every executor). A KLL
+sketch (operators/sketches.py) answers arbitrary quantiles with
+per-item error; the histogram answers them with per-BUCKET resolution
+but is exactly mergeable, integer-only, and oracle-checkable — the two
+are complementary, which is why the engine carries both.
+
+Bucket layout — "leading-decimal-digit" semi-log buckets: for an
+integer measure c > 0 the bucket lower bound keeps the first decimal
+digit and zeroes the rest (7→7, 19→10, 955→900, 65535→60000); c <= 0
+maps to bucket 0. That is 9 buckets per decade — log-uniform relative
+error <= 11% on the bound — and is computed with pure string/integer
+expressions (no log(), no float), so Spark and DuckDB produce
+bit-identical bucket ids and the whole tier passes the driver's
+value-hash gate. The layout is data-independent, which is the property
+that makes partials mergeable without re-bucketing.
+
+Quantile-from-histogram: within a series group, order buckets by lower
+bound, take the cumulative count, and return the smallest bucket whose
+cumulative count reaches ceil(q * total). Integer arithmetic end to
+end — the answer is a bucket lower bound, deterministic across
+engines, partitionings, and merge orders.
+
+Reference analogue: the reference stores only scalar aggregates per
+height (``stake_history.py:76-79``); distribution tiers are
+engine-added capability in the SURVEY §2.11 family alongside the
+HLL/KLL sketch tiers.
+
+Scale notes (10^12 rows): the histogram tier is |series| x |buckets|
+~ 40x a plain tier row count — still ~8 orders below raw. Rollup is
+one shuffle with map-side partial aggregation (counts combine on the
+executor before the exchange); downsample reads the stored child tier
+only. No UDF, no Python in the row path; everything whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def decade_digit_bucket(c: Column) -> Column:
+    """Lower bound of the leading-decimal-digit bucket of integer ``c``.
+
+    Pure string/integer math (substr + rpad), bit-identical to the
+    DuckDB oracle expression; <= 0 collapses to bucket 0.
+    """
+    s = c.cast("string")
+    lo = F.rpad(F.substring(s, 1, 1), F.length(s).cast("int"), "0").cast("long")
+    return F.when(c <= 0, F.lit(0).cast("long")).otherwise(lo)
+
+
+def decade_digit_bucket_sql(expr: str) -> str:
+    """DuckDB oracle twin of :func:`decade_digit_bucket`."""
+    s = f"CAST({expr} AS VARCHAR)"
+    return (
+        f"CASE WHEN {expr} <= 0 THEN 0 ELSE "
+        f"CAST(rpad(substr({s}, 1, 1), CAST(length({s}) AS INTEGER), '0') AS BIGINT) END"
+    )
+
+
+def histogram_rollup(
+    df: DataFrame,
+    bucket_epoch: Column,
+    series_cols: list[str],
+    measure: Column,
+) -> DataFrame:
+    """Histogram tier: per (bucket_epoch, series, value-bucket) counts.
+
+    One shuffle on (time bucket, series, hb_lo); counts partial-combine
+    map-side. Output schema: series_cols + bucket_epoch, hb_lo, hb_count.
+    """
+    return (
+        df.select(
+            *series_cols,
+            bucket_epoch.alias("bucket_epoch"),
+            decade_digit_bucket(measure).alias("hb_lo"),
+        )
+        .groupBy(*series_cols, "bucket_epoch", "hb_lo")
+        .agg(F.count(F.lit(1)).alias("hb_count"))
+    )
+
+
+def histogram_downsample(hist: DataFrame, series_cols: list[str], parent_secs: int) -> DataFrame:
+    """Merge a finer histogram tier into a coarser one — reads the STORED
+    child tier only (continuous-aggregate cascade), never raw. Lossless:
+    the bucket layout is data-independent, so merging is `sum(hb_count)`
+    per re-bucketed epoch. Same plan shape as operators/cascade.py.
+    """
+    parent_epoch = ((F.col("bucket_epoch") / parent_secs).cast("long") * parent_secs).alias(
+        "bucket_epoch"
+    )
+    return (
+        hist.select(*series_cols, parent_epoch, "hb_lo", "hb_count")
+        .groupBy(*series_cols, "bucket_epoch", "hb_lo")
+        .agg(F.sum("hb_count").alias("hb_count"))
+    )
+
+
+def quantile_from_histogram(
+    hist: DataFrame, series_cols: list[str], q_x100: int, out_col: str = "q_lo"
+) -> DataFrame:
+    """Per-series quantile read off a histogram tier: the smallest bucket
+    lower bound whose cumulative count reaches ceil(q * total).
+
+    q is given as an integer percentage (q_x100=90 -> p90) so the rank
+    threshold `ceil(total * q / 100)` stays in integer arithmetic —
+    deterministic across engines. Window cumsum + min-filter; one
+    shuffle on the series key.
+    """
+    grp = series_cols + ["bucket_epoch"]
+    w = Window.partitionBy(*grp).orderBy("hb_lo")
+    wall = Window.partitionBy(*grp)
+    cum = hist.select(
+        *grp,
+        "hb_lo",
+        F.sum("hb_count").over(w).alias("_cum"),
+        F.sum("hb_count").over(wall).alias("_total"),
+    )
+    need = F.ceil(F.col("_total") * q_x100 / 100).cast("long")
+    return (
+        cum.where(F.col("_cum") >= need)
+        .groupBy(*grp)
+        .agg(F.min("hb_lo").alias(out_col))
+    )

@@ -115,3 +115,103 @@ def rolling_anomaly_flags(
         tier.withColumn("n_win", F.count(F.lit(1)).over(w).cast("long"))
         .withColumn("is_anomaly", flag)
     )
+
+
+def cusum_drift(
+    tier: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    slack_x1000: int = 0,
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per series, EXACT in integers.
+
+    Page's CUSUM S_t = max(0, S_{t-1} + (x_t − k)) flags sustained
+    upward drift (each point slightly above the reference level k
+    accumulates; isolated spikes decay). The recursion looks
+    sequential, but the classic reflection identity makes it a pure
+    window plan:
+
+        S_t = C_t − min(0, min_{j<=t} C_j),   C_t = Σ_{i<=t} (x_i − k)
+
+    — two running window aggregates, whole-stage codegen, one shuffle
+    on the series key. No applyInPandas, no per-row anything.
+
+    Exactness: k is the SERIES MEAN plus a slack of
+    ``slack_x1000``/1000 standard-units of the raw value — but rather
+    than dividing, everything is cross-multiplied: with n = series row
+    count, T = series total, d'_t = 1000·n·x_t − 1000·T − slack·T
+    ... kept simpler: slack is expressed per-mille of the mean, so
+
+        d'_t = n·x_t·1000 − T·(1000 + slack_x1000)
+
+    and S'_t = CUSUM(d') = 1000·n·CUSUM(x − mean·(1+slack/1000)).
+    All integer (decimal(38,0)); bit-identical across engines and
+    partitionings. Consumers threshold S'_t / (1000·n) in their own
+    units.
+
+    Adds ``cusum_scaled`` (decimal 38,0 → emitted as the raw scaled
+    statistic). Reference analogue: none (engine-added monitoring op,
+    SURVEY §2.11 family; pairs with rolling_anomaly_flags — z-score
+    catches spikes, CUSUM catches slow drifts z-scores never see).
+    """
+    dec = "decimal(38,0)"
+    wk = Window.partitionBy(*key_cols)
+    worder = Window.partitionBy(*key_cols).orderBy(F.col(order_col).cast("long"))
+    wrun = worder.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(value_col).cast(dec)
+    n = F.count(F.lit(1)).over(wk).cast(dec)
+    total = F.sum(x).over(wk)
+    d = n * x * F.lit(1000).cast(dec) - total * F.lit(1000 + slack_x1000).cast(dec)
+    c = F.sum(d).over(wrun)
+    run_min = F.min(c).over(wrun)
+    cusum = c - F.least(F.lit(0).cast(dec), run_min)
+    return tier.withColumn("cusum_scaled", cusum)
+
+
+def ewma_smooth(
+    tier: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    window_k: int = 20,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Finite-window EWMA smoothing per series — recursive smoothing
+    expressed ENTIRELY with JVM higher-order array functions, no UDF.
+
+    Spec (deterministic, engine-portable): over the trailing
+    ``window_k`` rows of the series, seed with the OLDEST value in the
+    window and fold forward ``acc·(1−α) + α·x``. Truncating the
+    recursion at k rows bounds the state (the dropped tail's weight is
+    (1−α)^k — at α=0.3, k=20 that is 8·10⁻⁴) and is what makes the
+    operator a pure window expression instead of a sequential scan:
+
+        collect_list(x) OVER (ROWS k−1 PRECEDING .. CURRENT)
+        → aggregate(slice(arr, 2, size−1), arr[1], (acc, v) → …)
+
+    Both Spark and the DuckDB oracle (``list()`` window +
+    ``list_reduce``) execute the IDENTICAL fold order over IEEE
+    doubles, so results match bit-for-bit before the ×1e4 rounding.
+
+    Scale: the array is bounded at k elements per row; the plan is one
+    shuffle on the series key. For unbounded-history EWMA use the
+    stateful fold (operators/fold.py) — this operator is the
+    dashboard-read form.
+
+    Adds ``{out_col}_x1e4`` (long).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(order_col).cast("long"))
+        .rowsBetween(-(window_k - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a = F.lit(float(alpha))
+    folded = F.aggregate(
+        F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, v: acc * (F.lit(1.0) - a) + a * v,
+    )
+    return tier.withColumn(out_col + "_x1e4", F.round(folded * 10000, 0).cast("long"))

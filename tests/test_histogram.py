@@ -1,0 +1,109 @@
+"""Histogram tiers (operators/histogram.py): exact bucket math,
+lossless cascade merge, quantile-from-histogram semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.operators.histogram import (
+    decade_digit_bucket,
+    histogram_downsample,
+    histogram_rollup,
+    quantile_from_histogram,
+)
+
+
+def test_decade_digit_bucket_exact(spark):
+    cases = [(-5, 0), (0, 0), (1, 1), (7, 7), (9, 9), (10, 10), (19, 10),
+             (99, 90), (100, 100), (955, 900), (1000, 1000), (65535, 60000),
+             (10**12 + 7, 10**12)]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "c long").select(
+        "c", decade_digit_bucket(F.col("c")).alias("lo")
+    )
+    got = {r["c"]: r["lo"] for r in df.collect()}
+    for c, want in cases:
+        assert got[c] == want, (c, got[c], want)
+
+
+def test_bucket_bound_relative_error(spark):
+    # the lower bound underestimates by < one leading-digit step:
+    # lo <= c < lo + 10^(digits-1), i.e. relative gap <= 1/first_digit <= 100%
+    # but for the BOUND itself: c/lo < 2 when first digit >= 1 (c < lo+step <= 2*lo)
+    vals = [(v,) for v in range(1, 5000, 7)]
+    df = spark.createDataFrame(vals, "c long").select(
+        "c", decade_digit_bucket(F.col("c")).alias("lo")
+    )
+    for r in df.collect():
+        assert r["lo"] <= r["c"] < 2 * r["lo"]
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    # 2 series, values spanning several decades, 3 days of minutes
+    rows = []
+    for i in range(4000):
+        t = i * 97  # ~4.5 days, irregular minute coverage
+        rows.append(("a", t, (i * i) % 7919 + 1))
+        if i % 3 == 0:
+            rows.append(("b", t, (i * 31) % 997 + 1))
+    return spark.createDataFrame(rows, "k string, t long, v long").cache()
+
+
+def _rollup(ev, secs):
+    be = ((F.col("t") / secs).cast("long") * secs).alias("bucket_epoch")
+    return histogram_rollup(ev, be, ["k"], F.col("v"))
+
+
+def test_cascade_merge_lossless(ev):
+    # 1m -> 1h -> 1d merged == direct 1d rollup, bit-identical
+    h1m = _rollup(ev, 60)
+    merged = histogram_downsample(histogram_downsample(h1m, ["k"], 3600), ["k"], 86400)
+    direct = _rollup(ev, 86400)
+    assert merged.exceptAll(direct).isEmpty() and direct.exceptAll(merged).isEmpty()
+
+
+def test_total_count_preserved(ev):
+    h = _rollup(ev, 3600)
+    assert h.agg(F.sum("hb_count")).first()[0] == ev.count()
+
+
+def test_quantile_semantics_vs_exact(ev):
+    # the histogram p90 bucket is exactly the bucket of the discrete
+    # rank statistic v* = smallest v with |{x <= v}| >= ceil(0.9 n)
+    from pyspark.sql import Window
+
+    h = _rollup(ev, 86400)
+    q = quantile_from_histogram(h, ["k"], 90, out_col="p90_lo")
+    be = ((F.col("t") / 86400).cast("long") * 86400).alias("bucket_epoch")
+    raw = ev.select("k", be, "v")
+    w = Window.partitionBy("k", "bucket_epoch").orderBy("v")
+    wall = Window.partitionBy("k", "bucket_epoch")
+    vstar = (
+        raw.select(
+            "k", "bucket_epoch", "v",
+            F.count(F.lit(1)).over(w).alias("_cum"),
+            F.count(F.lit(1)).over(wall).alias("_n"),
+        )
+        .where(F.col("_cum") >= F.ceil(F.col("_n") * 90 / 100).cast("long"))
+        .groupBy("k", "bucket_epoch")
+        .agg(F.min("v").alias("vstar"))
+        .select("k", "bucket_epoch", decade_digit_bucket(F.col("vstar")).alias("want_lo"))
+    )
+    joined = q.join(vstar, ["k", "bucket_epoch"]).collect()
+    assert joined
+    for r in joined:
+        assert r["p90_lo"] == r["want_lo"], r
+
+
+def test_quantile_exact_on_degenerate_buckets(spark):
+    # every value its own bucket (single-digit values): histogram quantile
+    # == exact discrete quantile (smallest v with cum >= ceil(0.5*n))
+    df = spark.createDataFrame(
+        [("a", 0, v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9]], "k string, t long, v long"
+    )
+    h = _rollup(df, 60)
+    got = quantile_from_histogram(h, ["k"], 50, out_col="p50").first()
+    assert got["p50"] == 5

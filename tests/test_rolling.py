@@ -114,3 +114,81 @@ def test_snapshot_diff_null_vs_value_is_changed(spark):
     old = spark.createDataFrame([(1, None)], "id long, h long")
     new = spark.createDataFrame([(1, 7)], "id long, h long")
     assert snapshot_diff(old, new, ["id"], "h").first()["status"] == "changed"
+
+
+# --- cusum_drift -----------------------------------------------------------
+
+from chainalytic_framework_spark.operators.rolling import cusum_drift, ewma_smooth
+
+
+def _cusum_ref(vals, slack_x1000=0):
+    """Direct Page recursion, scaled like the operator: d = n*x*1000 -
+    T*(1000+slack)."""
+    n, tot = len(vals), sum(vals)
+    s, out = 0, []
+    for x in vals:
+        d = n * x * 1000 - tot * (1000 + slack_x1000)
+        s = max(0, s + d)
+        out.append(s)
+    return out
+
+
+def test_cusum_matches_direct_recursion(spark):
+    vals = [5, 5, 9, 9, 9, 2, 14, 14, 1, 20]
+    df = _series(spark, [("a", i * 60, v) for i, v in enumerate(vals)])
+    out = cusum_drift(df, ["k"], "t", "v").orderBy("t").collect()
+    assert [int(r["cusum_scaled"]) for r in out] == _cusum_ref(vals)
+
+
+def test_cusum_zero_on_constant_series(spark):
+    df = _series(spark, [("a", i * 60, 7) for i in range(8)])
+    out = cusum_drift(df, ["k"], "t", "v").collect()
+    assert all(int(r["cusum_scaled"]) == 0 for r in out)
+
+
+def test_cusum_slack_suppresses_small_drift(spark):
+    # +1% drift above mean: with 5% slack the statistic must stay at 0
+    # at the end (decays), while zero slack accumulates
+    vals = [100, 100, 100, 100, 101, 101, 101, 101]
+    df = _series(spark, [("a", i * 60, v) for i, v in enumerate(vals)])
+    tight = cusum_drift(df, ["k"], "t", "v", slack_x1000=0).orderBy("t").collect()
+    loose = cusum_drift(df, ["k"], "t", "v", slack_x1000=50).orderBy("t").collect()
+    assert int(tight[-1]["cusum_scaled"]) > 0
+    assert int(loose[-1]["cusum_scaled"]) == 0
+    assert [int(r["cusum_scaled"]) for r in loose] == _cusum_ref(vals, 50)
+
+
+# --- ewma_smooth -----------------------------------------------------------
+
+
+def _ewma_ref(vals, alpha, k):
+    out = []
+    for i in range(len(vals)):
+        win = vals[max(0, i - k + 1): i + 1]
+        acc = float(win[0])
+        for v in win[1:]:
+            acc = acc * (1.0 - alpha) + alpha * float(v)
+        out.append(round(acc * 10000))
+    return out
+
+
+def test_ewma_matches_reference_fold(spark):
+    vals = [10, 20, 15, 40, 40, 40, 5, 5, 100, 3]
+    df = _series(spark, [("a", i * 60, v) for i, v in enumerate(vals)])
+    out = ewma_smooth(df, ["k"], "t", "v", alpha=0.3, window_k=4).orderBy("t").collect()
+    assert [r["ewma_x1e4"] for r in out] == _ewma_ref(vals, 0.3, 4)
+
+
+def test_ewma_window_truncation_bounds_state(spark):
+    # two series identical in their last k rows but different before:
+    # truncated EWMA must agree exactly on the last row
+    tail = [50, 60, 55, 70]
+    a = [1000, 2000] + tail
+    b = [3, 7] + tail
+    rows = [("a", i * 60, v) for i, v in enumerate(a)] + [
+        ("b", i * 60, v) for i, v in enumerate(b)
+    ]
+    df = _series(spark, rows)
+    out = ewma_smooth(df, ["k"], "t", "v", alpha=0.3, window_k=4)
+    last = {r["k"]: r["ewma_x1e4"] for r in out.where(F.col("t") == 5 * 60).collect()}
+    assert last["a"] == last["b"]
