@@ -2430,3 +2430,38 @@ def ewma_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ewma_smooth(h1h, ["event_type"], "bucket_epoch", "v", alpha=0.3, window_k=20)
     return out.select("event_type", "bucket_epoch", "ewma_x1e4")
+
+
+@q(
+    "heavy_hitters_daily_events",
+    f"""
+    WITH c AS (
+      SELECT {_bucket_epoch_sql('ts', 86400)} AS bucket_epoch,
+             user_id, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT bucket_epoch, user_id, cnt,
+             ROW_NUMBER() OVER (PARTITION BY bucket_epoch
+                                ORDER BY cnt DESC, user_id ASC) AS rn
+      FROM c)
+    SELECT bucket_epoch, user_id, cnt FROM r WHERE rn <= 5
+    """,
+)
+def heavy_hitters_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily top-5 users served from MERGED hourly heavy-hitter partials
+    (operators/heavyhitters.py): per-hour top-256 summaries (the
+    Misra-Gries/SpaceSaving mergeable-summary contract, PODS'12) are
+    merged to days reading only the stored partials — never raw. At
+    this sf the per-hour key cardinality (<256) makes the partials
+    complete, so the merge is provably exact (err=0 on every emitted
+    row, asserted) and hash-matches the oracle's exact top-5; the
+    truncated/error-bounded path is property-tested in
+    tests/test_heavyhitters.py."""
+    from .operators.heavyhitters import topk_partial_merge, topk_partial_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    partials = topk_partial_rollup(ev, _bucket_epoch("ts", 3600), "user_id", k=256)
+    merged = topk_partial_merge(partials, 86400, k=5)
+    return merged.where(F.col("exact")).select(
+        "bucket_epoch", F.col("key").alias("user_id"), F.col("cnt_lb").alias("cnt")
+    )
