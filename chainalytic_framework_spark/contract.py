@@ -2465,3 +2465,62 @@ def heavy_hitters_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.where(F.col("exact")).select(
         "bucket_epoch", F.col("key").alias("user_id"), F.col("cnt_lb").alias("cnt")
     )
+
+
+@q(
+    "term_stats_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    f AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM t
+      WHERE length(term) >= 1 GROUP BY 1, 2)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS tf_total,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM f GROUP BY term HAVING COUNT(*) >= 25
+    """,
+)
+def term_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics off the inverted-index TF stage
+    (operators/index.py::term_stats): document frequency, total term
+    frequency, smallest containing doc — the df table behind IDF and
+    index sizing. min_df=25 bounds output to the head of the
+    vocabulary."""
+    from .operators.index import term_stats
+
+    return term_stats(_t(spark, sf_dir, "documents"), min_df=25).select(
+        "term", "doc_freq", "tf_total", "min_doc_id"
+    )
+
+
+@q(
+    "term_search_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    f AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM t
+      WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS sum_tf
+    FROM f GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+    """,
+)
+def term_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive retrieval served from the STORED sharded inverted
+    index (operators/index.py): Spark builds posting lists
+    (term, shard -> sorted (doc,tf) entries), then answers
+    'docs containing spark AND hash AND merge' by exploding only the
+    query terms' index rows — a partition-pruned read of 3·n_shards
+    index rows, never a corpus scan. The oracle answers the same query
+    from raw tokens; the hash match proves index build + serve are
+    lossless."""
+    from .operators.index import build_inverted_index, conjunctive_search_indexed
+
+    idx = build_inverted_index(_t(spark, sf_dir, "documents"), n_shards=16)
+    return conjunctive_search_indexed(idx, ["spark", "hash", "merge"]).select(
+        "doc_id", F.col("sum_tf").cast("long").alias("sum_tf")
+    )
