@@ -171,3 +171,48 @@ def compact_stream_into_batch(store: TableStore, closed_before=None) -> list:
     )
     store.delete_where_partition("tier_1m_stream", "bucket_day", [str(d) for d in days])
     return days
+
+
+def streaming_sessions(
+    events_stream: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming sessionization via the native ``F.session_window``
+    state store — the streaming twin of operators/sessions.py, which
+    derives identical boundaries as a batch window plan (parity is
+    asserted in tests/test_streaming_sessions.py).
+
+    Boundary alignment: the batch rule starts a new session when
+    ``diff > gap`` (a gap of exactly ``gap_seconds`` still merges);
+    ``session_window`` merges when the next event's start lies within
+    the CLOSED interval ``[start, prev + gap]`` — i.e. ``diff <= gap``,
+    the identical inclusive boundary (asserted by the exact-gap case in
+    tests/test_streaming_sessions.py).
+
+    In append output mode a session row is emitted exactly once, when
+    the event-time watermark passes its close — so downstream tables
+    receive only finalized sessions (late rows inside the watermark
+    re-open and re-merge state; rows beyond it are dropped, T3 policy,
+    and the batch pipeline re-derives exact history on its next run).
+
+    Scale: session state lives in the state store partitioned by key —
+    the same keyed-state shape as the streaming fold; skewed keys cost
+    one hot state partition, bounded by the per-key session count in
+    the watermark horizon, not by history.
+    """
+    w = events_stream.withWatermark(ts, watermark)
+    return (
+        w.groupBy(
+            F.session_window(F.col(ts), f"{gap_seconds} seconds").alias("sw"),
+            F.col(key),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            F.col("n_events"),
+        )
+    )
