@@ -2524,3 +2524,70 @@ def term_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conjunctive_search_indexed(idx, ["spark", "hash", "merge"]).select(
         "doc_id", F.col("sum_tf").cast("long").alias("sum_tf")
     )
+
+
+@q(
+    "url_canonicalize_documents",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.Example.CO.UK:443/Doc/' || doc_id ||
+             '/?utm_source=feed&b=2&a=' || lang || '#frag' AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                            ':(80|443)$', '') AS host,
+             regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                            '/+$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM u),
+    canon AS (
+      SELECT doc_id, host,
+             scheme || '://' || host || path ||
+             CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url,
+             path
+      FROM (
+        SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+                 x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS qs
+        FROM parts)),
+    dom AS (
+      SELECT doc_id, canon_url, path,
+             CASE WHEN len(l) >= 3 AND l[len(l)-1] IN
+                       ('co','com','org','net','ac','gov','edu')
+                  THEN array_to_string(l[len(l)-2:len(l)], '.')
+                  WHEN len(l) >= 2
+                  THEN array_to_string(l[len(l)-1:len(l)], '.')
+                  ELSE array_to_string(l, '.') END AS reg_domain
+      FROM (SELECT *, string_split(regexp_replace(host, ':[0-9]+$', ''), '.') AS l
+            FROM canon))
+    SELECT doc_id, canon_url, reg_domain,
+           CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) AS BIGINT)
+             AS depth
+    FROM dom
+    """,
+)
+def url_canonicalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene (functions/urls.py) through the hash gate: both
+    engines construct the same deliberately-messy URL per document
+    (mixed-case host, default :443 port, trailing slash, utm_ tracking
+    param, unsorted params, fragment) and must canonicalize it to the
+    identical string, extract the same eTLD+1 (co.uk three-label case),
+    and agree on path depth. This is the normalize-before-hash step
+    that makes exact URL dedup collapse crawl aliases."""
+    from .functions.urls import canonicalize_url, path_depth, registrable_domain, url_host
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".Example.CO.UK:443/Doc/"),
+        F.col("doc_id").cast("string"), F.lit("/?utm_source=feed&b=2&a="),
+        F.col("lang"), F.lit("#frag"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        registrable_domain(url_host(F.col("url"))).alias("reg_domain"),
+        path_depth(F.col("url")).alias("depth"),
+    )
