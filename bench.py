@@ -44,6 +44,12 @@ HEADLINE = [
     # swamp the headline without measuring anything scale-relevant)
     "lsh_verified_pairs_documents",
     "tfidf_top_terms_documents",
+    # round-2 session additions: distribution tier + merged-quantile
+    # read, drift stat, and index-served retrieval — each a different
+    # shuffle/plan shape than anything above
+    "histogram_p90_daily_events",
+    "cusum_drift_events",
+    "term_search_documents",
 ]
 
 

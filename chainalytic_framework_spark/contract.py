@@ -2591,3 +2591,74 @@ def url_canonicalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         registrable_domain(url_host(F.col("url"))).alias("reg_domain"),
         path_depth(F.col("url")).alias("depth"),
     )
+
+
+@q(
+    "cohort_retention_events",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+      FROM events),
+    first AS (
+      SELECT user_id, MIN(w) AS cohort FROM act GROUP BY user_id),
+    sizes AS (
+      SELECT cohort, COUNT(*) AS n_cohort FROM first GROUP BY cohort),
+    cells AS (
+      SELECT f.cohort, a.w - f.cohort AS age, COUNT(*) AS n_active
+      FROM act a JOIN first f ON a.user_id = f.user_id
+      GROUP BY 1, 2)
+    SELECT c.cohort, c.age, c.n_active, s.n_cohort,
+           CAST(floor(c.n_active * 10000 / s.n_cohort) AS BIGINT) AS retained_x1e4
+    FROM cells c JOIN sizes s ON c.cohort = s.cohort
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/cohorts.py): users
+    grouped by first-active epoch-week, per-cell distinct-active counts
+    at each age, integer-exact x1e4 retention rate (floored — no float
+    division). The exact-count twin of the theta-sketch retention
+    estimates; at scale the first-seen table comes from the fold state
+    instead of a raw min() re-derivation."""
+    from .operators.cohorts import cohort_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_matrix(ev, "user_id", (_epoch("ts") / 604800).cast("long")).select(
+        "cohort", "age", "n_active", "n_cohort", "retained_x1e4"
+    )
+
+
+@q(
+    "unigram_surprisal_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM t
+      WHERE length(term) >= 1 GROUP BY 1, 2),
+    corpus AS (
+      SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+    tot AS (SELECT SUM(tf) AS n_total FROM tf),
+    surp AS (
+      SELECT term, CAST(round(ln(n_total / cf) * 10000) AS BIGINT) AS s
+      FROM corpus, tot)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(floor(SUM(tf.tf * surp.s) / SUM(tf.tf)) AS BIGINT)
+             AS surprisal_x1e4
+    FROM tf JOIN surp ON tf.term = surp.term
+    GROUP BY tf.doc_id
+    """,
+)
+def unigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style fluency scoring without a model
+    (functions/text.py::unigram_surprisal): mean corpus-unigram
+    surprisal per document, integer-exact after per-term x1e4 rounding
+    (the idf_x1e4 convention). The curation filter that separates
+    stopword soup from rare-token gibberish."""
+    from .functions.text import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "surprisal_x1e4"
+    )

@@ -222,3 +222,49 @@ def token_repetition(docs: DataFrame, text_col: str = "text",
         "top_token_share_x1e4",
         F.floor(F.col("top_token_count") * 10000 / n).cast("long"),
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram surprisal — the dependency-free form
+    of the perplexity filter LLM curation pipelines run (CCNet filters
+    on a KenLM perplexity; with no model in the container, the corpus
+    unigram distribution plays the language model):
+
+        surp(term) = round(ln(N_tokens / corpus_tf(term)) · 1e4)
+        score(doc) = floor(Σ_t tf_doc(t) · surp(t) / n_tokens(doc))
+
+    High score = tokens rare in this corpus (gibberish, wrong-language,
+    boilerplate-free prose); low = stopword soup. The per-TERM rounding
+    to integer 1e-4 nats makes every downstream sum/division exact
+    integer arithmetic — the same convention as idf_x1e4, so the score
+    is hash-stable cross-engine and cross-partitioning.
+
+    Plan: TF explode (corpus-dominant stage) → term-level aggregate
+    (vocab-sized) → join back on term → per-doc sum. The term table is
+    orders of magnitude smaller than the corpus; at 10^12 docs the
+    term join is the classic broadcast candidate (vocab ≤ a few 1e8
+    after min_df pruning; AQE picks broadcast when it fits).
+
+    Returns (id_col, n_tokens, surprisal_x1e4).
+    """
+    tf = term_frequencies(docs, text_col, id_col)
+    totals = tf.agg(F.sum("tf").alias("n_total"))
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    surp = corpus.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(F.log(F.col("n_total") / F.col("cf")) * 10000)
+        .cast("long")
+        .alias("surp_x1e4"),
+    )
+    return (
+        tf.join(surp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.floor(F.sum(F.col("tf") * F.col("surp_x1e4")) / F.sum("tf"))
+            .cast("long")
+            .alias("surprisal_x1e4"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""Cohort retention matrix: group keys by first-seen period, track
+what fraction of each cohort is still active N periods later — the
+exact-count companion to the theta-sketch retention estimates
+(operators/sketches.py::theta_key_sketch_daily).
+
+Shape: two aggregations and one equi-join —
+    first_seen  = min(period) per key                  (state-table shape)
+    activity    = distinct (key, period)
+    matrix      = count(distinct key) per (cohort, age = period − first)
+plus the cohort-size denominator joined back on, emitting an
+integer-exact per-mille retention rate (floor(n_active·10⁴ / n_cohort)
+— no float division, hash-stable cross-engine).
+
+Scale notes (10^12 keys): first_seen is exactly the fold-state table
+the pipeline already maintains (operators/fold.py carries first/last
+per url) — a production deployment joins activity against THAT instead
+of re-deriving min(period) from raw, making the matrix an
+O(activity-in-window) job, not O(history). The join shuffles on key
+once; the matrix groupBy is on (cohort, age) — tiny. Skewed keys don't
+exist here (distinct-per-period collapses repeats map-side).
+
+Reference analogue: W2's trailing activity window
+(``recent_stake_wallets.py``) answers "active in the last N" for ONE
+window; the cohort matrix answers it for every (cohort × age) cell at
+once — the form growth/retention dashboards consume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cohort_matrix(
+    df: DataFrame,
+    key_col: str,
+    period: Column,
+    out_rate_col: str = "retained_x1e4",
+) -> DataFrame:
+    """Retention matrix over integer periods (e.g. epoch-week ordinal).
+
+    Returns (cohort, age, n_active, n_cohort, {out_rate_col}) — one row
+    per (cohort period, age in periods) with at least one active key;
+    age 0 rows have n_active == n_cohort by construction.
+    """
+    activity = df.select(F.col(key_col).alias("_k"), period.alias("_p")).distinct()
+    first = activity.groupBy("_k").agg(F.min("_p").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    cells = (
+        activity.join(first, "_k")
+        .groupBy("cohort", (F.col("_p") - F.col("cohort")).alias("age"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(sizes, "cohort").select(
+        "cohort",
+        "age",
+        "n_active",
+        "n_cohort",
+        F.floor(F.col("n_active") * 10000 / F.col("n_cohort")).cast("long").alias(out_rate_col),
+    )

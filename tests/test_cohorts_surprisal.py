@@ -1,0 +1,53 @@
+"""Cohort matrix (operators/cohorts.py) and unigram surprisal
+(functions/text.py): hand-computed semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.functions.text import unigram_surprisal
+from chainalytic_framework_spark.operators.cohorts import cohort_matrix
+
+
+def test_cohort_matrix_hand_case(spark):
+    # periods: u1 active 0,1,2; u2 active 0,2; u3 active 1; u4 active 1,2
+    rows = [("u1", 0), ("u1", 1), ("u1", 2), ("u2", 0), ("u2", 2),
+            ("u3", 1), ("u4", 1), ("u4", 2), ("u1", 2)]  # dup row collapses
+    df = spark.createDataFrame(rows, "k string, p long")
+    out = {
+        (r["cohort"], r["age"]): (r["n_active"], r["n_cohort"], r["retained_x1e4"])
+        for r in cohort_matrix(df, "k", F.col("p")).collect()
+    }
+    # cohort 0 = {u1,u2}; cohort 1 = {u3,u4}
+    assert out[(0, 0)] == (2, 2, 10000)
+    assert out[(0, 1)] == (1, 2, 5000)    # only u1 at age 1
+    assert out[(0, 2)] == (2, 2, 10000)   # u1,u2 both back at age 2
+    assert out[(1, 0)] == (2, 2, 10000)
+    assert out[(1, 1)] == (1, 2, 5000)    # u4 only (u3 churned)
+    assert len(out) == 5
+
+
+def test_cohort_age0_full(spark):
+    rows = [(f"u{i}", 3 + (i % 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, p long")
+    for r in cohort_matrix(df, "k", F.col("p")).where(F.col("age") == 0).collect():
+        assert r["n_active"] == r["n_cohort"] and r["retained_x1e4"] == 10000
+
+
+def test_unigram_surprisal_hand_case(spark):
+    # corpus: "a a a b" + "b c" -> N=6, cf: a=3,b=2,c=1
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    sa = round(math.log(6 / 3) * 10000)
+    sb = round(math.log(6 / 2) * 10000)
+    sc = round(math.log(6 / 1) * 10000)
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["surprisal_x1e4"] == (3 * sa + 1 * sb) // 4
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["surprisal_x1e4"] == (sb + sc) // 2
+    # the rare-token doc must score strictly higher
+    assert out[2]["surprisal_x1e4"] > out[1]["surprisal_x1e4"]
