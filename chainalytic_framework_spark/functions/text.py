@@ -225,7 +225,10 @@ def token_repetition(docs: DataFrame, text_col: str = "text",
 
 
 def unigram_surprisal(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean unigram surprisal — the dependency-free form
     of the perplexity filter LLM curation pipelines run (CCNet filters
@@ -249,9 +252,17 @@ def unigram_surprisal(
 
     Returns (id_col, n_tokens, surprisal_x1e4).
     """
-    tf = term_frequencies(docs, text_col, id_col)
-    totals = tf.agg(F.sum("tf").alias("n_total"))
+    # tf is consumed twice (corpus stats + per-doc join-back). Pass a
+    # STORED tf table (the inverted index's TF stage, operators/index.py)
+    # to avoid recomputing the explode: composed live, the plan pays the
+    # explode twice — fine at test sf, not at corpus scale.
+    if tf is None:
+        tf = term_frequencies(docs, text_col, id_col)
     corpus = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    # N_total re-derived from the vocab-sized corpus table, NOT from a
+    # second pass over the exploded tf (plan audit: saves one full
+    # explode+shuffle of the corpus)
+    totals = corpus.agg(F.sum("cf").alias("n_total"))
     surp = corpus.crossJoin(F.broadcast(totals)).select(
         "term",
         F.round(F.log(F.col("n_total") / F.col("cf")) * 10000)

@@ -27,7 +27,7 @@ once — the form growth/retention dashboards consume.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,14 +44,19 @@ def cohort_matrix(
     age 0 rows have n_active == n_cohort by construction.
     """
     activity = df.select(F.col(key_col).alias("_k"), period.alias("_p")).distinct()
-    first = activity.groupBy("_k").agg(F.min("_p").alias("cohort"))
-    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    # first-seen via a window over the SAME key partitioning the distinct
+    # produced — no groupBy+join round trip (plan audit: the join shape
+    # cost 7 exchanges, this one 4); n_cohort falls out of the matrix
+    # itself (age-0 rows are one-per-key by construction)
+    wk = Window.partitionBy("_k")
     cells = (
-        activity.join(first, "_k")
+        activity.withColumn("cohort", F.min("_p").over(wk))
         .groupBy("cohort", (F.col("_p") - F.col("cohort")).alias("age"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    return cells.join(sizes, "cohort").select(
+    wc = Window.partitionBy("cohort")
+    n_cohort = F.max(F.when(F.col("age") == 0, F.col("n_active"))).over(wc)
+    return cells.withColumn("n_cohort", n_cohort).select(
         "cohort",
         "age",
         "n_active",

@@ -10,9 +10,15 @@ deterministic, Spark-native variant of that contract:
 
 - **partial** (finest tier): per time bucket, the EXACT per-key counts
   (one groupBy — map-side combine makes within-bucket counts cheap),
-  truncated to the top ``k`` keys; the truncation is summarized by one
-  key-NULL row per bucket carrying ``others_max`` (the largest dropped
-  count — the per-bucket error bound) and ``others_total``.
+  truncated to the top ``k`` keys. The truncation is summarized by two
+  bucket-level columns carried ON every kept row — ``others_max`` (the
+  largest dropped count, the per-bucket error bound) and
+  ``others_total`` — computed by window aggregates over the SAME
+  bucket partitioning as the rank, so the whole partial is ONE
+  aggregation shuffle plus one window shuffle, single-branch (an
+  earlier union-of-filters design recomputed the counts subplan per
+  branch; the plan audit caught it at 15 exchanges, this shape runs
+  at ~3).
 - **merge** (any coarser window): sum stored counts per key across
   child buckets. A key absent from a child's top-k contributes at most
   that child's ``others_max``, so the merged row carries
@@ -20,9 +26,11 @@ deterministic, Spark-native variant of that contract:
       cnt_lb  =  Σ counts where present            (lower bound)
       err     =  Σ others_max over absent children (cnt_ub = cnt_lb+err)
 
-  exactly the Misra–Gries merge guarantee, computed with plain
-  group-bys (no UDF, no driver state). ``err = 0`` ⇔ the merged count
-  is exact (key was in every child's top-k, or no child dropped keys).
+  exactly the Misra–Gries merge guarantee. Because ``others_max``
+  rides on every kept row, "Σ over children where present" is a plain
+  ``sum(others_max)`` over the key's rows — no join against a summary
+  table; the only extra input is the per-parent total truncation mass,
+  derived from one tiny (n_buckets-row) aggregate.
 
 Determinism: truncation keeps (count DESC, key ASC) — ties never make
 the summary depend on partition order, so partials are bit-identical
@@ -50,35 +58,24 @@ def topk_partial_rollup(
     k: int,
 ) -> DataFrame:
     """Build per-bucket top-k partials. Output schema:
-    (bucket_epoch, key, cnt, others_max, others_total) — key IS NULL on
-    the one summary row per bucket that dropped anything."""
+    (bucket_epoch, key, cnt, others_max, others_total) — one row per
+    kept key; the others_* columns are bucket-constant (NULL when the
+    bucket dropped nothing)."""
     counts = (
         df.select(bucket_epoch.alias("bucket_epoch"), F.col(key_col).alias("key"))
         .groupBy("bucket_epoch", "key")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("bucket_epoch").orderBy(F.col("cnt").desc(), F.col("key").asc())
-    ranked = counts.withColumn("_rn", F.row_number().over(w))
-    kept = ranked.where(F.col("_rn") <= k).select(
-        "bucket_epoch",
-        "key",
-        "cnt",
-        F.lit(None).cast("long").alias("others_max"),
-        F.lit(None).cast("long").alias("others_total"),
+    wb = Window.partitionBy("bucket_epoch")
+    dropped_cnt = F.when(F.col("_rn") > k, F.col("cnt"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("others_max", F.max(dropped_cnt).over(wb).cast("long"))
+        .withColumn("others_total", F.sum(dropped_cnt).over(wb).cast("long"))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )
-    dropped = (
-        ranked.where(F.col("_rn") > k)
-        .groupBy("bucket_epoch")
-        .agg(F.max("cnt").alias("others_max"), F.sum("cnt").alias("others_total"))
-        .select(
-            "bucket_epoch",
-            F.lit(None).cast(kept.schema["key"].dataType).alias("key"),
-            F.lit(None).cast("long").alias("cnt"),
-            "others_max",
-            "others_total",
-        )
-    )
-    return kept.unionByName(dropped)
 
 
 def topk_partial_merge(
@@ -96,28 +93,23 @@ def topk_partial_merge(
     p = partials.withColumn(
         "_parent", (F.col("bucket_epoch") / parent_secs).cast("long") * parent_secs
     )
-    # per-parent total truncation mass: Σ others_max over child buckets
+    # per-parent total truncation mass: others_max is bucket-constant, so
+    # one (child-bucket)-grain aggregate then a parent-grain sum — both
+    # over n_buckets rows, negligible next to the key table
     om = (
-        p.where(F.col("key").isNull())
+        p.groupBy("_parent", "bucket_epoch")
+        .agg(F.max("others_max").alias("_om"))
         .groupBy("_parent")
-        .agg(F.sum("others_max").alias("_om_total"))
+        .agg(F.sum("_om").alias("_om_total"))
     )
-    # per (parent, key): summed lower bound + Σ others_max of the child
-    # buckets WHERE PRESENT (join each key row to its own bucket's summary)
-    bucket_om = p.where(F.col("key").isNull()).select(
-        "bucket_epoch", F.col("others_max").alias("_bucket_om")
-    )
-    keys = (
-        p.where(F.col("key").isNotNull())
-        .join(bucket_om, "bucket_epoch", "left")
-        .groupBy("_parent", "key")
-        .agg(
-            F.sum("cnt").alias("cnt_lb"),
-            F.sum(F.coalesce(F.col("_bucket_om"), F.lit(0))).alias("_om_present"),
-        )
+    # per (parent, key): summed lower bound; Σ others_max over the
+    # buckets WHERE PRESENT falls out of the rows themselves
+    keys = p.groupBy("_parent", "key").agg(
+        F.sum("cnt").alias("cnt_lb"),
+        F.sum(F.coalesce(F.col("others_max"), F.lit(0))).alias("_om_present"),
     )
     merged = (
-        keys.join(om, "_parent", "left")
+        keys.join(F.broadcast(om), "_parent", "left")
         .withColumn(
             "err",
             (F.coalesce(F.col("_om_total"), F.lit(0)) - F.col("_om_present")).cast("long"),

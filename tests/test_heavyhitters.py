@@ -90,13 +90,24 @@ def test_top_ranks_exact_on_skewed_head(stream):
     assert merged["cnt_lb"] == truth[(merged["bucket_epoch"], "k01")] == best[1]
 
 
-def test_summary_row_shape(stream):
+def test_summary_columns_shape(stream):
     partials = topk_partial_rollup(stream, _be(3600), "key", k=8).collect()
     per_bucket = {}
     for r in partials:
         per_bucket.setdefault(r["bucket_epoch"], []).append(r)
     for b, rows in per_bucket.items():
-        nulls = [r for r in rows if r["key"] is None]
-        assert len(nulls) == 1  # 39 keys > k=8: every bucket truncates
-        assert nulls[0]["others_max"] >= 1 and nulls[0]["others_total"] >= nulls[0]["others_max"]
-        assert len(rows) - 1 == 8
+        assert len(rows) == 8  # 39 keys > k=8: every bucket truncates
+        oms = {r["others_max"] for r in rows}
+        ots = {r["others_total"] for r in rows}
+        assert len(oms) == 1 and len(ots) == 1  # bucket-constant columns
+        (om,), (ot,) = oms, ots
+        assert om >= 1 and ot >= om
+        # every kept count must dominate the dropped maximum
+        assert min(r["cnt"] for r in rows) >= om
+
+
+def test_no_truncation_yields_null_summary(spark):
+    df = spark.createDataFrame([(0, "a"), (0, "a"), (0, "b")], "t long, key string")
+    rows = topk_partial_rollup(df, _be(3600), "key", k=8).collect()
+    assert len(rows) == 2
+    assert all(r["others_max"] is None and r["others_total"] is None for r in rows)

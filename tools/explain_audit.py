@@ -130,6 +130,49 @@ def main() -> int:
     no_range = "rangepartitioning" not in plan.lower()
     print(("OK " if no_range else "BAD") + " fold write clustering: hash, no range-sampling pass")
     ok &= no_range
+
+    # round-2 session additions
+    ok &= audit("histogram merged p90: agg cascade + one window shuffle family",
+                contract.histogram_p90_daily_events(spark, sf),
+                {"max_exchanges": 4})
+    ok &= audit("cusum drift: one agg shuffle + window-on-key, codegen only",
+                contract.cusum_drift_events(spark, sf),
+                {"max_exchanges": 3})
+    ok &= audit("ewma fold: higher-order funcs stay in one window shuffle",
+                contract.ewma_1h_events(spark, sf),
+                {"max_exchanges": 2})
+    # partials are consumed twice by the merge (key sums + truncation
+    # mass); composed live that doubles the partial subplan (8 vs the
+    # stored-tier 5) — in production the merge reads the STORED partial
+    # table, the whole point of mergeable summaries
+    ok &= audit("heavy hitters: single-branch partial + broadcast merge",
+                contract.heavy_hitters_daily_events(spark, sf),
+                {"max_exchanges": 8, "broadcast": True})
+    ok &= audit("index search: term filter BEFORE explode (pruned index scan)",
+                contract.term_search_documents(spark, sf),
+                {"max_exchanges": 4})
+    # tf consumed twice (corpus stats + join-back); composed live the
+    # explode runs twice — unigram_surprisal(tf=...) takes the stored
+    # TF/index table on a cluster (see operator docstring)
+    ok &= audit("surprisal: vocab join broadcast-eligible, keyed aggs only",
+                contract.unigram_surprisal_documents(spark, sf),
+                {"max_exchanges": 9, "broadcast": True})
+    ok &= audit("cohort matrix: windowed first-seen, join-free (4 keyed shuffles)",
+                contract.cohort_retention_events(spark, sf),
+                {"max_exchanges": 4})
+    ok &= audit("url canonicalize: pure expressions, zero shuffles",
+                contract.url_canonicalize_documents(spark, sf),
+                {"max_exchanges": 0})
+
+    # z-order write key must be pure codegen (no UDF, no exchange of its own)
+    from chainalytic_framework_spark.operators.zorder import zorder_key
+
+    zdf = pages.select(zorder_key([F.pmod(F.xxhash64("url"), F.lit(256)),
+                                   F.dayofyear("warc_ts")], bits=8).alias("z"))
+    zplan = zdf._jdf.queryExecution().executedPlan().toString()
+    z_ok = "Exchange" not in zplan and "BatchEvalPython" not in zplan
+    print(("OK " if z_ok else "BAD") + " zorder key: codegen expressions, zero shuffles")
+    ok &= z_ok
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
