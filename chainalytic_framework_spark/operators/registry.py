@@ -62,6 +62,16 @@ class MetricSet:
     metrics: tuple[MetricSpec, ...]
     tiers: tuple[str, ...] = ("1m", "1h", "1d", "30d")
     fold: Callable[[DataFrame], DataFrame] | None = None
+    # extra GROUP keys derived from source rows at the finest tier
+    # (e.g. a histogram value-bucket): (name, lazy Column factory).
+    # Coarser tiers carry them as plain grain columns — so a derived
+    # key must be a pure row function (data-independent layout), which
+    # is exactly what keeps the partials mergeable. Sets with derived
+    # keys feed rollup_with_spec/downsample_with_spec; the gap-fill
+    # stage of run_pipeline treats them as grain (LOCF across a
+    # value-bucket grain is meaningless — schedule such sets without
+    # gap-fill).
+    derived_keys: tuple[tuple[str, AggFactory], ...] = ()
 
     def metric_names(self) -> list[str]:
         return [m.name for m in self.metrics]
@@ -122,8 +132,9 @@ def rollup_with_spec(
     map-side partial aggregation; no Python."""
     b = bucket_start(time_col, tier_name).alias("bucket_start")
     present = [k for k in keys if k in df.columns]
+    derived = [f().alias(n) for n, f in ms.derived_keys]
     return (
-        df.groupBy(b, *present)
+        df.groupBy(b, *present, *derived)
         .agg(*[m.agg().alias(m.name) for m in ms.metrics])
         .withColumn("tier", F.lit(tier_name))
         .withColumn("gap_filled", F.lit(False))
@@ -146,7 +157,7 @@ def downsample_with_spec(
         src = src.where(~F.col("gap_filled"))
     kexprs = [bucket_start("bucket_start", child_tier_name).alias("bucket_start")]
     group = ["bucket_start"]
-    for k in keys:
+    for k in list(keys) + [n for n, _ in ms.derived_keys]:
         if k in src.columns:
             kexprs.append(F.col(k))
             group.append(k)

@@ -122,3 +122,54 @@ def test_textstats_variance_non_negative(spark, pages):
         < F.col("text_len_sum") * F.col("text_len_sum")
     ).count()
     assert neg == 0
+
+
+def test_derived_key_set_histogram_tier(spark):
+    """A histogram tier registered purely through the §2.10 plugin
+    surface (derived_keys) must equal the standalone histogram
+    operator's rollup AND cascade output — proving the extension model
+    is expressive enough for distribution tiers, not just scalar
+    measures."""
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.operators.histogram import (
+        decade_digit_bucket,
+        histogram_downsample,
+        histogram_rollup,
+    )
+    from chainalytic_framework_spark.operators.registry import (
+        MetricSet,
+        MetricSpec,
+        downsample_with_spec,
+        register,
+        rollup_with_spec,
+    )
+    from chainalytic_framework_spark.synth import generate_pages
+
+    ms = register(
+        MetricSet(
+            name="hist_text_len",
+            metrics=(
+                MetricSpec("point_count", lambda: F.count(F.lit(1)),
+                           lambda: F.sum("point_count")),
+            ),
+            tiers=("1m", "1h"),
+            derived_keys=(("hb_lo", lambda: decade_digit_bucket(F.col("text_len"))),),
+        ),
+        replace=True,
+    )
+    pages = generate_pages(spark, 3000).withColumn("text_len", F.length("text"))
+    t1m = rollup_with_spec(pages, ms, "1m", keys=("lang",))
+    t1h = downsample_with_spec(t1m, ms, "1h", keys=("lang",))
+
+    be = (F.col("warc_ts").cast("long") / 60).cast("long") * 60
+    ref_1m = histogram_rollup(pages, be, ["lang"], F.col("text_len"))
+    ref_1h = histogram_downsample(ref_1m, ["lang"], 3600)
+
+    got = t1h.select(
+        "lang",
+        F.col("bucket_start").cast("long").alias("bucket_epoch"),
+        "hb_lo", F.col("point_count").alias("hb_count"),
+    )
+    ref = ref_1h.select("lang", "bucket_epoch", "hb_lo", "hb_count")
+    assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
