@@ -2662,3 +2662,58 @@ def unigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "surprisal_x1e4"
     )
+
+
+@q(
+    "routed_range_events",
+    """
+    WITH b AS (
+      SELECT (CAST(floor(epoch(MIN(ts)) / 60) AS BIGINT) * 60 + 5400) AS lo,
+             (CAST(floor(epoch(MAX(ts)) / 60) AS BIGINT) * 60 - 5340) AS hi
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS point_count
+    FROM events, b
+    WHERE epoch(ts) >= lo AND epoch(ts) < hi
+    GROUP BY event_type
+    """,
+)
+def routed_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-routed range read (operators/router.py) through the hash
+    gate: Spark builds the 1m tier, cascades it 1h -> 1d -> 30d, routes
+    a deliberately ragged ~29-day window (edges offset 90 minutes from
+    bucket boundaries so EVERY tier contributes segments), and sums
+    point_count per event_type across the routed per-tier scans. The
+    oracle counts raw rows in the same window — equality proves the
+    coarsest-fit cover is exact through two cascade levels, i.e.
+    routing is pure I/O optimization, never approximation."""
+    from .operators.router import read_routed
+
+    ev = _t(spark, sf_dir, "events")
+    r = ev.agg(
+        ((F.min(_epoch("ts")) / 60).cast("long") * 60 + 5400).alias("lo"),
+        ((F.max(_epoch("ts")) / 60).cast("long") * 60 - 5340).alias("hi"),
+    ).first()
+    lo, hi = r["lo"], r["hi"]
+
+    base = ev.select("event_type", _bucket_epoch("ts", 60).alias("bucket_start"))
+    t1m = base.groupBy("bucket_start", "event_type").agg(
+        F.count(F.lit(1)).alias("point_count")
+    )
+
+    def down(parent, secs):
+        return (
+            parent.select(
+                ((F.col("bucket_start") / secs).cast("long") * secs).alias("bucket_start"),
+                "event_type",
+                "point_count",
+            )
+            .groupBy("bucket_start", "event_type")
+            .agg(F.sum("point_count").alias("point_count"))
+        )
+
+    tiers = {"1m": t1m}
+    tiers["1h"] = down(tiers["1m"], 3600)
+    tiers["1d"] = down(tiers["1h"], 86400)
+    tiers["30d"] = down(tiers["1d"], 2_592_000)
+    return read_routed(tiers, int(lo), int(hi), "point_count", keys=("event_type",))
