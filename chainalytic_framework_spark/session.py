@@ -70,6 +70,16 @@ def build_session(
         )
         # metadata-only MIN/MAX/COUNT over parquet (pending-range probes)
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Runtime row-level filter injection: when a selective build side
+        # (e.g. the touched-urls set of a targeted backfill semi-join)
+        # joins a huge probe side, inject a bloom filter into the probe
+        # SCAN so non-matching rows die before the shuffle. This is the
+        # 100 TB backfill story: re-fold joins read O(matching) rows,
+        # not O(history). (The sibling semiJoinReduction rewrite is NOT
+        # enabled: in this Spark build it wedges the optimizer on
+        # arbitrary queries — verified by bisection; bloom injection
+        # alone is the scan-side win and is stable.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Shuffle/spill scratch on tmpfs when available: local-mode
         # shuffles are disk-bound otherwise (a cluster has per-node
