@@ -2717,3 +2717,41 @@ def routed_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers["1d"] = down(tiers["1h"], 86400)
     tiers["30d"] = down(tiers["1d"], 2_592_000)
     return read_routed(tiers, int(lo), int(hi), "point_count", keys=("event_type",))
+
+
+@q(
+    "correlation_pairs_events",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_bucket_epoch_sql('ts', 3600)} AS b,
+             CAST(floor(SUM(CAST(round(value * 100) AS BIGINT)) / 100) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type AS ka, c.event_type AS kb,
+             a.v AS x, c.v AS y
+      FROM h a JOIN h c ON a.b = c.b AND a.event_type < c.event_type)
+    SELECT ka, kb,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS den1,
+           CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS den2
+    FROM p GROUP BY 1, 2
+    """,
+)
+def correlation_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise series correlation (operators/rolling.py::
+    series_correlation_pairs) over the per-type 1h series: exact
+    integer Pearson sufficient statistics (num, den1, den2) per aligned
+    pair — hash-gated; the float r² convenience column is derived from
+    these exactly and is pytest-checked against numpy instead. Values
+    are whole currency units (cents/100) so n·Σx² stays in 63 bits."""
+    from .operators.rolling import series_correlation_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    h1h = (
+        ev.select("event_type", _bucket_epoch("ts", 3600), _cents().alias("_c"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.floor(F.sum("_c") / 100).cast("long").alias("v"))
+    )
+    out = series_correlation_pairs(h1h, "event_type", "bucket_epoch", "v")
+    return out.select("ka", "kb", "n", "num", "den1", "den2")

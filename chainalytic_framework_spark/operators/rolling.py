@@ -215,3 +215,78 @@ def ewma_smooth(
         lambda acc, v: acc * (F.lit(1.0) - a) + a * v,
     )
     return tier.withColumn(out_col + "_x1e4", F.round(folded * 10000, 0).cast("long"))
+
+
+def series_correlation_pairs(
+    tier: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pairwise Pearson correlation between key series over their
+    ALIGNED buckets (inner join on the time axis), emitted as EXACT
+    integer sufficient statistics plus a convenience r².
+
+    For each unordered pair (a < b) with n shared buckets:
+
+        num  = n·Σxy − Σx·Σy
+        den1 = n·Σx² − (Σx)²       den2 = n·Σy² − (Σy)²
+        r²   = num² / (den1·den2),  sign(r) = sign(num)
+
+    num/den1/den2 are computed in decimal(38,0) and emitted as BIGINT —
+    bit-exact across engines and partitionings (the float r² column is
+    convenience only; hash-gated consumers use the components). Callers
+    feed a modestly-scaled integer measure (e.g. whole currency units,
+    not cents) so n·Σx² stays inside 63 bits at their series length —
+    documented contract, asserted nothing silently wraps by the
+    decimal→long cast (Spark throws on overflow rather than wrapping).
+
+    Plan: self-join of the tier on the bucket axis restricted to a < b
+    (never a full cross of the key space: the join key is the BUCKET,
+    so cost is Σ_bucket k_b² for k_b keys per bucket — at dashboard
+    grain k is the handful of monitored series, the classic use). For
+    wide key spaces, pre-filter to a candidate set first (same
+    candidate-then-verify shape as the dedup pipeline).
+
+    Reference analogue: none (engine-added monitoring analytics,
+    SURVEY §2.11 family — "which metrics move together" is the first
+    question an incident dashboard asks).
+    """
+    dec = "decimal(38,0)"
+    left = tier.select(
+        F.col(order_col).alias("_t"),
+        F.col(key_col).alias("ka"),
+        F.col(value_col).cast(dec).alias("x"),
+    )
+    right = tier.select(
+        F.col(order_col).alias("_t"),
+        F.col(key_col).alias("kb"),
+        F.col(value_col).cast(dec).alias("y"),
+    )
+    pairs = left.join(right, "_t").where(F.col("ka") < F.col("kb"))
+    agg = pairs.groupBy("ka", "kb").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = F.when(
+        (den1 > 0) & (den2 > 0),
+        (num.cast("double") * num.cast("double"))
+        / (den1.cast("double") * den2.cast("double")),
+    )
+    return agg.select(
+        "ka",
+        "kb",
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("num"),
+        den1.cast("long").alias("den1"),
+        den2.cast("long").alias("den2"),
+        F.signum(num.cast("double")).cast("int").alias("r_sign"),
+        r2.alias("r2"),
+    )

@@ -192,3 +192,46 @@ def test_ewma_window_truncation_bounds_state(spark):
     out = ewma_smooth(df, ["k"], "t", "v", alpha=0.3, window_k=4)
     last = {r["k"]: r["ewma_x1e4"] for r in out.where(F.col("t") == 5 * 60).collect()}
     assert last["a"] == last["b"]
+
+
+# --- series_correlation_pairs ----------------------------------------------
+
+from chainalytic_framework_spark.operators.rolling import series_correlation_pairs
+
+
+def test_correlation_matches_numpy(spark):
+    import numpy as np
+
+    xs = [3, 7, 1, 9, 4, 6, 2, 8]
+    ys = [2, 6, 2, 8, 5, 5, 1, 9]       # positively correlated
+    zs = [9, 2, 8, 1, 6, 3, 9, 2]       # negatively correlated with xs
+    rows = []
+    for i, (x, y, z) in enumerate(zip(xs, ys, zs)):
+        rows += [("x", i * 60, x), ("y", i * 60, y), ("z", i * 60, z)]
+    df = _series(spark, rows)
+    out = {(r["ka"], r["kb"]): r for r in
+           series_correlation_pairs(df, "k", "t", "v").collect()}
+    for (a, b), (va, vb) in {("x", "y"): (xs, ys), ("x", "z"): (xs, zs),
+                             ("y", "z"): (ys, zs)}.items():
+        want = float(np.corrcoef(va, vb)[0, 1])
+        got = out[(a, b)]
+        assert got["n"] == 8
+        assert abs(got["r2"] - want * want) < 1e-12
+        assert got["r_sign"] == (1 if want > 0 else -1)
+        # components are the exact integer statistics
+        n = len(va)
+        assert got["num"] == n * sum(p * q for p, q in zip(va, vb)) - sum(va) * sum(vb)
+
+
+def test_correlation_aligned_buckets_only(spark):
+    # series b missing bucket 120: n counts only shared buckets
+    rows = [("a", 0, 1), ("a", 60, 2), ("a", 120, 3),
+            ("b", 0, 2), ("b", 60, 4)]
+    out = series_correlation_pairs(_series(spark, rows), "k", "t", "v").first()
+    assert out["n"] == 2
+
+
+def test_correlation_constant_series_null_r2(spark):
+    rows = [("a", 0, 5), ("a", 60, 5), ("b", 0, 1), ("b", 60, 9)]
+    out = series_correlation_pairs(_series(spark, rows), "k", "t", "v").first()
+    assert out["den1"] == 0 and out["r2"] is None
