@@ -2755,3 +2755,45 @@ def correlation_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = series_correlation_pairs(h1h, "event_type", "bucket_epoch", "v")
     return out.select("ka", "kb", "n", "num", "den1", "den2")
+
+
+@q(
+    "path_prefix_rollup_documents",
+    """
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             '/' || source || '/' || lang || '/doc' || doc_id AS path
+      FROM documents),
+    lv AS (
+      SELECT doc_id, n_chars, regexp_extract(path, '^(/[^/]+)', 1) AS prefix FROM u
+      UNION ALL
+      SELECT doc_id, n_chars, regexp_extract(path, '^(/[^/]+/[^/]+)', 1) FROM u
+      UNION ALL
+      SELECT doc_id, n_chars, regexp_extract(path, '^(/[^/]+/[^/]+/[^/]+)', 1) FROM u)
+    SELECT prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM lv WHERE prefix <> '' GROUP BY prefix
+    """,
+)
+def path_prefix_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical per-directory rollup (functions/urls.py::
+    path_prefixes): every cumulative path prefix of every constructed
+    doc URL aggregated in ONE explode+groupBy — per-site, per-section,
+    per-page stats from a single shuffle (the trie-rollup replacement).
+    The oracle unions the three prefix levels explicitly."""
+    from .functions.urls import path_prefixes
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://x.example.com/"), F.col("source"), F.lit("/"),
+        F.col("lang"), F.lit("/doc"), F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select("doc_id", "n_chars", F.explode(path_prefixes(url, 3)).alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

@@ -97,3 +97,19 @@ def path_depth(url: Column) -> Column:
     """Count of non-empty path segments."""
     segs = F.filter(F.split(url_path(url), "/", -1), lambda s: s != "")
     return F.size(segs).cast("long")
+
+
+def path_prefixes(url: Column, max_depth: int = 3) -> Column:
+    """Array of cumulative path prefixes: for ``/a/b/c`` returns
+    ``['/a', '/a/b', '/a/b/c']`` (up to ``max_depth`` levels) — the
+    hierarchical rollup key for per-directory crawl stats (a trie
+    rollup without a trie: explode + groupBy gives every directory's
+    aggregate in one shuffle; the reference ships an unused trie,
+    ``common/trie.py`` — this is its warehouse-scale replacement).
+    Pure higher-order functions, no UDF."""
+    segs = F.filter(F.split(url_path(url), "/", -1), lambda s: s != "")
+    depth = F.least(F.size(segs), F.lit(max_depth))
+    return F.when(depth > 0, F.transform(
+        F.sequence(F.lit(1), depth),
+        lambda i: F.concat(F.lit("/"), F.array_join(F.slice(segs, 1, i), "/")),
+    )).otherwise(F.array().cast("array<string>"))

@@ -86,3 +86,20 @@ def test_host_extraction_malformed_degrades(spark):
         url_host(F.col("u")).alias("h")
     )
     assert [r["h"] for r in df.collect()] == ["", ""]
+
+
+def test_path_prefixes(spark):
+    from chainalytic_framework_spark.functions.urls import path_prefixes
+
+    cases = {
+        "https://e.com/a/b/c": ["/a", "/a/b", "/a/b/c"],
+        "https://e.com/a/b/c/d/e": ["/a", "/a/b", "/a/b/c"],  # capped at 3
+        "https://e.com/a": ["/a"],
+        "https://e.com/": [],
+        "https://e.com//a//b": ["/a", "/a/b"],  # empty segments skipped
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string").select(
+        "u", path_prefixes(F.col("u"), 3).alias("p")
+    )
+    got = {r["u"]: list(r["p"]) for r in df.collect()}
+    assert got == cases
