@@ -2797,3 +2797,41 @@ def path_prefix_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+@q(
+    "rollup_grouping_sets_documents",
+    """
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def rollup_grouping_sets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal rollup (SQL ROLLUP / grouping sets): per
+    (lang, source), per lang, and grand total in ONE pass —
+    Catalyst expands grouping sets into a single Expand+Aggregate plan
+    (one shuffle), the idiomatic replacement for three separate
+    aggregations a naive port would run. grouping_id disambiguates
+    subtotal rows from literal '<all>' values; complements the
+    cube_lang_source_documents CUBE query (here the hierarchy is
+    ordered, as in per-site -> per-language -> corpus reporting)."""
+    d = _t(spark, sf_dir, "documents")
+    gid = (F.grouping("lang") * 2 + F.grouping("source")).cast("long")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "gid", "n_docs", "sum_chars",
+        )
+    )

@@ -216,3 +216,28 @@ def streaming_sessions(
             F.col("n_events"),
         )
     )
+
+
+def streaming_dedupe(
+    events_stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event admission: drop re-deliveries of the same
+    logical event key inside the watermark horizon —
+    ``withWatermark().dropDuplicates()``, the native keyed-state dedup
+    (the streaming twin of the batch last-wins dedupe P2 family).
+
+    Semantics: FIRST arrival wins; duplicates arriving within
+    ``watermark`` of the event time are dropped; a duplicate arriving
+    later than the watermark may pass (state for its key was evicted) —
+    the standard bounded-state trade; the batch pipeline's idempotent
+    partition overwrite re-canonicalizes history on its next run (same
+    contract as the T3 late-data policy).
+
+    Scale: state is one entry per key inside the horizon, partitioned
+    by key hash across the state store — bounded by arrival rate x
+    horizon, not history.
+    """
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)

