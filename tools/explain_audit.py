@@ -164,6 +164,19 @@ def main() -> int:
                 contract.url_canonicalize_documents(spark, sf),
                 {"max_exchanges": 0})
 
+    ok &= audit("routed range: per-tier pruned scans + ONE final agg shuffle",
+                contract.routed_range_events(spark, sf),
+                {"max_exchanges": 5})
+    ok &= audit("correlation pairs: bucket-keyed self-join, never key-space cross",
+                contract.correlation_pairs_events(spark, sf),
+                {"max_exchanges": 5})
+    ok &= audit("grouping-sets rollup: ONE Expand+Aggregate pass",
+                contract.rollup_grouping_sets_documents(spark, sf),
+                {"max_exchanges": 1})
+    ok &= audit("path-prefix rollup: one explode+groupBy, zero joins",
+                contract.path_prefix_rollup_documents(spark, sf),
+                {"max_exchanges": 1})
+
     # z-order write key must be pure codegen (no UDF, no exchange of its own)
     from chainalytic_framework_spark.operators.zorder import zorder_key
 
