@@ -75,6 +75,43 @@ def _cmd_compact(args: argparse.Namespace) -> None:
     print(json.dumps({"table": args.table, "partitions_rewritten": n}))
 
 
+def _cmd_query(args: argparse.Namespace) -> None:
+    from . import contract
+    from .session import get_active_or_build
+
+    qs = contract.queries()
+    if args.name not in qs:
+        print(json.dumps({"error": f"unknown query {args.name!r}",
+                          "available": sorted(qs)}))
+        raise SystemExit(2)
+    spark = get_active_or_build(app_name=f"cfs-query-{args.name}")
+    df = qs[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"query": args.name, "out": args.out}))
+    else:
+        rows = df.limit(args.limit).collect()
+        print(json.dumps({"query": args.name, "rows": [r.asDict() for r in rows]},
+                         default=str))
+
+
+def _cmd_serve_range(args: argparse.Namespace) -> None:
+    """Tier-routed range read over a warehouse written by `run`."""
+    from .operators.router import read_routed
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-serve")
+    store = TableStore(spark, args.warehouse)
+    tiers = {t: store.read(f"tier_{t}") for t in ("1m", "1h", "1d", "30d")
+             if store.exists(f"tier_{t}")}
+    df = read_routed(tiers, args.t0, args.t1, measure=args.measure,
+                     keys=tuple(args.keys.split(",")))
+    rows = df.limit(args.limit).collect()
+    print(json.dumps({"t0": args.t0, "t1": args.t1, "measure": args.measure,
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="chainalytic_framework_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
