@@ -142,6 +142,23 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     c.set_defaults(fn=_cmd_compact)
 
+    q = sub.add_parser("query", help="run a named catalog query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--out", default=None, help="write parquet instead of printing")
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=_cmd_query)
+
+    sv = sub.add_parser("serve-range",
+                        help="tier-routed range read from a warehouse")
+    sv.add_argument("--warehouse", required=True)
+    sv.add_argument("--t0", type=int, required=True, help="epoch secs, 1m-aligned")
+    sv.add_argument("--t1", type=int, required=True)
+    sv.add_argument("--measure", default="point_count")
+    sv.add_argument("--keys", default="url", help="comma-separated grain cols")
+    sv.add_argument("--limit", type=int, default=50)
+    sv.set_defaults(fn=_cmd_serve_range)
+
     args = p.parse_args(argv)
     args.fn(args)
 
