@@ -2835,3 +2835,83 @@ def rollup_grouping_sets_documents(spark: SparkSession, sf_dir: str) -> DataFram
             "gid", "n_docs", "sum_chars",
         )
     )
+
+
+_HTML_ORACLE_EXPR = """
+    '<html><head><title> Doc ' || doc_id || ' </title>' ||
+    '<script>var x = "<p>ignored</p>";</script>' ||
+    '<style>p { color: red; }</style></head>' ||
+    '<body><!-- comment --><p>' || text || '</p>' ||
+    '<ul><li>item one</li><li>item&#39;s</li></ul>' ||
+    '<a href="/d/' || doc_id || '">in</a>' ||
+    '<a href="https://Ex.com/p?b=2&amp;a=1">out</a>' ||
+    ' Fish &amp; Chips &amp;amp; more</body></html>'
+"""
+
+
+@q(
+    "html_extract_documents",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_HTML_ORACLE_EXPR} AS html FROM documents),
+    s1 AS (SELECT doc_id, html,
+             regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t
+           FROM u),
+    s2 AS (SELECT doc_id, html,
+             regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+    s4 AS (SELECT doc_id, html,
+             regexp_replace(t, '(?i)<(?:br|hr)\\s*/?>', chr(10), 'g') AS t FROM s3),
+    s5 AS (SELECT doc_id, html,
+             regexp_replace(t,
+               '(?i)</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote)>', chr(10), 'g')
+             AS t FROM s4),
+    s6 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s5),
+    ent AS (SELECT doc_id, html,
+              replace(replace(replace(replace(replace(replace(t,
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', chr(39)), '&amp;', '&') AS t
+            FROM s6),
+    fin AS (SELECT doc_id, html,
+              trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_extracted
+            FROM ent)
+    SELECT doc_id,
+           text_extracted,
+           trim(regexp_replace(
+             replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+                     '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS title,
+           CAST(len(regexp_extract_all(html,
+             '(?i)<a[^>]+href\\s*=\\s*["'']([^"'']*)["'']', 1)) AS BIGINT) AS n_links
+    FROM fin
+    """,
+)
+def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text decode (functions/html.py): both engines construct
+    the same deliberately-nasty document per doc (scripts containing
+    tags, styles, comments, block tags, single/double entity escapes,
+    two links) and must extract BYTE-IDENTICAL text, title, and link
+    count — the per-row invariant the north star demands of the
+    extractor, enforced cross-engine through the hash gate. Every
+    rewrite is the same RE2-compatible regexp chain in both engines."""
+    from .functions.html import extract_links, extract_text, extract_title
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title> Doc "), F.col("doc_id").cast("string"),
+        F.lit(" </title>"),
+        F.lit('<script>var x = "<p>ignored</p>";</script>'),
+        F.lit("<style>p { color: red; }</style></head>"),
+        F.lit("<body><!-- comment --><p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<ul><li>item one</li><li>item&#39;s</li></ul>"),
+        F.lit('<a href="/d/'), F.col("doc_id").cast("string"), F.lit('">in</a>'),
+        F.lit('<a href="https://Ex.com/p?b=2&amp;a=1">out</a>'),
+        F.lit(" Fish &amp; Chips &amp;amp; more</body></html>"),
+    )
+    u = d.select("doc_id", html.alias("html"))
+    return u.select(
+        "doc_id",
+        extract_text(F.col("html")).alias("text_extracted"),
+        extract_title(F.col("html")).alias("title"),
+        F.size(extract_links(F.col("html"))).cast("long").alias("n_links"),
+    )
