@@ -45,6 +45,7 @@ def _cmd_run(args: argparse.Namespace) -> None:
         input_snapshot_id=args.snapshot_id,
         with_fold=not args.no_fold,
         with_sketches=args.with_sketches,
+        with_histograms=args.with_histograms,
         with_cold_tier=args.with_cold_tier,
         enforce_retention_now=retention_now,
     )
@@ -123,6 +124,7 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--snapshot-id", default="", help="input snapshot lineage id")
     r.add_argument("--no-fold", action="store_true")
     r.add_argument("--with-sketches", action="store_true")
+    r.add_argument("--with-histograms", action="store_true")
     r.add_argument("--with-cold-tier", action="store_true")
     r.add_argument("--retention-now", default=None,
                    help="ISO datetime (UTC) to enforce retention against")

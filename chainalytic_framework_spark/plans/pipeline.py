@@ -116,6 +116,7 @@ def run_pipeline(
     with_cold_tier: bool = False,
     cold_source_tier: str = "1d",
     with_sketches: bool = False,
+    with_histograms: bool = False,
     enforce_retention_now=None,
 ) -> dict:
     t_run = time.perf_counter()
@@ -241,6 +242,49 @@ def run_pipeline(
             store.overwrite_partitions(out, f"sketch_{child}", ["bucket_day"])
         entries.append(
             dict(tier="sketches", bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
+                 bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
+                 input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
+                 wall_seconds=time.perf_counter() - t0, docs_per_sec=0.0)
+        )
+
+    # ---- optional: text-length histogram tiers ----
+    # Distribution partials (operators/histogram.py): data-independent
+    # leading-decimal-digit buckets, so coarser tiers merge stored child
+    # counts losslessly — quantile dashboards never touch raw. Same
+    # incremental cascade pruning as the numeric/sketch tiers.
+    if with_histograms:
+        from ..operators.histogram import histogram_downsample, histogram_rollup
+
+        t0 = time.perf_counter()
+        fsecs = SECONDS[finest]
+        be = (F.col("warc_ts").cast("long") / fsecs).cast("long") * fsecs
+        h = histogram_rollup(obs, be, ["lang"], F.col("text_len")).withColumn(
+            "bucket_day", F.to_date(F.col("bucket_epoch").cast("timestamp"))
+        )
+        store.overwrite_partitions(h, f"hist_{finest}", ["bucket_day"])
+        for child, parent in ms.cascade_pairs():
+            pdf = store.read(f"hist_{parent}")
+            csecs = SECONDS[child]
+            if csecs <= 86400:
+                pdf = pdf.where(F.col("bucket_day").isin(pend))
+            else:
+                import calendar
+
+                starts = sorted(
+                    {(calendar.timegm(d.timetuple()) // csecs) * csecs for d in pend}
+                )
+                lo_e, hi_e = min(starts), max(starts) + csecs
+                pdf = pdf.where(
+                    (F.col("bucket_epoch") >= F.lit(lo_e))
+                    & (F.col("bucket_epoch") < F.lit(hi_e))
+                )
+            out = histogram_downsample(pdf.drop("bucket_day"), ["lang"], csecs).withColumn(
+                "bucket_day", F.to_date(F.col("bucket_epoch").cast("timestamp"))
+            )
+            store.overwrite_partitions(out, f"hist_{child}", ["bucket_day"])
+        entries.append(
+            dict(tier="histograms",
+                 bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
                  bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
                  input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
                  wall_seconds=time.perf_counter() - t0, docs_per_sec=0.0)

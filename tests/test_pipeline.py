@@ -258,3 +258,36 @@ def test_cli_run_idempotent(spark, tmp_path):
     with redirect_stdout(buf):
         main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
     assert json.loads(buf.getvalue().strip().splitlines()[-1])["pending_days"] == 0
+
+
+def test_histogram_tiers_incremental_equals_direct(spark, tmp_path):
+    """with_histograms: the pipeline's incrementally-maintained hist_1d
+    must equal a direct histogram of all raw pages — including after a
+    second incremental run appends new days."""
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.operators.histogram import histogram_rollup
+    from chainalytic_framework_spark.plans.pipeline import run_pipeline
+    from chainalytic_framework_spark.synth import generate_pages
+    from chainalytic_framework_spark.tables import TableStore
+
+    pages = generate_pages(spark, 4000).cache()
+    days = sorted(r["d"] for r in
+                  pages.select(F.to_date("warc_ts").alias("d")).distinct().collect())
+    split = days[len(days) // 2]
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    first = pages.where(F.to_date("warc_ts") <= F.lit(split))
+    run_pipeline(spark, first, store, with_fold=False, with_histograms=True,
+                 input_snapshot_id="s1")
+    run_pipeline(spark, pages, store, with_fold=False, with_histograms=True,
+                 input_snapshot_id="s2")
+
+    got = store.read("hist_1d").select("lang", "bucket_epoch", "hb_lo", "hb_count")
+    be = (F.col("warc_ts").cast("long") / 86400).cast("long") * 86400
+    want = histogram_rollup(
+        pages.select("lang", "warc_ts", F.length("text").cast("long").alias("text_len")),
+        be, ["lang"], F.col("text_len"),
+    ).select("lang", "bucket_epoch", "hb_lo", F.col("hb_count").cast("long"))
+    got = got.select("lang", "bucket_epoch", "hb_lo", F.col("hb_count").cast("long"))
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
