@@ -2915,3 +2915,67 @@ def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_title(F.col("html")).alias("title"),
         F.size(extract_links(F.col("html"))).cast("long").alias("n_links"),
     )
+
+
+@q(
+    "curation_score_documents",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+    per AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id,
+             CAST(floor((SUM(c) - COUNT(*)) * 10000 / SUM(c)) AS BIGINT) AS dup_frac,
+             CAST(floor(MAX(c) * 10000 / SUM(c)) AS BIGINT) AS top_share,
+             CAST(SUM(c) AS BIGINT) AS n_tokens
+      FROM per GROUP BY doc_id),
+    surp AS (
+      WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+          FROM documents) x WHERE length(term) >= 1 GROUP BY 1, 2),
+      corpus AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+      tot AS (SELECT SUM(tf) AS n_total FROM tf),
+      sw AS (SELECT term, CAST(round(ln(n_total / cf) * 10000) AS BIGINT) AS s
+             FROM corpus, tot)
+      SELECT tf.doc_id,
+             CAST(floor(SUM(tf.tf * sw.s) / SUM(tf.tf)) AS BIGINT) AS surp
+      FROM tf JOIN sw ON tf.term = sw.term GROUP BY tf.doc_id)
+    SELECT r.doc_id, r.n_tokens, r.dup_frac, r.top_share, s.surp,
+           CASE WHEN r.n_tokens >= 10 AND r.dup_frac <= 6000
+                     AND r.top_share <= 3000
+                     AND s.surp BETWEEN 20000 AND 60000
+                THEN 1 ELSE 0 END AS keep
+    FROM rep r JOIN surp s ON r.doc_id = s.doc_id
+    """,
+)
+def curation_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation gate — the per-document keep/drop decision a
+    pretraining pipeline actually ships: Gopher-style repetition
+    features (dup-token fraction, top-token share) AND the
+    unigram-surprisal fluency band, all integer-exact, joined into one
+    0/1 keep flag with explicit thresholds. Composition of
+    functions/text.py::token_repetition + unigram_surprisal; every
+    branch individually oracle-gated elsewhere, this query gates their
+    JOIN + threshold logic."""
+    from .functions.text import token_repetition, unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    rep = token_repetition(d).select(
+        "doc_id", "n_tokens",
+        F.col("dup_token_frac_x1e4").alias("dup_frac"),
+        F.col("top_token_share_x1e4").alias("top_share"),
+    )
+    surp = unigram_surprisal(d).select("doc_id", F.col("surprisal_x1e4").alias("surp"))
+    keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("dup_frac") <= 6000)
+        & (F.col("top_share") <= 3000)
+        & F.col("surp").between(20000, 60000)
+    )
+    return (
+        rep.join(surp, "doc_id")
+        .select("doc_id", "n_tokens", "dup_frac", "top_share", "surp",
+                keep.cast("int").alias("keep"))
+    )

@@ -149,3 +149,55 @@ def embed_media_stub(features: DataFrame, dim: int = 16) -> DataFrame:
             )
 
     return features.select("media_id").mapInPandas(run, schema="media_id long, embedding array<float>")
+
+
+RESIZED_SCHEMA = (
+    "media_id long, out_width int, out_height int, scale_x1e4 long, "
+    "resized binary, resize_ok boolean"
+)
+
+
+def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
+                  blob_col: str = "payload", id_col: str = "media_id") -> DataFrame:
+    """Resize stage (the train-time preprocessing op): blob in, fixed
+    target-size blob out, aspect-preserving scale recorded exactly
+    (×1e4 integer). STUB pixel math — the output blob is a
+    deterministic function of (input bytes, target) standing in for the
+    interpolated pixels; real deployment swaps the body for
+    PIL.Image.resize / cv2.resize inside the SAME mapInPandas contract
+    (one Arrow hop, blob-bounded batches via repartition_for_blobs,
+    output size target_w*target_h*3 exactly like a real RGB buffer —
+    so memory behavior and batch shape are production-true even with
+    the stub).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_len = target_w * target_h * 3
+        for pdf in batches:
+            ids, ws, hs, scales, blobs, oks = [], [], [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[blob_col]):
+                ids.append(int(mid))
+                if p is None or len(p) < 8:
+                    ws.append(0); hs.append(0); scales.append(0)
+                    blobs.append(b""); oks.append(False)
+                    continue
+                w0, h0, _, _, ok = _decode_image_stub(bytes(p))
+                scale = min(target_w / max(w0, 1), target_h / max(h0, 1))
+                # deterministic fake pixel buffer: tile the source bytes
+                # to exactly the target RGB size (real resize writes the
+                # same-shape buffer from interpolated pixels)
+                src = bytes(p)
+                reps = out_len // len(src) + 1
+                blobs.append((src * reps)[:out_len])
+                ws.append(target_w); hs.append(target_h)
+                scales.append(round(scale * 10000)); oks.append(bool(ok))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "out_width": pd.Series(ws, dtype="int32"),
+                "out_height": pd.Series(hs, dtype="int32"),
+                "scale_x1e4": pd.Series(scales, dtype="int64"),
+                "resized": pd.Series(blobs, dtype="object"),
+                "resize_ok": pd.Series(oks, dtype="bool"),
+            })
+
+    return media.select(id_col, blob_col).mapInPandas(run, schema=RESIZED_SCHEMA)

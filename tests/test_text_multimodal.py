@@ -119,3 +119,23 @@ def test_token_repetition_exact_counts(spark):
     assert got[1]["top_token_share_x1e4"] == 7500      # 3/4
     assert got[2]["dup_token_frac_x1e4"] == 0
     assert got[3]["n_tokens"] == 2 and got[3]["top_token_count"] == 2
+
+
+def test_resize_images_contract(spark):
+    """resize stage: exact RGB-buffer-sized output, integer-exact scale,
+    null/short blobs degrade to resize_ok=false."""
+    from chainalytic_framework_spark.functions.multimodal import (
+        _decode_image_stub,
+        resize_images,
+    )
+
+    rows = [(1, b"\x89PNG\r\n\x1a\n" + b"x" * 100), (2, b"\x00"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in resize_images(df, 32, 32).collect()}
+    ok = got[1]
+    assert ok["resize_ok"] and ok["out_width"] == 32 and ok["out_height"] == 32
+    assert len(bytes(ok["resized"])) == 32 * 32 * 3  # exact RGB buffer size
+    w0, h0, *_ = _decode_image_stub(rows[0][1])
+    assert ok["scale_x1e4"] == round(min(32 / w0, 32 / h0) * 10000)
+    assert not got[2]["resize_ok"] and not got[3]["resize_ok"]
+    assert len(bytes(got[2]["resized"])) == 0
