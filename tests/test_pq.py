@@ -1,0 +1,119 @@
+"""Product quantization (operators/pq.py): recall vs exact search,
+code determinism, ADC score parity with numpy, codebook-size
+monotonicity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.operators.pq import (
+    pq_encode,
+    pq_search,
+    pq_search_rerank,
+    pq_train,
+)
+
+DIM = 32
+
+
+def _clustered(n_clusters=8, per=60, seed=3):
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_clusters, DIM).astype(np.float32) * 3
+    rows = []
+    for ci in range(n_clusters):
+        pts = cents[ci] + rng.randn(per, DIM).astype(np.float32) * 0.4
+        rows += [(ci * per + j, pts[j].tolist()) for j in range(per)]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        _clustered(), "vec_id long, embedding array<float>"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def trained(emb):
+    cb = pq_train(emb, m=8, k=64, sample=480, iters=8)
+    return cb, pq_encode(emb, cb).cache()
+
+
+def _exact_topk(rows, q, k):
+    x = np.array([v for _, v in rows], dtype=np.float32)
+    ids = np.array([i for i, _ in rows])
+    d = ((x - q[None, :]) ** 2).sum(axis=1)
+    return set(ids[np.argsort(d, kind="stable")[:k]])
+
+
+def test_recall_at_10(emb, trained):
+    cb, codes = trained
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    rng = np.random.RandomState(7)
+    recalls = []
+    for _ in range(5):
+        q = np.array(rows[rng.randint(len(rows))][1], dtype=np.float32) + 0.05
+        exact = _exact_topk(rows, q, 10)
+        got = {r["vec_id"] for r in pq_search(codes, cb, q, topk=10).collect()}
+        recalls.append(len(got & exact) / 10)
+    assert np.mean(recalls) >= 0.5, recalls  # 32x compression, no re-rank
+
+
+def test_codes_deterministic_across_partitionings(emb, trained):
+    cb, _ = trained
+    a = pq_encode(emb, cb)
+    b = pq_encode(emb.repartition(7), cb)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_adc_matches_numpy_reference(emb, trained):
+    cb, codes = trained
+    m, k, ds = cb.shape
+    q = np.zeros(DIM, dtype=np.float32)
+    table = np.stack(
+        [((cb[i] - q[i * ds : (i + 1) * ds][None, :]) ** 2).sum(axis=1)
+         for i in range(m)]
+    ).astype(np.float64)
+    got = {r["vec_id"]: r["adc_x1e6"] for r in pq_search(codes, cb, q, topk=5).collect()}
+    local = {r["vec_id"]: np.array(r["codes"]) for r in codes.collect()}
+    for vid, score in got.items():
+        want = table[np.arange(m), local[vid]].sum()
+        assert abs(score - round(want * 1e6)) <= 1, (vid, score, want)
+
+
+def test_bigger_codebooks_reconstruct_better(emb):
+    # mean quantization error must drop as k grows
+    def err(k):
+        cb = pq_train(emb, m=8, k=k, sample=480, iters=8)
+        codes = pq_encode(emb, cb).collect()
+        rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+        m, _, ds = cb.shape
+        total = 0.0
+        for r in codes:
+            x = np.array(rows[r["vec_id"]], dtype=np.float32)
+            rec = np.concatenate([cb[i][r["codes"][i]] for i in range(m)])
+            total += float(((x - rec) ** 2).sum())
+        return total / len(codes)
+
+    assert err(32) < err(4)
+
+
+def test_dim_must_divide(emb):
+    with pytest.raises(ValueError):
+        pq_train(emb, m=5, k=8, sample=100, iters=2)
+
+
+def test_rerank_recovers_recall(emb, trained):
+    cb, codes = trained
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    rng = np.random.RandomState(7)
+    recalls = []
+    for _ in range(5):
+        q = np.array(rows[rng.randint(len(rows))][1], dtype=np.float32) + 0.05
+        exact = _exact_topk(rows, q, 10)
+        got = {r["vec_id"] for r in
+               pq_search_rerank(codes, emb, cb, q, topk=10).collect()}
+        recalls.append(len(got & exact) / 10)
+    assert np.mean(recalls) >= 0.85, recalls
