@@ -197,3 +197,55 @@ def pq_search_rerank(
         .orderBy(F.col("dist_x1e6").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def ivf_pq_search(
+    embeddings: DataFrame,
+    codes_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    topk: int = 10,
+    n_probe: int = 4,
+    shortlist_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The full FAISS-style serving pipeline, composed from the
+    engine's own parts: IVF coarse probe (operators/similarity.py)
+    bounds WHICH vectors a query touches, PQ-ADC bounds the BYTES per
+    touched vector, exact re-rank on the shortlist restores recall.
+
+    At 10^12 vectors the cluster id is a stored partition column of
+    BOTH the code table and the embedding table, so the probe is
+    partition pruning on codes (≈ n_probe/n_centroids of 8 TB) and the
+    re-rank is a point-lookup of topk·shortlist_factor raw vectors —
+    the query never reads the 256 TB raw corpus. Here the probe is an
+    in-plan filter over the assignment expression (same semantics, no
+    stored table in a contract query).
+    """
+    from .similarity import ivf_assign
+
+    q = np.asarray(query, dtype=np.float64)
+    c = np.asarray(centroids, dtype=np.float64)
+    sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-30)
+    probes = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    cand_ids = (
+        ivf_assign(embeddings, centroids, id_col, vec_col)
+        .where(F.col("cluster").isin(probes))
+        .select(id_col)
+    )
+    cand_codes = codes_df.join(cand_ids, id_col, "left_semi")
+    shortlist = pq_search(cand_codes, codebooks, q, topk=topk * shortlist_factor)
+    cand = embeddings.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
+    qlit = F.array(*[F.lit(float(v)) for v in np.asarray(query, dtype=np.float32)])
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.select(id_col, F.round(d2 * 1e6).cast("long").alias("dist_x1e6"))
+        .orderBy(F.col("dist_x1e6").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

@@ -117,3 +117,31 @@ def test_rerank_recovers_recall(emb, trained):
                pq_search_rerank(codes, emb, cb, q, topk=10).collect()}
         recalls.append(len(got & exact) / 10)
     assert np.mean(recalls) >= 0.85, recalls
+
+
+def test_ivf_pq_pipeline(emb, trained):
+    """IVF probe + PQ shortlist + exact re-rank: good recall touching a
+    fraction of the corpus; full probe equals the no-IVF re-rank path."""
+    from chainalytic_framework_spark.operators.pq import ivf_pq_search
+    from chainalytic_framework_spark.operators.similarity import ivf_train
+
+    cb, codes = trained
+    cents = ivf_train(emb, n_centroids=8, n_iters=3)
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    rng = np.random.RandomState(11)
+    recalls = []
+    for _ in range(3):
+        q = np.array(rows[rng.randint(len(rows))][1], dtype=np.float32) + 0.05
+        exact = _exact_topk(rows, q, 10)
+        got = {r["vec_id"] for r in
+               ivf_pq_search(emb, codes, cents, cb, q, topk=10, n_probe=3).collect()}
+        recalls.append(len(got & exact) / 10)
+    assert np.mean(recalls) >= 0.7, recalls
+
+    # degenerate full probe == plain PQ re-rank path
+    q = np.array(rows[5][1], dtype=np.float32)
+    a = [(r["vec_id"], r["dist_x1e6"]) for r in
+         ivf_pq_search(emb, codes, cents, cb, q, topk=10, n_probe=8).collect()]
+    b = [(r["vec_id"], r["dist_x1e6"]) for r in
+         pq_search_rerank(codes, emb, cb, q, topk=10).collect()]
+    assert a == b
