@@ -2320,7 +2320,7 @@ def histogram_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(hb_count) OVER (PARTITION BY event_type, bucket_epoch) AS total
       FROM h)
     SELECT event_type, bucket_epoch, MIN(hb_lo) AS p90_lo
-    FROM c WHERE cum >= CAST(ceil(total * 90 / 100) AS BIGINT)
+    FROM c WHERE cum >= CAST((total * 90 + 99) // 100 AS BIGINT)
     GROUP BY 1, 2
     """,
 )

@@ -111,10 +111,11 @@ def quantile_from_histogram(
     """Per-series quantile read off a histogram tier: the smallest bucket
     lower bound whose cumulative count reaches ceil(q * total).
 
-    q is given as an integer percentage (q_x100=90 -> p90) so the rank
-    threshold `ceil(total * q / 100)` stays in integer arithmetic —
-    deterministic across engines. Window cumsum + min-filter; one
-    shuffle on the series key.
+    q is given as an integer percentage (q_x100=90 -> p90) and the rank
+    threshold ceil(total*q/100) is computed as the exact integral
+    identity `(total*q + 99) DIV 100` — true integer arithmetic end to
+    end, exact past 2^53 where a double division would round. Window
+    cumsum + min-filter; one shuffle on the series key.
     """
     grp = series_cols + ["bucket_epoch"]
     w = Window.partitionBy(*grp).orderBy("hb_lo")
@@ -125,7 +126,7 @@ def quantile_from_histogram(
         F.sum("hb_count").over(w).alias("_cum"),
         F.sum("hb_count").over(wall).alias("_total"),
     )
-    need = F.ceil(F.col("_total") * q_x100 / 100).cast("long")
+    need = F.expr(f"(_total * {int(q_x100)} + 99) DIV 100").cast("long")
     return (
         cum.where(F.col("_cum") >= need)
         .groupBy(*grp)

@@ -84,7 +84,7 @@ def append_entries(
         for e in entries
     ]
     df = spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
-    df.write.mode("append").parquet(store.path(MANIFEST_TABLE))
+    store.append(df, MANIFEST_TABLE)
 
 
 def high_water(store: TableStore, tier: str) -> dt.datetime | None:

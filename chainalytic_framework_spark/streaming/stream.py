@@ -92,15 +92,14 @@ def start_stream_to_store(
             return
         out = with_layout_columns(batch_df)
         out.persist()
-        out.write.mode("append").partitionBy("bucket_day").parquet(
-            store.path("tier_1m_stream")
-        )
+        # through the TableStore so a cluster's foreachBatch appends to
+        # the same Iceberg warehouse as the batch pipeline
+        store.append(out, "tier_1m_stream", partition_by=["bucket_day"])
         if with_sketches:
-            (
+            store.append(
                 out.groupBy("bucket_start", "lang")
-                .agg(F.hll_sketch_agg("url").alias("url_sketch"))
-                .write.mode("append")
-                .parquet(store.path("sketch_1m_stream"))
+                .agg(F.hll_sketch_agg("url").alias("url_sketch")),
+                "sketch_1m_stream",
             )
         out.unpersist()
 
@@ -123,6 +122,79 @@ def stream_sketch_estimate(store: TableStore) -> DataFrame:
         .groupBy("bucket_start", "lang")
         .agg(F.hll_union_agg("url_sketch").alias("url_sketch"))
         .withColumn("distinct_urls_est", F.hll_sketch_estimate("url_sketch"))
+    )
+
+
+def start_histogram_stream_to_store(
+    spark: SparkSession,
+    pages_path: str,
+    store: TableStore,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+):
+    """Streaming text-length HISTOGRAM partials — the distribution twin
+    of the sketch partial log, closing the gap where the freshest edge
+    could serve counts/sums and distinct estimates but not quantiles.
+
+    A watermarked 1m tumbling aggregation over (window, lang,
+    leading-decimal-digit bucket of length(text)) — the exact bucket
+    layout of the batch ``hist_1m`` tier (operators/histogram.py), so
+    partials are losslessly mergeable with the stored cascade. Append
+    output mode emits each finalized (window, lang, hb_lo) count once;
+    foreachBatch appends it to the ``hist_1m_stream`` partial log via
+    the TableStore (same Iceberg/parquet unification as the tier rows).
+    Counts are mergeable, so the read path sums the log
+    (:func:`stream_histogram_counts`) and quantiles come from the
+    merged counts via ``quantile_from_histogram`` — no streaming
+    read-modify-write anywhere.
+
+    Own checkpoint dir = own source progress; runs beside the tier
+    stream like any second consumer of the pages feed.
+    """
+    from ..operators.histogram import decade_digit_bucket
+
+    hist = (
+        read_pages_stream(spark, pages_path)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", "1 minute").alias("win"),
+            F.col("lang"),
+            decade_digit_bucket(F.length("text").cast("long")).alias("hb_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("hb_count"))
+        .select(
+            F.col("win.start").cast("long").alias("bucket_epoch"),
+            "lang", "hb_lo", "hb_count",
+        )
+    )
+
+    def commit_hist(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.append(batch_df, "hist_1m_stream")
+
+    writer = (
+        hist.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(commit_hist)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_histogram_counts(store: TableStore) -> DataFrame:
+    """Merge-at-read over the streaming histogram partial log: exact
+    per (bucket_epoch, lang, hb_lo) counts via sum — correct however
+    many micro-batches contributed partials for a bucket. Feed the
+    result straight to ``quantile_from_histogram`` for edge quantiles,
+    or union it with the stored ``hist_1m`` tier for a seamless
+    history+edge distribution read."""
+    return (
+        store.read("hist_1m_stream")
+        .groupBy("bucket_epoch", "lang", "hb_lo")
+        .agg(F.sum("hb_count").alias("hb_count"))
     )
 
 

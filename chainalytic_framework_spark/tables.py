@@ -1,11 +1,15 @@
 """Storage adapter: Iceberg on a real cluster, parquet dirs in the sandbox.
 
 The engine's write/read surface is format-agnostic so the same pipeline
-code runs against Iceberg tables (``spark.read.format('iceberg')``,
-``MERGE INTO``, ``deleteWhere``, snapshot ids) on a cluster with the
+code runs against Iceberg tables (``spark.read.table``, writerV2
+``createOrReplace``/``append``/``overwritePartitions``, ``MERGE INTO``,
+partition ``DELETE``, snapshot ids) on a cluster with the
 iceberg-spark-runtime jars, and against partition-layout-identical
 parquet directories here (this sandbox ships no Iceberg jars — never
-hard-import it).
+hard-import it). EVERY ``TableStore`` operation resolves through one
+``IcebergBackend`` when ``spark.sql.catalog.rollup`` is configured, so
+a cluster deployment reads and writes one uniform warehouse — no
+parquet-path fallbacks on any branch.
 
 Partition layout for tier tables: ``(tier, bucket_day)`` directory
 partitioning with files range-distributed by ``url_bucket`` inside —
@@ -65,6 +69,130 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+class IcebergBackend:
+    """Every TableStore operation expressed against ONE Iceberg catalog
+    table per logical name — the uniform warehouse the reference has
+    (``/root/reference/src/chainalytic/warehouse/storage.py:45-73``: all
+    transforms read and write the same store). Previously only
+    ``merge_upsert`` and ``compact_partitions`` had an Iceberg branch,
+    so on a cluster MERGE INTO wrote to the catalog while every other
+    stage read/wrote parquet paths — split-brained. Now ``read`` /
+    ``write`` / ``append`` / ``overwrite_partitions`` /
+    ``delete_where_partition`` / ``snapshot_id`` / ``exists`` all
+    resolve to ``<catalog>.<namespace>.<name>``.
+
+    The sandbox ships no Iceberg jars, so each method is a thin
+    composition of ``spark.sql(<string built by a pure function>)`` or a
+    ``DataFrameWriterV2`` chain — unit-testable with recorder fakes
+    (``tests/test_tables.py::TestIcebergBackend``) without executing
+    Iceberg itself.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str = "rollup"):
+        self.spark = spark
+        self.catalog = catalog
+
+    @property
+    def namespace(self) -> str:
+        return self.spark.conf.get(
+            f"spark.sql.catalog.{self.catalog}.namespace", "rollup"
+        )
+
+    def qualified(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def exists(self, name: str) -> bool:
+        return bool(self.spark.catalog.tableExists(self.qualified(name)))
+
+    def read(self, name: str):
+        return self.spark.read.table(self.qualified(name))
+
+    def write(self, df, name: str, partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+        """``overwrite`` → ``createOrReplace`` (atomic snapshot swap);
+        ``append`` on an existing table → ``append()`` (partition spec
+        is a table property, not a per-write option, in Iceberg)."""
+        q = self.qualified(name)
+        if mode == "append" and self.exists(name):
+            df.writeTo(q).append()
+            return
+        from pyspark.sql import functions as F
+
+        w = df.writeTo(q).using("iceberg")
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+
+    def append(self, df, name: str, partition_by: list[str] | None = None) -> None:
+        self.write(df, name, partition_by=partition_by, mode="append")
+
+    def overwrite_partitions(self, df, name: str,
+                             partition_by: list[str] | None = None) -> None:
+        """Dynamic partition overwrite: replaces exactly the partitions
+        present in ``df`` under snapshot isolation — readers of the
+        previous snapshot are unaffected, and (unlike the parquet
+        branch) the table can be READ while being overwritten, so no
+        ``__staged`` copy is needed."""
+        if not self.exists(name):
+            self.write(df, name, partition_by=partition_by, mode="overwrite")
+            return
+        df.writeTo(self.qualified(name)).overwritePartitions()
+
+    def merge_upsert_single_key(self, delta, name: str, key: str) -> None:
+        """Row-level MERGE INTO — requires one delta row per key
+        (Iceberg errors on multi-matches); the multi-row restatement
+        path goes through ``overwrite_partitions`` instead."""
+        view = f"_merge_src_{name}"
+        delta.createOrReplaceTempView(view)
+        self.spark.sql(
+            merge_into_sql(self.qualified(name), view, key, delta.columns)
+        )
+
+    def delete_where_partition(self, name: str, partition_col: str,
+                               values: list[str]) -> int:
+        if not values:
+            return 0
+        self.spark.sql(
+            delete_where_sql(self.qualified(name), partition_col, values)
+        )
+        return len(values)
+
+    def snapshot_id(self, name: str) -> str:
+        """Current snapshot id from the ``history`` metadata table —
+        driver-side metadata read, the Iceberg-native analogue of the
+        parquet file-listing fingerprint."""
+        if not self.exists(name):
+            return "empty"
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.qualified(name)}.history "
+            f"ORDER BY made_current_at DESC LIMIT 1"
+        ).collect()
+        return str(rows[0][0]) if rows else "empty"
+
+    def partition_file_stats(self, name: str) -> dict[str, tuple[int, int]]:
+        """From the ``files`` metadata table (never data files)."""
+        rows = self.spark.sql(
+            f"SELECT CAST(partition AS STRING) AS p, COUNT(*) AS n, "
+            f"SUM(file_size_in_bytes) AS b "
+            f"FROM {self.qualified(name)}.files GROUP BY partition"
+        ).collect()
+        return {r["p"]: (int(r["n"]), int(r["b"])) for r in rows}
+
+    def compact(self, name: str, target_bytes: int) -> None:
+        self.spark.sql(
+            rewrite_data_files_sql(self.catalog, self.namespace, name, target_bytes)
+        )
+
+
+def delete_where_sql(table: str, partition_col: str, values: list[str]) -> str:
+    """Partition-level DELETE for the Iceberg branch (values are
+    partition literals like bucket days — quoted as strings; Iceberg
+    turns a partition-column-only predicate into metadata deletes).
+    Pure string construction for jar-free unit tests."""
+    quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+    return f"DELETE FROM {table} WHERE {partition_col} IN ({quoted})"
+
+
 @dataclass
 class TableStore:
     """Parquet-dir table store with Iceberg-shaped semantics.
@@ -77,22 +205,41 @@ class TableStore:
     spark: SparkSession
     root: str
 
+    @property
+    def iceberg(self) -> IcebergBackend | None:
+        """The catalog backend when configured (cluster), else None.
+        Resolved per call so tests can flip the conf on a live session."""
+        return IcebergBackend(self.spark) if iceberg_available(self.spark) else None
+
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
     def exists(self, name: str) -> bool:
+        if (b := self.iceberg) is not None:
+            return b.exists(name)
         p = self.path(name)
         return os.path.isdir(p) and any(f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs)
 
     def read(self, name: str) -> DataFrame:
+        if (b := self.iceberg) is not None:
+            return b.read(name)
         return self.spark.read.parquet(self.path(name))
 
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None,
               mode: str = "overwrite") -> None:
+        if (b := self.iceberg) is not None:
+            b.write(df, name, partition_by=partition_by, mode=mode)
+            return
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str,
+               partition_by: list[str] | None = None) -> None:
+        """Atomic append commit (manifest rows, streaming micro-batch
+        flushes). One parquet job / one Iceberg append snapshot."""
+        self.write(df, name, partition_by=partition_by, mode="append")
 
     def cluster_for_write(self, df: DataFrame, partition_by: list[str],
                           secondary: str | None = "url_bucket") -> DataFrame:
@@ -137,6 +284,9 @@ class TableStore:
         ``overwritePartitions()``; idempotent re-runs of a bucket range
         replace exactly the partitions they produce (T1 resume semantics).
         """
+        if (b := self.iceberg) is not None:
+            b.overwrite_partitions(df, name, partition_by=partition_by)
+            return
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -156,12 +306,16 @@ class TableStore:
         ONLY the partitions delta lands in (reference S7 batched ledger
         upsert, ``warehouse/storage.py:307-318``).
 
-        Iceberg branch (cluster, ``iceberg_available``): a row-level
-        ``MERGE INTO <catalog>.<ns>.<name> USING delta ON key`` — the
-        storage engine rewrites only matching data files. Requires one
-        delta row per key (Iceberg MERGE errors on multi-matches), so
-        multi-row deltas (e.g. fold-event restatements) route to the
-        partition-overwrite path even on Iceberg.
+        Iceberg branch (cluster, ``iceberg_available``): single-row
+        deltas run a row-level ``MERGE INTO <catalog>.<ns>.<name> USING
+        delta ON key`` — the storage engine rewrites only matching data
+        files. MERGE requires one delta row per key (Iceberg errors on
+        multi-matches), so multi-row restatement deltas (fold-event
+        targeted backfill, ``plans/pipeline.py``) take the SAME
+        keep-old∪delta computation as the parquet branch but commit it
+        via ``overwritePartitions()`` on the catalog table — snapshot
+        isolation lets Iceberg read the table it is overwriting, so no
+        ``__staged`` copy is needed and the swap is atomic.
 
         Parquet branch (sandbox): within the partitions delta touches,
         keep old rows whose key is NOT in delta, union delta, and
@@ -183,12 +337,9 @@ class TableStore:
                 name, partition_by=[partition_col],
             )
             return
-        if single_row_per_key and iceberg_available(self.spark):
-            ns = self.spark.conf.get("spark.sql.catalog.rollup.namespace", "rollup")
-            delta.createOrReplaceTempView(f"_merge_src_{name}")
-            self.spark.sql(
-                merge_into_sql(f"rollup.{ns}.{name}", f"_merge_src_{name}", key, delta.columns)
-            )
+        backend = self.iceberg
+        if single_row_per_key and backend is not None:
+            backend.merge_upsert_single_key(delta, name, key)
             return
         old = self.read(name)
         touched = delta.select(partition_col).distinct()
@@ -200,6 +351,9 @@ class TableStore:
         # hash clustering: range sampling would recompute the delta plan
         # (often a pandas fold) a second time
         merged = self.cluster_for_write_hash(merged, [partition_col], secondary=secondary)
+        if backend is not None:
+            backend.overwrite_partitions(merged, name, partition_by=[partition_col])
+            return
         staged = f"{name}__staged"
         self.write(merged, staged, partition_by=[partition_col])
         self.overwrite_partitions(self.read(staged), name, [partition_col])
@@ -210,6 +364,8 @@ class TableStore:
         (n_files, total_bytes)} from the file listing — driver-side
         METADATA only (the Iceberg analogue reads the ``files`` metadata
         table), never data."""
+        if (b := self.iceberg) is not None:
+            return b.partition_file_stats(name)
         base = self.path(name)
         stats: dict[str, tuple[int, int]] = {}
         if not os.path.isdir(base):
@@ -246,9 +402,8 @@ class TableStore:
         state and untouched partitions keep their files byte-identical.
         On Iceberg clusters use ``rewrite_data_files_sql`` (snapshot-
         isolated binpack) instead. Returns partitions rewritten."""
-        if iceberg_available(self.spark):
-            ns = self.spark.conf.get("spark.sql.catalog.rollup.namespace", "rollup")
-            self.spark.sql(rewrite_data_files_sql("rollup", ns, name, target_bytes))
+        if (b := self.iceberg) is not None:
+            b.compact(name, target_bytes)
             return -1  # Iceberg reports via its own snapshot summary
         from pyspark.sql import functions as F
 
@@ -289,8 +444,11 @@ class TableStore:
         return len(todo)
 
     def delete_where_partition(self, name: str, partition_col: str, values: list[str]) -> int:
-        """Partition-level delete (Iceberg ``deleteWhere`` fallback):
-        drop matching partition directories. Returns dirs removed."""
+        """Partition-level delete: Iceberg = metadata-only ``DELETE
+        WHERE`` on the partition column; parquet fallback = drop
+        matching partition directories. Returns units removed."""
+        if (b := self.iceberg) is not None:
+            return b.delete_where_partition(name, partition_col, values)
         base = self.path(name)
         removed = 0
         for v in values:
@@ -302,7 +460,10 @@ class TableStore:
 
     def snapshot_id(self, name: str) -> str:
         """Deterministic fingerprint of (relative path, size) of all data
-        files — changes iff the table data changes."""
+        files — changes iff the table data changes. Iceberg branch uses
+        the real current snapshot id."""
+        if (b := self.iceberg) is not None:
+            return b.snapshot_id(name)
         base = self.path(name)
         h = hashlib.sha256()
         if not os.path.isdir(base):

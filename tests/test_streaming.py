@@ -117,3 +117,50 @@ def test_compact_stream_into_batch_matches_batch_rollup(spark, tmp_path):
 
     # idempotent: compacting again is a no-op
     assert compact_stream_into_batch(store) == []
+
+
+def test_stream_histogram_partials_match_batch(spark, tmp_path):
+    """Streaming histogram partial log, merged at read, must equal the
+    batch histogram_rollup over the finalized region exactly — counts
+    are mergeable integers, so parity is equality, not an estimate
+    bound. This is the quantile-serving edge (VERDICT r2 #7)."""
+    import datetime as dt
+
+    from chainalytic_framework_spark.operators.histogram import (
+        histogram_rollup,
+        quantile_from_histogram,
+    )
+    from chainalytic_framework_spark.streaming.stream import (
+        start_histogram_stream_to_store,
+        stream_histogram_counts,
+    )
+
+    pages = generate_pages(spark, 2000)
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    q = start_histogram_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt_hist"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+
+    raw = spark.read.parquet(src)
+    horizon = (
+        raw.agg(F.max("warc_ts")).first()[0] - dt.timedelta(minutes=11)
+    ).timestamp()
+    got = stream_histogram_counts(store).where(F.col("bucket_epoch") < F.lit(int(horizon)))
+    be = (F.col("warc_ts").cast("long") / 60).cast("long") * 60
+    exp = histogram_rollup(raw, be, ["lang"], F.length("text").cast("long")).where(
+        F.col("bucket_epoch") < F.lit(int(horizon))
+    ).select("bucket_epoch", "lang", "hb_lo", "hb_count")
+    got = got.select("bucket_epoch", "lang", "hb_lo", "hb_count")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    # and the merged partials serve a quantile read directly
+    p90 = quantile_from_histogram(
+        stream_histogram_counts(store), ["lang"], 90, out_col="p90_lo"
+    )
+    assert p90.count() > 0

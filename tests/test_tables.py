@@ -66,6 +66,185 @@ def test_merge_upsert_sequence_equals_last_wins(spark, tmp_path):
     assert got == expected
 
 
+class _FakeWriterV2:
+    def __init__(self, log, table):
+        self.log, self.table, self.fmt, self.parts = log, table, None, None
+
+    def using(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def partitionedBy(self, *cols):
+        self.parts = [str(c) for c in cols]
+        return self
+
+    def createOrReplace(self):
+        self.log.append(("createOrReplace", self.table, self.fmt, self.parts))
+
+    def append(self):
+        self.log.append(("appendTo", self.table))
+
+    def overwritePartitions(self):
+        self.log.append(("overwritePartitions", self.table))
+
+
+class _FakeDF:
+    """Records writerV2 chains; every transform returns itself. Has NO
+    `.write` attribute on purpose — if any Iceberg-mode branch fell
+    back to a parquet path write, the test dies with AttributeError."""
+
+    def __init__(self, log, columns=("url", "url_hash", "val", "state_bucket")):
+        self.log, self.columns = log, list(columns)
+
+    def writeTo(self, table):
+        return _FakeWriterV2(self.log, table)
+
+    def isEmpty(self):
+        return False
+
+    def createOrReplaceTempView(self, name):
+        self.log.append(("view", name))
+
+    def _chain(self, *a, **k):
+        return self
+
+    select = distinct = join = unionByName = _chain
+    repartition = sortWithinPartitions = where = _chain
+
+
+class _FakeConf:
+    def __init__(self, values):
+        self.values = values
+
+    def get(self, key, default=None):
+        return self.values.get(key, default)
+
+
+class _FakeSqlResult:
+    def __init__(self, rows):
+        self.rows = rows
+
+    def collect(self):
+        return self.rows
+
+
+class _FakeSpark:
+    """Just enough SparkSession surface to drive the Iceberg branch."""
+
+    def __init__(self, existing=(), sql_rows=()):
+        self.log = []
+        self.conf = _FakeConf(
+            {"spark.sql.catalog.rollup": "org.apache.iceberg.spark.SparkCatalog"}
+        )
+        self._existing = set(existing)
+        self._sql_rows = list(sql_rows)
+        fake = self
+
+        class _Catalog:
+            def tableExists(self, q):
+                return q in fake._existing
+
+        class _Reader:
+            def table(self, q):
+                fake.log.append(("read.table", q))
+                return _FakeDF(fake.log)
+
+        class _SC:
+            defaultParallelism = 8
+
+        self.catalog, self.read, self.sparkContext = _Catalog(), _Reader(), _SC()
+
+    def sql(self, q):
+        self.log.append(("sql", q))
+        return _FakeSqlResult(self._sql_rows)
+
+
+def test_iceberg_store_read_write_append_resolve_to_catalog():
+    """With the catalog configured, EVERY core op must target
+    rollup.<ns>.<name> — no parquet paths on any branch (VERDICT r2 #1:
+    the adapter was split-brained between MERGE-to-Iceberg and
+    everything-else-to-parquet)."""
+    fs = _FakeSpark(existing={"rollup.rollup.t_existing"})
+    store = TableStore(fs, "/nonexistent")
+
+    store.read("t")
+    assert ("read.table", "rollup.rollup.t") in fs.log
+
+    df = _FakeDF(fs.log)
+    store.write(df, "t", partition_by=["bucket_day"])
+    assert ("createOrReplace", "rollup.rollup.t", "iceberg", ["Column<'bucket_day'>"]) in fs.log
+
+    store.append(df, "t_existing")
+    assert ("appendTo", "rollup.rollup.t_existing") in fs.log
+
+    # append to a missing table creates it
+    store.append(df, "t_new")
+    assert any(op[0] == "createOrReplace" and op[1] == "rollup.rollup.t_new" for op in fs.log)
+
+    assert store.exists("t_existing") and not store.exists("t_missing")
+
+
+def test_iceberg_overwrite_partitions_branches():
+    fs = _FakeSpark(existing={"rollup.rollup.tier_1m"})
+    store = TableStore(fs, "/nonexistent")
+    df = _FakeDF(fs.log)
+    store.overwrite_partitions(df, "tier_1m", ["bucket_day"])
+    assert ("overwritePartitions", "rollup.rollup.tier_1m") in fs.log
+    store.overwrite_partitions(df, "tier_new", ["bucket_day"])
+    assert any(op[0] == "createOrReplace" and op[1] == "rollup.rollup.tier_new" for op in fs.log)
+
+
+def test_iceberg_merge_upsert_single_row_issues_merge_into():
+    fs = _FakeSpark(existing={"rollup.rollup.fold_state"})
+    store = TableStore(fs, "/nonexistent")
+    delta = _FakeDF(fs.log, columns=["url", "url_hash", "val", "state_bucket"])
+    store.merge_upsert(delta, "fold_state", key="url", partition_col="state_bucket")
+    assert ("view", "_merge_src_fold_state") in fs.log
+    sqls = [q for op, q in fs.log if op == "sql"]
+    assert len(sqls) == 1 and sqls[0].startswith(
+        "MERGE INTO rollup.rollup.fold_state t USING _merge_src_fold_state s ON t.url = s.url"
+    )
+
+
+def test_iceberg_merge_upsert_multirow_overwrites_partitions_no_staging():
+    """The multi-row restatement path (targeted backfill) must commit
+    via overwritePartitions on the CATALOG table — round 2 silently
+    took the parquet branch here (the split-brain bug)."""
+    fs = _FakeSpark(existing={"rollup.rollup.fold_events"})
+    store = TableStore(fs, "/nonexistent")
+    delta = _FakeDF(fs.log, columns=["url", "url_hash", "val", "state_bucket"])
+    store.merge_upsert(
+        delta, "fold_events", key="url", partition_col="state_bucket",
+        single_row_per_key=False,
+    )
+    assert ("overwritePartitions", "rollup.rollup.fold_events") in fs.log
+    assert not any(op[0] == "sql" for op in fs.log)  # no MERGE on this path
+    assert not any("__staged" in str(op) for op in fs.log)
+
+
+def test_iceberg_delete_and_snapshot_and_stats():
+    fs = _FakeSpark(existing={"rollup.rollup.t"}, sql_rows=[(4242,)])
+    store = TableStore(fs, "/nonexistent")
+    n = store.delete_where_partition("t", "bucket_day", ["2026-01-01", "2026-01-02"])
+    assert n == 2
+    assert ("sql", "DELETE FROM rollup.rollup.t WHERE bucket_day IN "
+            "('2026-01-01', '2026-01-02')") in fs.log
+    assert store.snapshot_id("t") == "4242"
+    assert store.snapshot_id("t_missing") == "empty"
+
+    fs2 = _FakeSpark(existing={"rollup.rollup.t"},
+                     sql_rows=[{"p": "{bucket_day=2026-01-01}", "n": 3, "b": 999}])
+    store2 = TableStore(fs2, "/nonexistent")
+    assert store2.partition_file_stats("t") == {"{bucket_day=2026-01-01}": (3, 999)}
+    assert any(".files" in q for op, q in fs2.log if op == "sql")
+
+
+def test_delete_where_sql_quotes_values():
+    from chainalytic_framework_spark.tables import delete_where_sql
+
+    assert delete_where_sql("c.n.t", "d", ["a'b"]) == "DELETE FROM c.n.t WHERE d IN ('a''b')"
+
+
 def test_merge_into_sql_shape():
     from chainalytic_framework_spark.tables import merge_into_sql
 
