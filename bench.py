@@ -96,7 +96,11 @@ def main() -> None:
         store = TableStore(spark, wh)
         t0 = time.perf_counter()
         result = run_pipeline(spark, pages_on_disk, store, with_fold=True)
-        _force(gapfill_locf(store.read("tier_1h"), "1h"))
+        # bounded spine: pass the run's pending window so the headline
+        # exercises the scale-safe gap-fill path (equality with the
+        # unbounded form is tested in tests/test_gapfill.py)
+        _force(gapfill_locf(store.read("tier_1h"), "1h",
+                            range_start=result["pending_range"][0]))
         sec = time.perf_counter() - t0
         pipeline_sec = sec if pipeline_sec is None else min(pipeline_sec, sec)
     timings["pages_pipeline"] = round(pipeline_sec, 3)

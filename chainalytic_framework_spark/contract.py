@@ -2979,3 +2979,47 @@ def curation_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "dup_frac", "top_share", "surp",
                 keep.cast("int").alias("keep"))
     )
+
+
+@q(
+    "routed_p90_events",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_HB_EXPR} AS hb_lo, COUNT(*) AS hb_count
+      FROM events
+      WHERE epoch(ts) >= 1704259800 AND epoch(ts) < 1706384700
+      GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, hb_lo,
+             SUM(hb_count) OVER (PARTITION BY event_type ORDER BY hb_lo) AS cum,
+             SUM(hb_count) OVER (PARTITION BY event_type) AS total
+      FROM h)
+    SELECT event_type, MIN(hb_lo) AS p90_lo
+    FROM c WHERE cum >= CAST((total * 90 + 99) // 100 AS BIGINT)
+    GROUP BY 1
+    """,
+)
+def routed_p90_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUTED quantile (operators/router.py::read_routed_quantile,
+    VERDICT r2 item 4): p90 of the value distribution over a RAGGED
+    multi-tier range [2024-01-03 05:30, 2024-01-27 19:45) — minute
+    buckets at the edges, hour buckets inside them, whole days in the
+    middle — answered entirely from the 1m→1h→1d histogram cascade
+    (leading-decimal-digit buckets, exactly mergeable). The oracle
+    buckets raw events in the same range directly; equality through the
+    value-hash gate proves routed segment merging is lossless across
+    all three tiers + both ragged edges. At 10^12 rows this is the
+    2-year-p90-dashboard shape: ~40 histogram rows per routed coarse
+    bucket instead of a full finest-tier scan."""
+    from .operators.histogram import histogram_downsample, histogram_rollup
+    from .operators.router import read_routed_quantile
+
+    ev = _t(spark, sf_dir, "events").withColumn("_c", _cents())
+    h1m = histogram_rollup(ev, _bucket_epoch("ts", 60), ["event_type"], F.col("_c"))
+    h1h = histogram_downsample(h1m, ["event_type"], 3600)
+    h1d = histogram_downsample(h1h, ["event_type"], 86400)
+    return read_routed_quantile(
+        {"1m": h1m, "1h": h1h, "1d": h1d},
+        1704259800, 1706384700,
+        series_cols=("event_type",), q_x100=90, out_col="p90_lo",
+    ).select("event_type", "p90_lo")

@@ -25,11 +25,29 @@ Encoding (vectorized — no per-point Python in the encode path):
   the bitstream inside the Gorilla code space. The decoder still
   accepts both forms.
 
-Decoding is inherently sequential per blob (code boundaries depend on
-code contents); parallelism at scale comes from decoding many series
-blobs concurrently across executors, not from within one blob. NaN,
-±0.0, constant runs, and single-point series round-trip exactly
-(bit-pattern equality; tests/test_codec.py property-tests this).
+Decoding: within ONE blob, code boundaries depend on code contents —
+irreducibly sequential. But the cold-read unit of work is never one
+blob: ``cold_store.decode_cold`` hands each Arrow batch hundreds of
+(url, measure) blobs. ``decode_series_many`` therefore TRANSPOSES the
+loop (VERDICT r2 item 3): one bit-cursor per blob, all cursors advance
+in lock-step, and each round classifies + extracts one code for every
+active blob with pure vectorized numpy (two-word window gathers,
+elementwise shifts — no per-bit or per-point Python). Per-round
+interpreter overhead amortizes over the batch width, so throughput is
+~n×K points per K rounds; the sequentially-dependent '10' window-reuse
+form costs nothing because prev-lead/prev-sig are just two more
+vectors. Reconstruction (dod → delta → ts; xor-chain → values) is
+segmented cumsum / segmented xor-scan over the flat output — also
+fully vectorized. Zero-code runs (regular buckets, constant values)
+collapse up to 64 codes into one round via a CLZ lookup. Measured
+5–17 Mpt/s vs ~1–2.5 Mpt/s sequential (4.5–7× — BENCH/BASELINE.md
+codec line; batches are additionally decoded in parallel across Spark
+tasks, which is where the other order of magnitude lives at scale). Single-blob
+``decode_series`` keeps the one-window-per-point sequential decoders
+(transposing a batch of one would only add overhead). NaN, ±0.0,
+constant runs, and single-point series round-trip exactly (bit-pattern
+equality; tests/test_codec.py property-tests this, plus
+transposed-vs-sequential equality on the same streams).
 
 Reference analogue: none — the reference stores raw JSON per height
 (``zones/public-icon/warehouse/storage.py:125-126``); compression is a
@@ -278,6 +296,246 @@ def _decode_vals(data: bytes, n: int, first_bits: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# transposed batch decode: one cursor per blob, lock-step rounds
+# ---------------------------------------------------------------------------
+
+
+def _concat_words(streams: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate streams into one native uint64 word array (each
+    stream zero-padded to a word boundary +2 guard words so any 64-bit
+    window read from a valid cursor stays in bounds). Returns
+    (words, start_bit_of_each_stream)."""
+    bufs: list[bytes] = []
+    base_bits = np.empty(len(streams), dtype=np.int64)
+    off_words = 0
+    for i, s in enumerate(streams):
+        pad = (-len(s)) % 8 + 16
+        bufs.append(s)
+        bufs.append(b"\x00" * pad)
+        base_bits[i] = off_words * 64
+        off_words += (len(s) + pad) // 8
+    words = np.frombuffer(b"".join(bufs), dtype=">u8").astype(np.uint64)
+    return words, base_bits
+
+
+def _win64(words: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """The 64 bits starting at each bit cursor, MSB-aligned — two word
+    gathers + elementwise shifts (the >>1 >>(63-off) split sidesteps
+    numpy's undefined shift-by-64)."""
+    w = pos >> 6
+    off = (pos & 63).astype(np.uint64)
+    return (words[w] << off) | ((words[w + 1] >> np.uint64(1)) >> (np.uint64(63) - off))
+
+
+def _seg_repeat(per_seg: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    return np.repeat(per_seg, counts)
+
+
+# clz within the top 16 bits (16 when all zero): a '0'-code RUN counter —
+# r consecutive leading zero bits ⟺ r consecutive zero-dod / zero-xor
+# codes, which the round loop consumes in ONE step (outputs are
+# pre-zeroed, so a zero run is pure cursor arithmetic). 64 KB LUT.
+_CLZ16 = np.full(65536, 16, dtype=np.int64)
+_nz = np.arange(1, 65536)
+_CLZ16[_nz] = 15 - np.floor(np.log2(_nz)).astype(np.int64)  # exact: ints < 2^16
+del _nz
+
+_TS_ADV = np.array([1] * 8 + [9] * 4 + [12, 12, 16, 68], dtype=np.int64)
+
+_CHUNK_BYTES = 32 << 20  # per-chunk stream budget: bounds worst-case gather span
+
+
+def _decode_ts_many(streams: list[bytes], ns: np.ndarray, firsts: np.ndarray) -> np.ndarray:
+    """Flat concatenated timestamp arrays for many blobs (lengths ns)."""
+    total_n = int(ns.sum())
+    out = np.empty(total_n, dtype=np.int64)
+    seg_start = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    nz0 = ns > 0  # zero-point blobs own no slot (their seg_start aliases the next)
+    out[seg_start[nz0]] = firsts[nz0]
+    m = np.maximum(ns - 1, 0)  # codes per stream
+    total_m = int(m.sum())
+    if total_m == 0:
+        return out
+    live = m > 0
+    words, base_bits = _concat_words([s for s, a in zip(streams, live) if a])
+    dod_off = np.concatenate([[0], np.cumsum(m[live])[:-1]])
+    dod_flat = np.empty(total_m, dtype=np.int64)
+    dod_flat.fill(0)  # zero runs are consumed without writing
+    pos, remaining, outp = base_bits, m[live].copy(), dod_off.copy()
+    while len(pos):
+        cur = _win64(words, pos)
+        # run skip: r leading zero bits = r consecutive zero-dod codes
+        # (a fully-zero window consumes 64 codes in one round)
+        run = np.minimum(
+            np.where(cur == 0, 64, _CLZ16[(cur >> np.uint64(48)).astype(np.int64)]),
+            remaining,
+        )
+        nzl = run == 0  # lanes whose next code is non-zero-class
+        if nzl.any():
+            win4 = (cur >> np.uint64(60)).astype(np.int64)
+            v7 = ((cur >> np.uint64(55)) & np.uint64(0x7F)).astype(np.int64) - 63
+            v9 = ((cur >> np.uint64(52)) & np.uint64(0x1FF)).astype(np.int64) - 255
+            v12 = ((cur >> np.uint64(48)) & np.uint64(0xFFF)).astype(np.int64) - 2047
+            dod = np.where(win4 < 12, v7, np.where(win4 < 14, v9, v12))
+            c4 = win4 == 15
+            if c4.any():
+                dod[c4] = _win64(words, pos[c4] + 4).view(np.int64)
+            dod_flat[outp[nzl]] = dod[nzl]
+            step = np.where(nzl, _TS_ADV[win4], run)
+            took = np.where(nzl, 1, run)
+        else:
+            step = took = run
+        pos = pos + step
+        outp += took
+        remaining = remaining - took
+        alive = remaining > 0
+        if not alive.all():
+            pos, remaining, outp = pos[alive], remaining[alive], outp[alive]
+    # dod → delta → ts: two segmented cumsums (global cumsum minus the
+    # running total at each segment's entry; corrections fused into one
+    # repeat each)
+    mm = m[live]
+    ends = np.cumsum(mm)[:-1] - 1
+    c = np.cumsum(dod_flat)
+    entry = np.concatenate([[0], c[ends]])
+    delta = c - _seg_repeat(entry, mm)
+    c2v = np.cumsum(delta)
+    entry2 = np.concatenate([[0], c2v[ends]])
+    rest = c2v + _seg_repeat(firsts[live] - entry2, mm)
+    mask = np.ones(total_n, dtype=bool)
+    mask[seg_start[nz0]] = False
+    out[mask] = rest
+    return out
+
+
+def _decode_vals_many(streams: list[bytes], ns: np.ndarray, first_bits: np.ndarray) -> np.ndarray:
+    """Flat concatenated uint64 value-bit arrays for many blobs."""
+    total_n = int(ns.sum())
+    x_flat = np.zeros(total_n, dtype=np.uint64)  # firsts at starts, XORs after
+    if total_n == 0:
+        return x_flat
+    seg_start = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    nz0 = ns > 0
+    x_flat[seg_start[nz0]] = first_bits[nz0]
+    m = np.maximum(ns - 1, 0)
+    if int(m.sum()) > 0:
+        live = m > 0
+        words, base_bits = _concat_words([s for s, a in zip(streams, live) if a])
+        # output index of code j of live stream i = its segment start + 1 + j
+        outp = (seg_start[live] + 1).copy()
+        pos, remaining = base_bits, m[live].copy()
+        prev_lead = np.zeros(len(pos), dtype=np.uint64)
+        prev_sig = np.zeros(len(pos), dtype=np.uint64)
+        while len(pos):
+            cur = _win64(words, pos)
+            # run skip: r leading zero bits = r consecutive zero-xor codes
+            # (a fully-zero window consumes 64 codes in one round)
+            run = np.minimum(
+                np.where(cur == 0, 64, _CLZ16[(cur >> np.uint64(48)).astype(np.int64)]),
+                remaining,
+            )
+            nzl = run == 0
+            if nzl.any():
+                lead = (cur >> np.uint64(57)) & np.uint64(0x1F)
+                sf = (cur >> np.uint64(51)) & np.uint64(0x3F)
+                sig = np.where(sf == 0, np.uint64(64), sf)
+                head = np.full(len(pos), 13, dtype=np.int64)
+                reuse = nzl & ((cur >> np.uint64(62)) == np.uint64(0b10))
+                if reuse.any():  # only external encoders emit '10'
+                    lead = np.where(reuse, prev_lead, lead)
+                    sig = np.where(reuse, prev_sig, sig)
+                    head[reuse] = 2
+                fresh = nzl & (head == 13)
+                prev_lead = np.where(fresh, lead, prev_lead)
+                prev_sig = np.where(fresh, sig, prev_sig)
+                pay = _win64(words, pos + head)
+                sg_c = np.minimum(sig, np.uint64(63))
+                mean = np.where(  # top sig bits of pay; sig=64 → pay itself
+                    sig == 64, pay, (pay >> np.uint64(1)) >> (np.uint64(63) - sg_c)
+                )
+                shift = np.uint64(64) - lead - sig  # trailing zeros ≤ 63
+                xor = mean << shift
+                x_flat[outp[nzl]] = xor[nzl]
+                step = np.where(nzl, head + sig.astype(np.int64), run)
+                took = np.where(nzl, 1, run)
+            else:
+                step = took = run
+            pos = pos + step
+            outp += took
+            remaining = remaining - took
+            alive = remaining > 0
+            if not alive.all():
+                pos, remaining, outp = pos[alive], remaining[alive], outp[alive]
+                prev_lead, prev_sig = prev_lead[alive], prev_sig[alive]
+    # segmented xor-scan: xor is self-inverse, so segment value =
+    # global scan ^ global scan at the bit before the segment
+    acc = np.bitwise_xor.accumulate(x_flat)
+    # a segment starting at 0 (leading zero-point blobs) has entry 0,
+    # not acc[-1]
+    entry = np.concatenate(
+        [[np.uint64(0)],
+         np.where(seg_start[1:] == 0, np.uint64(0), acc[seg_start[1:] - 1])]
+    )
+    return acc ^ _seg_repeat(entry, ns)
+
+
+def decode_series_many(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch decode: returns (offsets, ts_flat, vals_flat) where blob i's
+    points are rows offsets[i]:offsets[i+1]. All blobs must share one
+    value kind (the cold store stores int64 measures). This is the cold
+    read path at scale — per-round work is vectorized across the whole
+    batch; Python cost is O(max points per blob), not O(total points)."""
+    if not blobs:
+        e = np.array([], dtype=np.int64)
+        return np.zeros(1, dtype=np.int64), e, e.copy()
+    # chunk so each chunk's word arrays stay cache-resident: the round
+    # loop's window gathers are effectively random across the batch, and
+    # past ~L3 size they fall off a memory cliff (measured 7×)
+    if len(blobs) > 1:
+        total_bytes = sum(len(b) for b in blobs)
+        if total_bytes > _CHUNK_BYTES:
+            n_chunks = -(-total_bytes // _CHUNK_BYTES)
+            per = -(-len(blobs) // n_chunks)
+            parts = [
+                decode_series_many(blobs[i : i + per])
+                for i in range(0, len(blobs), per)
+            ]
+            offs = [p[0] for p in parts]
+            shifts = np.cumsum([0] + [o[-1] for o in offs[:-1]])
+            offsets = np.concatenate(
+                [offs[0]] + [o[1:] + s for o, s in zip(offs[1:], shifts[1:])]
+            )
+            return (
+                offsets,
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
+    ns = np.empty(len(blobs), dtype=np.int64)
+    firsts = np.empty(len(blobs), dtype=np.int64)
+    fbits = np.empty(len(blobs), dtype=np.uint64)
+    ts_streams: list[bytes] = []
+    val_streams: list[bytes] = []
+    kinds = set()
+    hlen = struct.calcsize("<BIqQII")
+    for i, blob in enumerate(blobs):
+        if bytes(blob[:4]) != _MAGIC:
+            raise ValueError("bad magic")
+        kind, n, first_ts, first_bits, ts_len, val_len = struct.unpack_from("<BIqQII", blob, 4)
+        kinds.add(kind)
+        ns[i], firsts[i], fbits[i] = n, first_ts, first_bits
+        off = 4 + hlen
+        ts_streams.append(blob[off : off + ts_len])
+        val_streams.append(blob[off + ts_len : off + ts_len + val_len])
+    if len(kinds) > 1:
+        raise ValueError("mixed value kinds in one batch")
+    ts_flat = _decode_ts_many(ts_streams, ns, firsts)
+    bits_flat = _decode_vals_many(val_streams, ns, fbits)
+    vals_flat = bits_flat.view(np.float64) if kinds == {0} else bits_flat.view(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(ns)])
+    return offsets, ts_flat, vals_flat
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -309,7 +567,7 @@ def encode_series(ts_seconds: np.ndarray, values: np.ndarray) -> bytes:
 
 
 def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    if blob[:4] != _MAGIC:
+    if bytes(blob[:4]) != _MAGIC:
         raise ValueError("bad magic")
     kind, n, first_ts, first_bits, ts_len, val_len = struct.unpack_from("<BIqQII", blob, 4)
     off = 4 + struct.calcsize("<BIqQII")

@@ -63,3 +63,54 @@ def cohort_matrix(
         "n_cohort",
         F.floor(F.col("n_active") * 10000 / F.col("n_cohort")).cast("long").alias(out_rate_col),
     )
+
+
+def cohort_matrix_from_fold(
+    activity_df: DataFrame,
+    fold_events_df: DataFrame,
+    key_col: str,
+    period: Column,
+    fold_key_col: str = "url",
+    fold_first_period: Column | None = None,
+    out_rate_col: str = "retained_x1e4",
+) -> DataFrame:
+    """The SCALE form this module's docstring promises (VERDICT r2 item
+    9): first-seen comes from the pipeline's fold artifacts instead of
+    a min-scan over raw history.
+
+    ``fold_events_df`` is the committed fold-event table
+    (operators/fold.py): ``is_new`` marks exactly one row per key — its
+    first observation EVER, carried correctly across incremental runs
+    by the state splice — so ``where(is_new)`` is an O(#keys)
+    partition-pruned read that replaces the O(history) window-min of
+    :func:`cohort_matrix`. ``fold_first_period`` converts that row's
+    timestamp to the cohort period (defaults to the same expression as
+    ``period`` applied to ``warc_ts``).
+
+    Activity in the query window joins the first-seen table on key —
+    one shuffle on key, O(activity-in-window) not O(history); matrix
+    groupBy on (cohort, age) is tiny. Parity with the raw-scan form is
+    asserted in tests/test_cohorts_surprisal.py."""
+    firsts = (
+        fold_events_df.where(F.col("is_new"))
+        .select(
+            F.col(fold_key_col).alias("_k"),
+            (fold_first_period if fold_first_period is not None else period)
+            .alias("cohort"),
+        )
+    )
+    activity = activity_df.select(F.col(key_col).alias("_k"), period.alias("_p")).distinct()
+    cells = (
+        activity.join(firsts, "_k")
+        .groupBy("cohort", (F.col("_p") - F.col("cohort")).alias("age"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    wc = Window.partitionBy("cohort")
+    n_cohort = F.max(F.when(F.col("age") == 0, F.col("n_active"))).over(wc)
+    return cells.withColumn("n_cohort", n_cohort).select(
+        "cohort",
+        "age",
+        "n_active",
+        "n_cohort",
+        F.floor(F.col("n_active") * 10000 / F.col("n_cohort")).cast("long").alias(out_rate_col),
+    )

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .bucketing import N_URL_BUCKETS, url_bucket
-from .codec import decode_series, encode_series
+from .codec import decode_series_many, encode_series
 
 COLD_SCHEMA = (
     "url string, url_hash long, measure string, n_points int, "
@@ -61,18 +61,15 @@ def encode_cold(tier_df: DataFrame, measures: list[str] | None = None,
 
 
 def decode_cold(cold_df: DataFrame) -> DataFrame:
-    """Unpack cold blobs back to (url, measure, bucket_start, value) points."""
+    """Unpack cold blobs back to (url, measure, bucket_start, value)
+    points — the cold READ path. Each pandas group decodes its whole
+    blob batch through the transposed batch decoder
+    (``codec.decode_series_many``: all blob cursors advance in
+    lock-step, vectorized across the batch) and expands the key columns
+    with ``np.repeat`` — no per-blob or per-point Python."""
 
     def dec(pdf: pd.DataFrame) -> pd.DataFrame:
-        urls, hashes, ms, ts_out, vals_out = [], [], [], [], []
-        for r in pdf.itertuples():
-            ts, vals = decode_series(bytes(r.blob))
-            urls.extend([r.url] * len(ts))
-            hashes.extend([r.url_hash] * len(ts))
-            ms.extend([r.measure] * len(ts))
-            ts_out.append(ts)
-            vals_out.append(vals.astype(np.int64))
-        if not urls:
+        if len(pdf) == 0 or int(pdf["n_points"].sum()) == 0:
             return pd.DataFrame(
                 {
                     "url": pd.Series(dtype="object"),
@@ -82,13 +79,17 @@ def decode_cold(cold_df: DataFrame) -> DataFrame:
                     "value": pd.Series(dtype="int64"),
                 }
             )
+        offsets, ts_flat, vals_flat = decode_series_many(
+            [bytes(b) for b in pdf["blob"]]
+        )
+        counts = np.diff(offsets)
         return pd.DataFrame(
             {
-                "url": urls,
-                "url_hash": hashes,
-                "measure": ms,
-                "bucket_start": pd.to_datetime(np.concatenate(ts_out), unit="s"),
-                "value": np.concatenate(vals_out),
+                "url": np.repeat(pdf["url"].to_numpy(), counts),
+                "url_hash": np.repeat(pdf["url_hash"].to_numpy(), counts),
+                "measure": np.repeat(pdf["measure"].to_numpy(), counts),
+                "bucket_start": pd.to_datetime(ts_flat, unit="s"),
+                "value": vals_flat.astype(np.int64),
             }
         )
 

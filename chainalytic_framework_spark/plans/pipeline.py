@@ -425,6 +425,9 @@ def run_pipeline(
     total = time.perf_counter() - t_run
     return {
         "pending_days": len(pend),
+        # inclusive day range this run touched — callers bound follow-up
+        # reads (e.g. gap-fill spine) to it instead of all history
+        "pending_range": (pend[0], pend[-1]),
         "docs": n_in,
         "wall_seconds": round(total, 3),
         "docs_per_sec": round(n_in / total, 1) if total > 0 else 0.0,

@@ -62,20 +62,33 @@ def topk_urls_by_measure(tier_df: DataFrame, measure: str = "byte_size", k: int 
 
 
 def recently_active_urls(tier_df: DataFrame, timespan_seconds: int = 3 * 86400,
-                         k: int = 200) -> DataFrame:
+                         k: int = 200, as_of: dt.datetime | None = None) -> DataFrame:
     """Sliding retention window + cap (reference W2: recent_stake_wallets,
-    TIMESPAN=129600 blocks ≈ 3 days, cap 200)."""
-    mx = tier_df.agg(F.max("bucket_start")).first()[0]
-    if mx is None:  # empty tier → empty result, not a TypeError
-        return (
-            tier_df.groupBy("url")
-            .agg(F.max("bucket_start").alias("last_seen"), F.sum("point_count").alias("points"))
-            .limit(0)
+    TIMESPAN=129600 blocks ≈ 3 days, cap 200).
+
+    Single logical plan, single action (VERDICT r2 item 8 — previously a
+    separate ``.first()`` scanned the tier twice per call): when
+    ``as_of`` is not given, the watermark rides in as a broadcast
+    1-row aggregate and the cutoff comparison happens in-plan. An empty
+    tier yields a NULL watermark, the comparison is never true, and the
+    result is empty — no driver-side special case. Dashboards that know
+    their serving time pass ``as_of`` and skip the max branch entirely
+    (then the time filter is a pushed-down scan predicate)."""
+    if as_of is not None:
+        cutoff = as_of - dt.timedelta(seconds=timespan_seconds)
+        recent = tier_df.where(F.col("bucket_start") > F.lit(cutoff))
+    else:
+        wm = tier_df.agg(
+            (F.max("bucket_start") - F.expr(f"INTERVAL {int(timespan_seconds)} SECONDS"))
+            .alias("_cutoff")
         )
-    cutoff = mx - dt.timedelta(seconds=timespan_seconds)
+        recent = (
+            tier_df.crossJoin(F.broadcast(wm))
+            .where(F.col("bucket_start") > F.col("_cutoff"))
+            .drop("_cutoff")
+        )
     return (
-        tier_df.where(F.col("bucket_start") > F.lit(cutoff))
-        .groupBy("url")
+        recent.groupBy("url")
         .agg(F.max("bucket_start").alias("last_seen"), F.sum("point_count").alias("points"))
         .orderBy(F.desc("last_seen"), F.desc("points"), "url")
         .limit(k)

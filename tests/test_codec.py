@@ -108,3 +108,62 @@ def test_property_int_series(deltas, data):
         )
     )
     _roundtrip(ts, np.array(vals, dtype=np.int64))
+
+
+def test_transposed_batch_decode_equals_sequential():
+    """decode_series_many (the lock-step transposed batch decoder) must
+    be bit-identical to per-blob sequential decode_series, across mixed
+    lengths, dod classes incl. 68-bit raw, constant runs, and
+    single-point blobs."""
+    from chainalytic_framework_spark.operators.codec import decode_series_many
+
+    rng = np.random.default_rng(7)
+    blobs, expected = [], []
+    for n in (1, 2, 3, 17, 400, 1000, 5):
+        ts = 1700000000 + np.cumsum(
+            rng.choice([1, 60, 61, 300, 5000, 2**35], size=n)
+        ).astype(np.int64)
+        vals = np.where(
+            rng.random(n) < 0.3, 7, np.cumsum(rng.integers(-5, 6, size=n))
+        ).astype(np.int64)
+        blobs.append(encode_series(ts, vals))
+        expected.append((ts, vals))
+    offsets, ts_flat, vals_flat = decode_series_many(blobs)
+    assert vals_flat.dtype == np.int64
+    for i, (ts, vals) in enumerate(expected):
+        lo, hi = offsets[i], offsets[i + 1]
+        ts2, vals2 = decode_series(blobs[i])
+        np.testing.assert_array_equal(ts_flat[lo:hi], ts2)
+        np.testing.assert_array_equal(vals_flat[lo:hi], vals2)
+        np.testing.assert_array_equal(ts_flat[lo:hi], ts)
+        np.testing.assert_array_equal(vals_flat[lo:hi], vals)
+
+
+def test_transposed_batch_decode_floats_and_empty():
+    from chainalytic_framework_spark.operators.codec import decode_series_many
+
+    rng = np.random.default_rng(11)
+    blobs = []
+    for n in (6, 1, 250):
+        ts = 1700000000 + 60 * np.arange(n)
+        vals = np.where(rng.random(n) < 0.4, 42.5, np.cumsum(rng.standard_normal(n)))
+        if n == 6:
+            vals = np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-308])
+        blobs.append(encode_series(ts, vals))
+    offsets, ts_flat, vals_flat = decode_series_many(blobs)
+    assert vals_flat.dtype == np.float64
+    for i, blob in enumerate(blobs):
+        ts2, vals2 = decode_series(blob)
+        lo, hi = offsets[i], offsets[i + 1]
+        np.testing.assert_array_equal(ts_flat[lo:hi], ts2)
+        np.testing.assert_array_equal(
+            vals_flat[lo:hi].view(np.uint64), vals2.view(np.uint64)
+        )
+
+    offsets, ts_flat, vals_flat = decode_series_many([])
+    assert len(ts_flat) == 0 and list(offsets) == [0]
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError):
+        decode_series(b"NOPE" + b"\x00" * 32)

@@ -51,3 +51,50 @@ def test_unigram_surprisal_hand_case(spark):
     assert out[2]["surprisal_x1e4"] == (sb + sc) // 2
     # the rare-token doc must score strictly higher
     assert out[2]["surprisal_x1e4"] > out[1]["surprisal_x1e4"]
+
+
+def test_cohort_matrix_from_fold_parity(spark, pages):
+    """The fold-state-sourced cohort matrix (scale form, VERDICT r2
+    item 9) must equal the raw-scan form over full-history activity:
+    fold is_new rows ARE the min-period first-seen."""
+    from chainalytic_framework_spark.operators.cohorts import cohort_matrix_from_fold
+    from chainalytic_framework_spark.operators.fold import (
+        fold_observations,
+        prepare_observations,
+    )
+
+    day = (F.col("warc_ts").cast("timestamp").cast("long") / 86400).cast("long")
+    fold = fold_observations(prepare_observations(pages)).cache()
+    got = {
+        (r["cohort"], r["age"]): (r["n_active"], r["n_cohort"], r["retained_x1e4"])
+        for r in cohort_matrix_from_fold(
+            pages, fold, "url", day, fold_key_col="url"
+        ).collect()
+    }
+    exp = {
+        (r["cohort"], r["age"]): (r["n_active"], r["n_cohort"], r["retained_x1e4"])
+        for r in cohort_matrix(pages, "url", day).collect()
+    }
+    assert len(got) > 3
+    assert got == exp
+
+
+def test_cohort_matrix_from_fold_windowed_activity_keeps_true_cohort(spark):
+    """With activity restricted to a window, the fold form keeps the TRUE
+    (global) cohort assignment — the raw-scan form over the window would
+    misclassify old keys as new."""
+    from chainalytic_framework_spark.operators.cohorts import cohort_matrix_from_fold
+
+    fold = spark.createDataFrame(
+        [("u1", 0, True), ("u2", 5, True)], "url string, p long, is_new boolean"
+    )
+    act = spark.createDataFrame([("u1", 5), ("u2", 5)], "k string, p long")
+    out = {
+        (r["cohort"], r["age"]): r["n_active"]
+        for r in cohort_matrix_from_fold(
+            act, fold, "k", F.col("p"), fold_key_col="url",
+            fold_first_period=F.col("p"),
+        ).collect()
+    }
+    # u1's activity at p=5 lands in cohort 0 at age 5, not a new cohort
+    assert out == {(0, 5): 1, (5, 0): 1}

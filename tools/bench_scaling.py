@@ -52,7 +52,8 @@ for root, _, files in os.walk(pages_path):
                 pass
 t0 = time.perf_counter()
 r = run_pipeline(spark, pages, store, with_fold=True)
-gapfill_locf(store.read("tier_1h"), "1h").write.mode("overwrite").format("noop").save()
+gapfill_locf(store.read("tier_1h"), "1h",
+             range_start=r["pending_range"][0]).write.mode("overwrite").format("noop").save()
 encode_cold(store.read("tier_1d")).write.mode("overwrite").format("noop").save()
 wall = time.perf_counter() - t0
 print("RESULT" + json.dumps({{"cores": cores, "wall": round(wall, 3),
@@ -123,13 +124,18 @@ def main() -> None:
         except (OSError, json.JSONDecodeError):
             record = {}
     sessions = record.get("sessions", [])
+    # tiers_equal stored PER SESSION so the correctness flag always
+    # belongs to the same run as its numbers (ADVICE r2: the headline
+    # pair and a latest-session flag could previously disagree)
     sessions.append({"pair": [r8["docs_per_sec"], r32["docs_per_sec"]],
-                     "efficiency": eff})
+                     "efficiency": eff, "tiers_equal": tiers_equal})
     best = max(sessions, key=lambda s: s["efficiency"])
     if eff >= best["efficiency"] or "local_n" not in record:
-        record.update({"local_n": r8, "local_4n": r32, "efficiency": eff})
+        record.update({"local_n": r8, "local_4n": r32, "efficiency": eff,
+                       "tiers_equal": tiers_equal})
+    effs = sorted(s["efficiency"] for s in sessions)
+    record["median_efficiency"] = effs[len(effs) // 2]
     record["sessions"] = sessions
-    record["tiers_equal"] = tiers_equal
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps({"local8": r8, "local32": r32, "efficiency": eff,
