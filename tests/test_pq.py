@@ -145,3 +145,62 @@ def test_ivf_pq_pipeline(emb, trained):
     b = [(r["vec_id"], r["dist_x1e6"]) for r in
          pq_search_rerank(codes, emb, cb, q, topk=10).collect()]
     assert a == b
+
+
+def test_ann_index_materialized_probe_prunes_and_matches(spark, emb, trained, tmp_path_factory):
+    """VERDICT r2 item 5 acceptance: the stored (vec_id, codes, cluster)
+    layout must (a) physically prune — a probe touches files from only
+    the n_probe cluster partitions — and (b) return exactly what the
+    in-plan composition returns."""
+    from chainalytic_framework_spark.operators.pq import (
+        build_ann_index,
+        ivf_pq_search,
+        ivf_pq_search_stored,
+        probe_clusters,
+    )
+    from chainalytic_framework_spark.operators.similarity import ivf_train
+    from chainalytic_framework_spark.tables import TableStore
+
+    cb, codes = trained
+    store = TableStore(spark, str(tmp_path_factory.mktemp("ann_wh")))
+    cents = ivf_train(emb, n_centroids=8, n_iters=4)
+    build_ann_index(emb, store, cents, cb, name="ann_codes")
+
+    q = np.array(_clustered()[5][1], dtype=np.float32) + 0.03
+    n_probe = 3
+    probes = set(probe_clusters(cents, q, n_probe))
+
+    # (a) physical pruning: every file the probe scan reads lives under
+    # a probed cluster=... partition dir (zone-map-style check)
+    probe_df = store.read("ann_codes").where(
+        F.col("cluster").isin([int(p) for p in probes])
+    )
+    files = {
+        r["f"]
+        for r in probe_df.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files, "probe read no files"
+    for f in files:
+        assert any(f"cluster={p}/" in f for p in probes), f
+    # and it is a strict subset of the table's partitions (an empty
+    # coarse cell may drop a partition dir, so >= is the invariant)
+    all_parts = set(store.partition_file_stats("ann_codes"))
+    assert len(all_parts) > n_probe
+    touched = {f.split("cluster=")[1].split("/")[0] for f in files}
+    assert len(touched) <= n_probe
+
+    # (b) result parity with the in-plan form
+    got = [
+        (r["vec_id"], r["dist_x1e6"])
+        for r in ivf_pq_search_stored(
+            store, emb, cents, cb, q, name="ann_codes",
+            topk=10, n_probe=n_probe,
+        ).collect()
+    ]
+    exp = [
+        (r["vec_id"], r["dist_x1e6"])
+        for r in ivf_pq_search(
+            emb, codes, cents, cb, q, topk=10, n_probe=n_probe,
+        ).collect()
+    ]
+    assert got == exp and len(got) == 10
