@@ -106,8 +106,18 @@ def _cmd_serve_range(args: argparse.Namespace) -> None:
     store = TableStore(spark, args.warehouse)
     tiers = {t: store.read(f"tier_{t}") for t in ("1m", "1h", "1d", "30d")
              if store.exists(f"tier_{t}")}
+    # validate the cover against the retention policy so a range whose
+    # fine-tier segments were already expired fails loudly instead of
+    # silently undercounting (ADVICE r2)
+    horizons = now_epoch = None
+    if args.retention_now:
+        from .operators.retention import DEFAULT_HORIZONS, _to_epoch
+
+        horizons = DEFAULT_HORIZONS
+        now_epoch = _to_epoch(dt.datetime.fromisoformat(args.retention_now))
     df = read_routed(tiers, args.t0, args.t1, measure=args.measure,
-                     keys=tuple(args.keys.split(",")))
+                     keys=tuple(args.keys.split(",")),
+                     retention_horizons=horizons, now_epoch=now_epoch)
     rows = df.limit(args.limit).collect()
     print(json.dumps({"t0": args.t0, "t1": args.t1, "measure": args.measure,
                       "rows": [r.asDict() for r in rows]}, default=str))
@@ -159,6 +169,9 @@ def main(argv: list[str] | None = None) -> None:
     sv.add_argument("--measure", default="point_count")
     sv.add_argument("--keys", default="url", help="comma-separated grain cols")
     sv.add_argument("--limit", type=int, default=50)
+    sv.add_argument("--retention-now", default=None,
+                    help="ISO datetime (UTC): validate routed segments "
+                         "against the retention policy before reading")
     sv.set_defaults(fn=_cmd_serve_range)
 
     args = p.parse_args(argv)

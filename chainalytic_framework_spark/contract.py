@@ -3023,3 +3023,59 @@ def routed_p90_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         1704259800, 1706384700,
         series_cols=("event_type",), q_x100=90, out_col="p90_lo",
     ).select("event_type", "p90_lo")
+
+
+@q(
+    "dup_span_stats_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+      FROM t WHERE len(toks) >= 8
+    ),
+    s AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span FROM u),
+    c AS (SELECT span, COUNT(*) AS cnt FROM s GROUP BY 1),
+    d AS (SELECT s.doc_id, COUNT(*) AS n_spans,
+                 SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+          FROM s JOIN c USING (span) GROUP BY 1)
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           CAST(floor(n_dup_spans * 10000 / n_spans) AS BIGINT) AS dup_frac_x1e4
+    FROM d
+    """,
+)
+def dup_span_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication measurement at 8-token granularity
+    (operators/dedup.py::dup_span_stats — the Lee et al. ACL'22
+    dedup-training-data shape): per doc, how many of its token spans
+    occur elsewhere in the corpus. The engine counts spans by 64-bit
+    hash (scale path: ~8 B/span through the shuffle); the oracle counts
+    the span strings — equality through the hash gate also certifies
+    zero hash collisions at this sf."""
+    from .operators.dedup import dup_span_stats
+
+    return dup_span_stats(_t(spark, sf_dir, "documents"), w=8)
+
+
+@q(
+    "bpe_word_freq_documents",
+    """
+    SELECT w, c FROM (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ) ORDER BY c DESC, w LIMIT 200
+    """,
+)
+def bpe_word_freq_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale stage of BPE tokenizer training
+    (operators/bpe.py::word_frequency_df): bounded top-200 word types
+    by count with a deterministic (count, word) truncation boundary so
+    both engines cut the same set. The merge loop and segmentation are
+    iterative/greedy (not SQL-expressible) and are pinned by
+    tests/test_bpe.py instead (Sennrich hand case, determinism,
+    monotone compression, round-trip)."""
+    from .operators.bpe import word_frequency_df
+
+    return word_frequency_df(_t(spark, sf_dir, "documents"), max_words=200)

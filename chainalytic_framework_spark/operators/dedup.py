@@ -351,3 +351,102 @@ def incremental_lsh_pairs(new_sigs: DataFrame, corpus_bands: DataFrame,
         .distinct()
     )
     return keep
+
+
+def span_positions(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   w: int = 8) -> DataFrame:
+    """ALL w-token spans per doc WITH positions (multiplicity kept —
+    unlike :func:`shingles`, which is set-semantics for Jaccard). One
+    row per (doc, pos); span text is built with array ops, exploded
+    once. Docs shorter than w tokens emit nothing."""
+    toks = F.split(F.col(text_col), " ", -1)
+    idx = F.when(
+        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(idx, lambda i: F.struct(i.alias("pos"),
+                                               F.concat_ws(" ", F.slice(toks, i, w)).alias("span")))
+    return (
+        docs.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.pos").alias("pos"), F.col("p.span").alias("span"))
+    )
+
+
+def dup_span_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   w: int = 8) -> DataFrame:
+    """Per-doc duplicated-span statistics — the measurement half of
+    exact-substring dedup (Lee et al., *Deduplicating Training Data
+    Makes Language Models Better*, ACL'22, at w-token granularity; the
+    practical alternative to their suffix array at warehouse scale is
+    exactly this w-gram multiset).
+
+    A span is DUPLICATED when its corpus-wide occurrence count
+    (multiplicity across all docs and positions) exceeds 1. Output one
+    row per doc with ≥1 span: (doc_id, n_spans, n_dup_spans,
+    dup_frac_x1e4) — integer-exact, oracle-paired
+    (``dup_span_stats_documents``).
+
+    Scale shape: spans are counted by 64-bit hash (never shuffling the
+    span strings — ~8 bytes/span instead of ~50), one shuffle on the
+    hash (window count), one shuffle for the per-doc rollup. Hash
+    collisions can only overcount n_dup_spans by ~n²/2⁶⁴ — negligible
+    and one-sided; the gate sf has none."""
+    sp = span_positions(docs, text_col, id_col, w).withColumn(
+        "_h", F.xxhash64("span")
+    ).drop("span")
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    per = sp.withColumn("_cnt", cnt)
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_cnt") > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            id_col, "n_spans", "n_dup_spans",
+            F.floor(F.col("n_dup_spans") * 10000 / F.col("n_spans"))
+            .cast("long").alias("dup_frac_x1e4"),
+        )
+    )
+
+
+def strip_dup_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    w: int = 8) -> DataFrame:
+    """The removal half of exact-substring dedup: every token covered by
+    ANY duplicated span (corpus count > 1) is dropped and the text
+    reassembled — all JVM array ops after the same hash-count shuffle
+    as :func:`dup_span_stats`; no Python in the row path.
+
+    Returns (id, {text_col} with covered tokens removed, n_tokens_kept,
+    n_tokens_dropped). Docs with no spans (shorter than w) pass through
+    unchanged. The greedy drop-any-covered-token policy matches the
+    conservative variant of Lee et al. (they cut the duplicated
+    substring; covering-token removal is the w-gram approximation of
+    the same cut)."""
+    sp = span_positions(docs, text_col, id_col, w).withColumn("_h", F.xxhash64("span"))
+    from pyspark.sql import Window
+
+    dup_starts = (
+        sp.withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h")))
+        .where(F.col("_cnt") > 1)
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    joined = docs.join(dup_starts, id_col, "left")
+    toks = F.split(F.col(text_col), " ", -1)
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (w - 1)),
+            )
+        )
+    )
+    kept = F.filter(toks, lambda x, i: ~F.array_contains(covered, i + F.lit(1)))
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias(text_col),
+        F.size(kept).alias("n_tokens_kept"),
+        (F.size(toks) - F.size(kept)).alias("n_tokens_dropped"),
+    )

@@ -168,3 +168,53 @@ def test_wide_plane_lsh_production_width(spark):
     aug = base.unionByName(planted)
     got = {r["vec_id"] for r in ann_topk(aug, qvec, planes, k=5, hamming_probe=2).collect()}
     assert 999_999 in got
+
+
+def test_strip_dup_spans_hand_case(spark):
+    """Tokens covered by any corpus-duplicated w-span are dropped;
+    unique text and short docs pass through."""
+    from chainalytic_framework_spark.operators.dedup import (
+        dup_span_stats,
+        strip_dup_spans,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog now"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail one two three four five six seven"),
+            (2, "prefix words here " + boiler),
+            (3, "totally different text with no repeated spans at all ok"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_dup_spans(docs, w=10).collect()}
+    # the 10-token boilerplate occurs in docs 1 and 2 -> dropped there
+    assert "quick brown" not in out[1]["text"]
+    assert "unique tail" in out[1]["text"]
+    assert out[1]["n_tokens_dropped"] == 10
+    assert "quick brown" not in out[2]["text"]
+    assert out[2]["text"].startswith("prefix words here")
+    assert out[3]["n_tokens_dropped"] == 0
+    assert out[3]["text"].startswith("totally different")
+    assert out[4]["text"] == "short doc" and out[4]["n_tokens_dropped"] == 0
+
+    stats = {r["doc_id"]: r for r in dup_span_stats(docs, w=10).collect()}
+    assert stats[1]["n_dup_spans"] == 1 and stats[2]["n_dup_spans"] == 1
+    assert stats[3]["n_dup_spans"] == 0
+    assert 4 not in stats  # shorter than w -> no spans
+
+
+def test_strip_dup_spans_overlapping_coverage(spark):
+    """Overlapping duplicated spans must not double-drop tokens."""
+    from chainalytic_framework_spark.operators.dedup import strip_dup_spans
+
+    rep = "a b c d e"  # w=4 -> two overlapping dup spans inside
+    docs = spark.createDataFrame(
+        [(1, rep + " x y z w1 w2"), (2, rep + " p q r s1 s2")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_dup_spans(docs, w=4).collect()}
+    assert out[1]["n_tokens_dropped"] == 5  # the shared 5 tokens, once
+    assert out[1]["text"] == "x y z w1 w2"
+    assert out[2]["text"] == "p q r s1 s2"
