@@ -49,7 +49,7 @@ def _cmd_run(args: argparse.Namespace) -> None:
         with_cold_tier=args.with_cold_tier,
         enforce_retention_now=retention_now,
     )
-    print(json.dumps(result))
+    print(json.dumps(result, default=str))  # pending_range carries dates
 
 
 def _cmd_synth(args: argparse.Namespace) -> None:

@@ -141,7 +141,12 @@ def run_pipeline(
 
     t0 = time.perf_counter()
     m1 = with_layout_columns(rollup_with_spec(obs, ms, finest))
-    m1 = store.cluster_for_write(m1, ["bucket_day"])
+    # hash clustering, not range: repartitionByRange runs a sampling job
+    # that re-executes the rollup (even off persisted obs it is a second
+    # full aggregation); hash gets bounded files + local url_hash
+    # clustering with ONE shuffle (same switch that bought the fold
+    # commit +25-46% in round 2)
+    m1 = store.cluster_for_write_hash(m1, ["bucket_day"])
     store.overwrite_partitions(m1, _tier_table(finest, ms.name), ["bucket_day"])
     wall = time.perf_counter() - t0
     # one manifest row PER DAY — the resume anti-join's work unit.
@@ -193,7 +198,7 @@ def run_pipeline(
         out = with_layout_columns(
             downsample_with_spec(src.drop("bucket_day", "url_bucket"), ms, child)
         )
-        out = store.cluster_for_write(out, ["bucket_day"])
+        out = store.cluster_for_write_hash(out, ["bucket_day"])
         store.overwrite_partitions(out, _tier_table(child, ms.name), ["bucket_day"])
         wall = time.perf_counter() - t0
         entries.append(
@@ -367,7 +372,7 @@ def run_pipeline(
         t0 = time.perf_counter()
         user_out = ms.fold(obs).withColumn("bucket_day", F.to_date("warc_ts"))
         store.overwrite_partitions(
-            store.cluster_for_write(user_out, ["bucket_day"]),
+            store.cluster_for_write_hash(user_out, ["bucket_day"]),
             f"fold_{ms.name}", ["bucket_day"],
         )
         entries.append(
