@@ -3079,3 +3079,38 @@ def bpe_word_freq_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import word_frequency_df
 
     return word_frequency_df(_t(spark, sf_dir, "documents"), max_words=200)
+
+
+@q(
+    "pack_chunks_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_off
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, start_off,
+           CAST(start_off // 512 AS BIGINT) AS first_chunk,
+           CAST((start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS BIGINT)
+             AS n_chunks
+    FROM c
+    """,
+)
+def pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing coordinates (operators/packing.py): where each
+    document's tokens land in the seq_len=512 concatenated training
+    stream — start offset, first chunk id, chunks straddled. Integer
+    window cumsum over the deterministic doc order; the scale form
+    shards the stream (tests prove sharded == global per shard)."""
+    from .operators.packing import pack_chunks
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens")
+    )
+    return pack_chunks(d, seq_len=512)

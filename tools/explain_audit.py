@@ -181,6 +181,23 @@ def main() -> int:
                 contract.path_prefix_rollup_documents(spark, sf),
                 {"max_exchanges": 1})
 
+    # round-3 session additions
+    # routed p90 composes three LIVE hist tiers (each an agg cascade)
+    # plus the merge + quantile window; stored-tier serving reads one
+    # pruned scan per segment (same caveat as routed_range above)
+    ok &= audit("routed p90: per-tier hist branches + merge + quantile window",
+                contract.routed_p90_events(spark, sf),
+                {"max_exchanges": 12})
+    ok &= audit("dup spans: ONE hash-window shuffle + per-doc rollup",
+                contract.dup_span_stats_documents(spark, sf),
+                {"max_exchanges": 3})
+    ok &= audit("bpe word freq: single agg shuffle + bounded topk",
+                contract.bpe_word_freq_documents(spark, sf),
+                {"max_exchanges": 2, "take_ordered": True})
+    ok &= audit("pack chunks: one window sort family, integer-only",
+                contract.pack_chunks_documents(spark, sf),
+                {"max_exchanges": 2})
+
     # z-order write key must be pure codegen (no UDF, no exchange of its own)
     from chainalytic_framework_spark.operators.zorder import zorder_key
 
