@@ -123,6 +123,37 @@ def _cmd_serve_range(args: argparse.Namespace) -> None:
                       "rows": [r.asDict() for r in rows]}, default=str))
 
 
+def _cmd_serve_quantile(args: argparse.Namespace) -> None:
+    """Routed quantile over the stored histogram tiers of a warehouse
+    written by `run --with-histograms`."""
+    from .operators.router import read_routed_quantile
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-serve-q")
+    store = TableStore(spark, args.warehouse)
+    hists = {t: store.read(f"hist_{t}") for t in ("1m", "1h", "1d", "30d")
+             if store.exists(f"hist_{t}")}
+    if not hists:
+        print(json.dumps({"error": "no hist_* tiers in warehouse "
+                                   "(run with --with-histograms)"}))
+        raise SystemExit(2)
+    horizons = now_epoch = None
+    if args.retention_now:
+        from .operators.retention import DEFAULT_HORIZONS, _to_epoch
+
+        horizons = DEFAULT_HORIZONS
+        now_epoch = _to_epoch(dt.datetime.fromisoformat(args.retention_now))
+    df = read_routed_quantile(
+        hists, args.t0, args.t1, series_cols=tuple(args.keys.split(",")),
+        q_x100=args.q, out_col="q_lo",
+        retention_horizons=horizons, now_epoch=now_epoch,
+    )
+    rows = df.limit(args.limit).collect()
+    print(json.dumps({"t0": args.t0, "t1": args.t1, "q": args.q,
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="chainalytic_framework_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -173,6 +204,17 @@ def main(argv: list[str] | None = None) -> None:
                     help="ISO datetime (UTC): validate routed segments "
                          "against the retention policy before reading")
     sv.set_defaults(fn=_cmd_serve_range)
+
+    sq = sub.add_parser("serve-quantile",
+                        help="tier-routed quantile from stored histogram tiers")
+    sq.add_argument("--warehouse", required=True)
+    sq.add_argument("--t0", type=int, required=True, help="epoch secs, 1m-aligned")
+    sq.add_argument("--t1", type=int, required=True)
+    sq.add_argument("--q", type=int, default=90, help="percentile (integer)")
+    sq.add_argument("--keys", default="lang", help="comma-separated series cols")
+    sq.add_argument("--limit", type=int, default=50)
+    sq.add_argument("--retention-now", default=None)
+    sq.set_defaults(fn=_cmd_serve_quantile)
 
     args = p.parse_args(argv)
     args.fn(args)
