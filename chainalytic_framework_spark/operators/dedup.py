@@ -450,3 +450,77 @@ def strip_dup_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.size(kept).alias("n_tokens_kept"),
         (F.size(toks) - F.size(kept)).alias("n_tokens_dropped"),
     )
+
+
+N_SPAN_SHARDS = 256
+
+
+def commit_span_counts(new_docs: DataFrame, store, table: str = "span_counts",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       w: int = 8, n_shards: int = N_SPAN_SHARDS) -> None:
+    """Incremental exact-substring dedup, ingest side: append the new
+    batch's span-hash counts to a sharded partial LOG. Counts are
+    additive (the same mergeable-summary argument as the sketch/
+    histogram partial logs), so a batch commit is append-only — the
+    corpus-so-far is never rewritten and never re-scanned.
+
+    Log schema: (shard, h, c); shard = pmod(h, n_shards) is the
+    partition column, so the merge-at-read shuffle is pre-bucketed and
+    ``compact_span_counts`` can fold the log per shard."""
+    sp = span_positions(new_docs, text_col, id_col, w)
+    counts = (
+        sp.select(F.xxhash64("span").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+    )
+    store.append(counts, table, partition_by=["shard"])
+
+
+def merged_span_counts(store, table: str = "span_counts") -> DataFrame:
+    """Corpus-so-far span-hash counts: merge-at-read over the log."""
+    return store.read(table).groupBy("h").agg(F.sum("c").alias("c"))
+
+
+def compact_span_counts(store, table: str = "span_counts",
+                        n_shards: int = N_SPAN_SHARDS) -> None:
+    """Fold the append log to one row per hash (maintenance job — reads
+    stay correct without it; this just bounds log length)."""
+    merged = merged_span_counts(store, table).withColumn(
+        "shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int")
+    )
+    staged = f"{table}__compacted"
+    store.write(merged.repartition(F.col("shard")), staged, partition_by=["shard"])
+    store.overwrite_partitions(store.read(staged), table, ["shard"])
+    import shutil
+
+    shutil.rmtree(store.path(staged), ignore_errors=True)
+
+
+def dup_span_stats_incremental(new_docs: DataFrame, store,
+                               table: str = "span_counts",
+                               text_col: str = "text", id_col: str = "doc_id",
+                               w: int = 8) -> DataFrame:
+    """Duplicated-span stats for the NEW batch against the whole corpus
+    seen so far (commit the batch first). Join of the batch's spans
+    against the merged count log on hash — O(batch + touched log
+    shards), never O(corpus); equality with the from-scratch batch
+    computation is tested (`test_incremental_dedup.py`)."""
+    sp = span_positions(new_docs, text_col, id_col, w).withColumn(
+        "_h", F.xxhash64("span")
+    ).drop("span")
+    joined = sp.join(
+        merged_span_counts(store, table).withColumnRenamed("h", "_h"), "_h", "left"
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.coalesce(F.col("c"), F.lit(0)) > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            id_col, "n_spans", "n_dup_spans",
+            F.floor(F.col("n_dup_spans") * 10000 / F.col("n_spans"))
+            .cast("long").alias("dup_frac_x1e4"),
+        )
+    )
