@@ -3114,3 +3114,40 @@ def pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens")
     )
     return pack_chunks(d, seq_len=512)
+
+
+@q(
+    "contamination_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+      FROM t WHERE len(toks) >= 8
+    ),
+    s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS span FROM u),
+    bench AS (SELECT DISTINCT span FROM s WHERE doc_id < 50),
+    train AS (SELECT doc_id, span FROM s WHERE doc_id >= 50)
+    SELECT train.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN bench.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated_spans,
+           CAST(MAX(CASE WHEN bench.span IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+             AS contaminated
+    FROM train LEFT JOIN bench USING (span)
+    GROUP BY train.doc_id
+    """,
+)
+def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/dedup.py::
+    benchmark_contamination — the GPT-3-style n-gram overlap flag):
+    docs with id < 50 stand in as the held-out benchmark; every other
+    doc is scored by how many of its DISTINCT 8-token spans appear in
+    the benchmark span set. Engine probes by 64-bit span hash
+    (broadcastable benchmark side at scale); the oracle joins span
+    strings — the hash gate again certifies collision-free hashing."""
+    from .operators.dedup import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        d.where(F.col("doc_id") >= 50), d.where(F.col("doc_id") < 50), w=8
+    )

@@ -524,3 +524,48 @@ def dup_span_stats_incremental(new_docs: DataFrame, store,
             .cast("long").alias("dup_frac_x1e4"),
         )
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Eval-set decontamination (the n-gram-overlap protocol of GPT-3 /
+    PaLM appendix dedup): flag training documents sharing >=
+    ``min_shared`` distinct w-token spans with a benchmark corpus.
+
+    Returns (id, n_spans, n_contaminated_spans, contaminated int 0/1)
+    per training doc with >= 1 span. The benchmark side collapses to
+    DISTINCT span hashes — eval sets are tiny relative to the corpus,
+    so at scale that side broadcasts and the check is a map-side hash
+    probe on the same span pass dedup already makes; here it is a plain
+    left join on the hash (Catalyst broadcasts it when small).
+    Counted on DISTINCT spans per doc (a doc repeating one benchmark
+    span is one hit — overlap breadth, not frequency)."""
+    sp = (
+        span_positions(docs, text_col, id_col, w)
+        .select(id_col, F.xxhash64("span").alias("_h"))
+        .distinct()
+    )
+    bench = (
+        span_positions(benchmark, text_col, id_col, w)
+        .select(F.xxhash64("span").alias("_h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = sp.join(bench, "_h", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated_spans"),
+        )
+        .select(
+            id_col, "n_spans", "n_contaminated_spans",
+            (F.col("n_contaminated_spans") >= min_shared).cast("int").alias("contaminated"),
+        )
+    )

@@ -218,3 +218,25 @@ def test_strip_dup_spans_overlapping_coverage(spark):
     assert out[1]["n_tokens_dropped"] == 5  # the shared 5 tokens, once
     assert out[1]["text"] == "x y z w1 w2"
     assert out[2]["text"] == "p q r s1 s2"
+
+
+def test_benchmark_contamination_hand_case(spark):
+    from chainalytic_framework_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "leak here: what is the capital of france paris obviously end"),
+            (2, "clean document about entirely unrelated topics and words ok"),
+            (3, "short one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           benchmark_contamination(docs, bench, w=8).collect()}
+    assert out[1]["contaminated"] == 1 and out[1]["n_contaminated_spans"] >= 1
+    assert out[2]["contaminated"] == 0 and out[2]["n_contaminated_spans"] == 0
+    assert 3 not in out  # shorter than w
