@@ -107,6 +107,15 @@ class IcebergBackend:
     def read(self, name: str):
         return self.spark.read.table(self.qualified(name))
 
+    def read_as_of(self, name: str, snapshot_id: str):
+        """Time-travel read pinned to a snapshot — how a cluster
+        re-reads EXACTLY the input a checkpoint manifest row recorded
+        (``input_snapshot_id`` lineage, plans/checkpoint.py)."""
+        return (
+            self.spark.read.option("snapshot-id", str(snapshot_id))
+            .table(self.qualified(name))
+        )
+
     def write(self, df, name: str, partition_by: list[str] | None = None,
               mode: str = "overwrite") -> None:
         """``overwrite`` → ``createOrReplace`` (atomic snapshot swap);
@@ -240,6 +249,22 @@ class TableStore:
         """Atomic append commit (manifest rows, streaming micro-batch
         flushes). One parquet job / one Iceberg append snapshot."""
         self.write(df, name, partition_by=partition_by, mode="append")
+
+    def read_as_of(self, name: str, snapshot_id: str) -> DataFrame:
+        """Snapshot-pinned read. Iceberg: native time travel. Parquet
+        sandbox: snapshot ids are listing fingerprints, not retained
+        versions — only the CURRENT snapshot is readable (asserted), so
+        callers fail loudly instead of silently reading newer data."""
+        if (b := self.iceberg) is not None:
+            return b.read_as_of(name, snapshot_id)
+        current = self.snapshot_id(name)
+        if str(snapshot_id) != current:
+            raise ValueError(
+                f"parquet store retains only the current snapshot of {name!r} "
+                f"({current}); requested {snapshot_id}. Time travel needs the "
+                f"Iceberg backend."
+            )
+        return self.read(name)
 
     def cluster_for_write(self, df: DataFrame, partition_by: list[str],
                           secondary: str | None = "url_bucket") -> DataFrame:

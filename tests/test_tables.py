@@ -145,8 +145,16 @@ class _FakeSpark:
                 return q in fake._existing
 
         class _Reader:
+            def __init__(self):
+                self._opts = {}
+
+            def option(self, k, v):
+                self._opts[k] = v
+                return self
+
             def table(self, q):
-                fake.log.append(("read.table", q))
+                fake.log.append(("read.table", q, dict(self._opts)))
+                self._opts = {}
                 return _FakeDF(fake.log)
 
         class _SC:
@@ -168,7 +176,10 @@ def test_iceberg_store_read_write_append_resolve_to_catalog():
     store = TableStore(fs, "/nonexistent")
 
     store.read("t")
-    assert ("read.table", "rollup.rollup.t") in fs.log
+    assert ("read.table", "rollup.rollup.t", {}) in fs.log
+
+    store.read_as_of("t", "12345")
+    assert ("read.table", "rollup.rollup.t", {"snapshot-id": "12345"}) in fs.log
 
     df = _FakeDF(fs.log)
     store.write(df, "t", partition_by=["bucket_day"])
@@ -260,3 +271,14 @@ def test_merge_into_sql_shape():
         "WHEN NOT MATCHED THEN INSERT (url, url_hash, last_ts, content_rev) "
         "VALUES (s.url, s.url_hash, s.last_ts, s.content_rev)"
     )
+
+
+def test_parquet_read_as_of_only_current(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    store.write(spark.range(5).selectExpr("id", "id % 2 as p"), "t", partition_by=["p"])
+    snap = store.snapshot_id("t")
+    assert store.read_as_of("t", snap).count() == 5
+    import pytest as _p
+
+    with _p.raises(ValueError, match="current snapshot"):
+        store.read_as_of("t", "deadbeef")
