@@ -50,6 +50,13 @@ HEADLINE = [
     "histogram_p90_daily_events",
     "cusum_drift_events",
     "term_search_documents",
+    # round-3 additions: routed-tier quantile serving, exact-substring
+    # dedup (the big span shuffle), and the packing window — each a
+    # distinct plan shape (multi-tier union + window, hash-window +
+    # rollup, global window cumsum)
+    "routed_p90_events",
+    "dup_span_stats_documents",
+    "pack_chunks_documents",
 ]
 
 
