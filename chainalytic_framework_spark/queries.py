@@ -189,6 +189,55 @@ def series_points(
     )
 
 
+def throughput_report(manifest_df: DataFrame) -> DataFrame:
+    """The reference's monitoring path (§3.3: ``console.monitor`` —
+    aggregation speed in blocks/s + remaining-time estimate,
+    ``cli/console.py:273,277-288,456-460``) over the checkpoint
+    manifest: per tier, the latest committed watermark, rows/docs
+    throughput of the most recent run, and lifetime totals. Pure
+    aggregation over the (tiny) manifest table — metadata, never data.
+    """
+    latest = manifest_df.groupBy("tier").agg(
+        F.max("bucket_range_end").alias("high_water"),
+        F.max_by("docs_per_sec", "committed_at").alias("last_docs_per_sec"),
+        F.max_by("wall_seconds", "committed_at").alias("last_wall_seconds"),
+        F.sum("rows_out").alias("total_rows_out"),
+        F.max("committed_at").alias("last_committed_at"),
+        F.count(F.lit(1)).alias("n_commits"),
+    )
+    return latest.orderBy("tier")
+
+
+def eta_to_target(manifest_df: DataFrame, tier: str, target_end: dt.datetime) -> DataFrame:
+    """Remaining-time estimate for one tier (the reference's
+    ``(head − last)/speed`` ETA, ``console.py:277-288``): seconds of
+    bucket time left to ``target_end`` divided by the tier's recent
+    bucket-time-per-wall-second rate (median of the last runs)."""
+    m = manifest_df.where(F.col("tier") == tier)
+    rate = m.select(
+        (
+            (F.col("bucket_range_end").cast("long") - F.col("bucket_range_start").cast("long"))
+            / F.greatest(F.col("wall_seconds"), F.lit(1e-9))
+        ).alias("bucket_secs_per_wall_sec")
+    ).agg(F.median("bucket_secs_per_wall_sec").alias("rate"))
+    hw = m.agg(F.max("bucket_range_end").alias("high_water"))
+    return (
+        hw.crossJoin(rate)
+        .select(
+            "high_water",
+            F.greatest(
+                (F.lit(target_end).cast("long") - F.col("high_water").cast("long")),
+                F.lit(0),
+            ).alias("bucket_seconds_remaining"),
+            "rate",
+        )
+        .withColumn(
+            "eta_seconds",
+            F.round(F.col("bucket_seconds_remaining") / F.greatest(F.col("rate"), F.lit(1e-9)), 1),
+        )
+    )
+
+
 def stale_urls(state_df: DataFrame, as_of: dt.datetime, max_inactive_seconds: int,
                k: int = 1000) -> DataFrame:
     """Longest-inactive urls (reference: passive_stake_wallets sorted by

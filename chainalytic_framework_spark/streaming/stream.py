@@ -198,6 +198,35 @@ def stream_histogram_counts(store: TableStore) -> DataFrame:
     )
 
 
+def serve_distribution(store: TableStore, series_cols=("lang",)) -> DataFrame:
+    """Seamless history+edge distribution read: the stored batch
+    ``hist_1m`` tier serves every bucket up to its high-water mark, and
+    the streaming partial log serves strictly NEWER buckets — the
+    batch-wins cutoff rides in as a broadcast 1-row aggregate, so
+    overlap (a stream day later re-derived by the batch pipeline) can
+    never double-count. Output: (series..., bucket_epoch, hb_lo,
+    hb_count) — feed straight to ``quantile_from_histogram``.
+    """
+    cols = [*series_cols, "bucket_epoch", "hb_lo", "hb_count"]
+    have_batch = store.exists("hist_1m")
+    have_stream = store.exists("hist_1m_stream")
+    if not have_batch and not have_stream:
+        raise ValueError("no hist_1m or hist_1m_stream in store")
+    if have_batch and not have_stream:
+        return store.read("hist_1m").select(*cols)
+    stream_part = stream_histogram_counts(store).select(*cols)
+    if not have_batch:
+        return stream_part
+    batch = store.read("hist_1m").select(*cols)
+    hw = batch.agg(F.max("bucket_epoch").alias("_hw"))
+    edge = (
+        stream_part.crossJoin(F.broadcast(hw))
+        .where(F.col("bucket_epoch") > F.col("_hw"))
+        .drop("_hw")
+    )
+    return batch.unionByName(edge)
+
+
 def compact_stream_into_batch(store: TableStore, closed_before=None) -> list:
     """Fold the streaming edge into the batch history: move the stream
     table's CLOSED days into ``tier_1m`` (idempotent dynamic partition

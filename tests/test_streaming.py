@@ -164,3 +164,75 @@ def test_stream_histogram_partials_match_batch(spark, tmp_path):
         stream_histogram_counts(store), ["lang"], 90, out_col="p90_lo"
     )
     assert p90.count() > 0
+
+
+def test_serve_distribution_history_plus_edge(spark, tmp_path):
+    """Batch hist tier for the older days + streaming partials for the
+    newest day must merge into exactly the full-corpus histogram over
+    the finalized region, with no double count at the boundary."""
+    import datetime as dt
+
+    from chainalytic_framework_spark.operators.histogram import histogram_rollup
+    from chainalytic_framework_spark.plans.pipeline import run_pipeline
+    from chainalytic_framework_spark.streaming.stream import (
+        serve_distribution,
+        start_histogram_stream_to_store,
+    )
+
+    pages = generate_pages(spark, 3000).cache()
+    split_day = pages.agg(F.max(F.to_date("warc_ts"))).first()[0]
+    hist_part = pages.where(F.to_date("warc_ts") < F.lit(split_day))
+    edge_part = pages.where(F.to_date("warc_ts") >= F.lit(split_day))
+    assert hist_part.count() > 0 and edge_part.count() > 0
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, hist_part, store, with_fold=False, with_histograms=True)
+    src = str(tmp_path / "edge_src")
+    edge_part.write.mode("overwrite").parquet(src)
+    q = start_histogram_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+
+    horizon = int(
+        (pages.agg(F.max("warc_ts")).first()[0] - dt.timedelta(minutes=11)).timestamp()
+    )
+    got = (
+        serve_distribution(store)
+        .where(F.col("bucket_epoch") < horizon)
+        .groupBy("lang", "bucket_epoch", "hb_lo")
+        .agg(F.sum("hb_count").alias("hb_count"))
+    )
+    be = (F.col("warc_ts").cast("long") / 60).cast("long") * 60
+    exp = histogram_rollup(pages, be, ["lang"], F.length("text").cast("long")).where(
+        F.col("bucket_epoch") < horizon
+    )
+    cols = ["lang", "bucket_epoch", "hb_lo", "hb_count"]
+    assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
+    assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_throughput_report_and_eta(spark, tmp_path):
+    """Monitoring path (§3.3): per-tier watermark + speed from the
+    manifest; ETA = remaining bucket time / recent rate."""
+    import datetime as dt
+
+    from chainalytic_framework_spark.plans.pipeline import run_pipeline
+    from chainalytic_framework_spark.queries import eta_to_target, throughput_report
+
+    pages = generate_pages(spark, 2000)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, pages, store, with_fold=True)
+    rep = {r["tier"]: r for r in throughput_report(store.read("checkpoints")).collect()}
+    assert "1m" in rep and rep["1m"]["total_rows_out"] > 0
+    assert rep["1m"]["last_docs_per_sec"] > 0
+    hw = rep["1m"]["high_water"]
+
+    eta = eta_to_target(
+        store.read("checkpoints"), "1m", hw + dt.timedelta(days=2)
+    ).first()
+    assert eta["bucket_seconds_remaining"] == 2 * 86400
+    assert eta["eta_seconds"] > 0
+    done = eta_to_target(store.read("checkpoints"), "1m", hw).first()
+    assert done["bucket_seconds_remaining"] == 0 and done["eta_seconds"] == 0.0
