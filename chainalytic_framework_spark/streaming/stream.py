@@ -186,13 +186,20 @@ def start_histogram_stream_to_store(
 
 def stream_histogram_counts(store: TableStore) -> DataFrame:
     """Merge-at-read over the streaming histogram partial log: exact
-    per (bucket_epoch, lang, hb_lo) counts via sum — correct however
-    many micro-batches contributed partials for a bucket. Feed the
-    result straight to ``quantile_from_histogram`` for edge quantiles,
-    or union it with the stored ``hist_1m`` tier for a seamless
-    history+edge distribution read."""
+    per (bucket_epoch, lang, hb_lo) counts — correct however many
+    micro-batches contributed partials for a bucket. The ``distinct``
+    guard makes the read REPLAY-SAFE: a crash between foreachBatch's
+    append and the checkpoint commit re-appends a finalized window's
+    rows, and finalized windows are deterministic, so replayed rows are
+    byte-identical duplicates (the same argument
+    ``compact_stream_into_batch`` uses for tier rows) — counts, unlike
+    HLL unions, are NOT idempotent, so without this a crash would
+    double the affected buckets. Feed the result straight to
+    ``quantile_from_histogram`` for edge quantiles, or through
+    ``serve_distribution`` for a seamless history+edge read."""
     return (
         store.read("hist_1m_stream")
+        .distinct()
         .groupBy("bucket_epoch", "lang", "hb_lo")
         .agg(F.sum("hb_count").alias("hb_count"))
     )

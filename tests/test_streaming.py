@@ -236,3 +236,58 @@ def test_throughput_report_and_eta(spark, tmp_path):
     assert eta["eta_seconds"] > 0
     done = eta_to_target(store.read("checkpoints"), "1m", hw).first()
     assert done["bucket_seconds_remaining"] == 0 and done["eta_seconds"] == 0.0
+
+
+def test_replay_double_append_is_deduped(spark, tmp_path):
+    """Crash-replay simulation: re-appending a finalized micro-batch's
+    rows must not change (a) compacted tier contents, (b) merged
+    histogram counts — both reads dedupe deterministic duplicates."""
+    from chainalytic_framework_spark.streaming.stream import (
+        compact_stream_into_batch,
+        start_histogram_stream_to_store,
+        stream_histogram_counts,
+    )
+
+    pages = generate_pages(spark, 1500)
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+    store = TableStore(spark, str(tmp_path / "wh"))
+
+    q = start_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt_t"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    qh = start_histogram_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt_h"),
+        trigger_available_now=True,
+    )
+    qh.awaitTermination(300)
+
+    hist_before = {
+        (r["bucket_epoch"], r["lang"], r["hb_lo"]): r["hb_count"]
+        for r in stream_histogram_counts(store).collect()
+    }
+
+    # replay: duplicate a slice of both logs (what a crash between the
+    # sink write and the checkpoint commit produces)
+    dup_tier = store.read("tier_1m_stream").limit(50)
+    store.append(dup_tier, "tier_1m_stream", partition_by=["bucket_day"])
+    dup_hist = store.read("hist_1m_stream").limit(50)
+    store.append(dup_hist, "hist_1m_stream")
+
+    hist_after = {
+        (r["bucket_epoch"], r["lang"], r["hb_lo"]): r["hb_count"]
+        for r in stream_histogram_counts(store).collect()
+    }
+    assert hist_after == hist_before
+
+    days = compact_stream_into_batch(store)
+    assert days
+    batch = store.read("tier_1m").drop("bucket_day", "url_bucket")
+    # every (bucket, url, lang) appears exactly once after compaction
+    dupes = (
+        batch.groupBy("bucket_start", "url_hash", "url", "lang")
+        .count().where(F.col("count") > 1)
+    )
+    assert dupes.count() == 0
