@@ -111,6 +111,20 @@ def main() -> None:
         sec = time.perf_counter() - t0
         pipeline_sec = sec if pipeline_sec is None else min(pipeline_sec, sec)
     timings["pages_pipeline"] = round(pipeline_sec, 3)
+
+    # cold tier roundtrip: Gorilla-encode the 1d tier, then decode every
+    # blob back through the transposed batch decoder — the cold
+    # write+read path as its own headline entry
+    from chainalytic_framework_spark.operators.cold_store import decode_cold, encode_cold
+
+    cold_best = None
+    for attempt in range(2):
+        t0 = time.perf_counter()
+        store.write(encode_cold(store.read("tier_1d")), "cold_1d")
+        _force(decode_cold(store.read("cold_1d")))
+        sec = time.perf_counter() - t0
+        cold_best = sec if cold_best is None else min(cold_best, sec)
+    timings["cold_roundtrip_1d"] = round(cold_best, 3)
     docs_per_sec = round(result["docs"] / pipeline_sec, 1)
     n_docs = result["docs"]
 

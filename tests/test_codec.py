@@ -13,6 +13,8 @@ from chainalytic_framework_spark.operators.codec import decode_series, encode_se
 
 
 def _roundtrip(ts, vals):
+    from chainalytic_framework_spark.operators.codec import decode_series_many
+
     blob = encode_series(np.asarray(ts, dtype=np.int64), np.asarray(vals))
     ts2, vals2 = decode_series(blob)
     np.testing.assert_array_equal(np.asarray(ts, dtype=np.int64), ts2)
@@ -21,6 +23,14 @@ def _roundtrip(ts, vals):
         np.testing.assert_array_equal(a.view(np.uint64), vals2.view(np.uint64))
     else:
         np.testing.assert_array_equal(a, vals2)
+    # every property case also exercises the transposed batch decoder
+    if len(ts2) > 0:
+        offs, tsm, vm = decode_series_many([blob, blob])
+        for k in (0, 1):
+            np.testing.assert_array_equal(tsm[offs[k]:offs[k + 1]], ts2)
+            np.testing.assert_array_equal(
+                vm[offs[k]:offs[k + 1]].view(np.uint64), vals2.view(np.uint64)
+            )
     return blob
 
 

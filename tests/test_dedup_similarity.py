@@ -240,3 +240,36 @@ def test_benchmark_contamination_hand_case(spark):
     assert out[1]["contaminated"] == 1 and out[1]["n_contaminated_spans"] >= 1
     assert out[2]["contaminated"] == 0 and out[2]["n_contaminated_spans"] == 0
     assert 3 not in out  # shorter than w
+
+
+def test_dup_span_stats_property_vs_python(spark):
+    """Randomized small-vocab corpora: hash-counted span stats must
+    equal a brute-force python span counter."""
+    import random
+    from collections import Counter
+
+    from chainalytic_framework_spark.operators.dedup import dup_span_stats
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        w = rng.choice([2, 3, 5])
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 14))))
+                for i in range(25)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+               for r in dup_span_stats(df, w=w).collect()}
+        corpus = Counter()
+        spans_by_doc = {}
+        for i, t in docs:
+            toks = t.split(" ") if t else [""]
+            sp = [" ".join(toks[j:j + w]) for j in range(len(toks) - w + 1)] \
+                if len(toks) >= w else []
+            spans_by_doc[i] = sp
+            corpus.update(sp)
+        exp = {}
+        for i, sp in spans_by_doc.items():
+            if sp:
+                exp[i] = (len(sp), sum(1 for s in sp if corpus[s] > 1))
+        assert got == exp, (w, trial)

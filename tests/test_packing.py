@@ -51,3 +51,29 @@ def test_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         pack_chunks(df, 0)
+
+
+def test_packing_property_vs_python_reference(spark):
+    """Randomized: pack_chunks must equal the trivial python prefix-sum
+    reference for arbitrary token-count multisets and seq lens."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(3):
+        seq_len = rng.choice([1, 7, 256, 1000])
+        rows = [(i, rng.choice([0, 1, 3, seq_len - 1 if seq_len > 1 else 1,
+                                seq_len, seq_len + 1, 5000]))
+                for i in range(rng.randint(1, 120))]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {r["doc_id"]: (r["start_off"], r["first_chunk"], r["n_chunks"])
+               for r in pack_chunks(df, seq_len).collect()}
+        run = 0
+        exp = {}
+        for i, n in rows:  # doc_id order == insertion order here
+            if n <= 0:
+                continue
+            first = run // seq_len
+            last = (run + n - 1) // seq_len
+            exp[i] = (run, first, last - first + 1)
+            run += n
+        assert got == exp, (seq_len, trial)
