@@ -34,6 +34,11 @@ as the IVF/PQ family (approximate ops get property gates, not hash
 gates).
 
 Reference analogue: none — engine-added webtext capability.
+
+Note on fixtures: the deterministic synthetic corpus (synth.py) fills
+``html`` with random bytes — no anchors — so graph tests use
+hand-built HTML; real edge lists come from crawl data (the WARC source
+feeds the same ``extract_links`` chain).
 """
 
 from __future__ import annotations
@@ -110,7 +115,7 @@ def pagerank(
     edges (one shuffle on dst), plus teleport + dangling terms computed
     from a 1-row aggregate (broadcast scalar, no driver collect of
     data). Lineage is truncated every ``checkpoint_every`` rounds."""
-    spark = edges.sparkSession
+    edges = edges.cache()  # read n_iters+1 times (contribs + degrees)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .unionByName(edges.select(F.col("dst").alias("host")))
