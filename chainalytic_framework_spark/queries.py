@@ -213,6 +213,8 @@ def eta_to_target(manifest_df: DataFrame, tier: str, target_end: dt.datetime) ->
     ``(head − last)/speed`` ETA, ``console.py:277-288``): seconds of
     bucket time left to ``target_end`` divided by the tier's recent
     bucket-time-per-wall-second rate (median of the last runs)."""
+    from .operators.retention import _to_epoch
+
     m = manifest_df.where(F.col("tier") == tier)
     rate = m.select(
         (
@@ -221,12 +223,14 @@ def eta_to_target(manifest_df: DataFrame, tier: str, target_end: dt.datetime) ->
         ).alias("bucket_secs_per_wall_sec")
     ).agg(F.median("bucket_secs_per_wall_sec").alias("rate"))
     hw = m.agg(F.max("bucket_range_end").alias("high_water"))
+    # epoch math: a naive target literal would be re-interpreted in the
+    # driver's LOCAL timezone (naive datetimes mean UTC engine-wide)
     return (
         hw.crossJoin(rate)
         .select(
             "high_water",
             F.greatest(
-                (F.lit(target_end).cast("long") - F.col("high_water").cast("long")),
+                F.lit(_to_epoch(target_end)) - F.col("high_water").cast("long"),
                 F.lit(0),
             ).alias("bucket_seconds_remaining"),
             "rate",
