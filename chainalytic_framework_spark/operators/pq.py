@@ -199,28 +199,16 @@ def pq_search_rerank(
     )
 
 
-def build_ann_index(
+def _encode_assign_plan(
     embeddings: DataFrame,
-    store,
     centroids: list[list[float]],
     codebooks: np.ndarray,
-    name: str = "ann_codes",
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> None:
-    """Materialize the ANN SERVING layout (VERDICT r2 item 5): one
-    stored table (vec_id, codes, cluster) PARTITIONED BY cluster, so a
-    probe is a partition-pruned scan of n_probe/n_centroids of the code
-    table — the stored form this module's scale notes promise, written
-    through the TableStore (parquet dirs here, the Iceberg catalog on a
-    cluster).
-
-    One pass over the raw vectors: IVF assignment is JVM codegen
-    (``ivf_assign`` — centroids as plan literals), the PQ encode rides
-    the same scan as an Arrow hop with ``cluster`` passed through, and
-    the write repartitions on ``cluster`` so each partition gets O(1)
-    files. The raw corpus is read exactly once at build time; queries
-    after that never touch it except for the shortlist re-rank."""
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One pass over raw vectors → (vec_id, cluster, codes): JVM IVF
+    assignment (centroids as plan literals) + Arrow-hop PQ encode with
+    cluster passed through. Shared by build and incremental append."""
     from .similarity import ivf_assign
 
     m, k, ds = codebooks.shape
@@ -248,8 +236,58 @@ def build_ann_index(
                  "codes": [c.tolist() for c in codes]}
             )
 
-    table = assigned.mapInPandas(run, schema="vec_id long, cluster int, codes array<int>")
+    return assigned.mapInPandas(run, schema="vec_id long, cluster int, codes array<int>")
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    store,
+    centroids: list[list[float]],
+    codebooks: np.ndarray,
+    name: str = "ann_codes",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the ANN SERVING layout (VERDICT r2 item 5): one
+    stored table (vec_id, codes, cluster) PARTITIONED BY cluster, so a
+    probe is a partition-pruned scan of n_probe/n_centroids of the code
+    table — the stored form this module's scale notes promise, written
+    through the TableStore (parquet dirs here, the Iceberg catalog on a
+    cluster).
+
+    One pass over the raw vectors (``_encode_assign_plan``); the write
+    repartitions on ``cluster`` so each partition gets O(1) files. The
+    raw corpus is read exactly once at build time; queries after that
+    never touch it except for the shortlist re-rank."""
+    table = _encode_assign_plan(embeddings, centroids, codebooks, id_col, vec_col)
     store.write(
+        table.repartition(max(1, len(centroids) // 4), "cluster"),
+        name, partition_by=["cluster"],
+    )
+
+
+def append_ann_index(
+    new_embeddings: DataFrame,
+    store,
+    centroids: list[list[float]],
+    codebooks: np.ndarray,
+    name: str = "ann_codes",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index maintenance: encode + assign ONLY the new
+    vector batch (same one-pass plan as :func:`build_ann_index`) and
+    APPEND its rows to the stored cluster-partitioned table — the
+    corpus is never re-encoded, and probes see the new vectors
+    immediately (two appended batches ≡ one build; tested). Centroids
+    and codebooks stay frozen between retrains, the standard IVF-PQ
+    maintenance contract (FAISS add-with-ids)."""
+    if not store.exists(name):
+        build_ann_index(new_embeddings, store, centroids, codebooks, name,
+                        vec_col, id_col)
+        return
+    table = _encode_assign_plan(new_embeddings, centroids, codebooks, id_col, vec_col)
+    store.append(
         table.repartition(max(1, len(centroids) // 4), "cluster"),
         name, partition_by=["cluster"],
     )

@@ -204,3 +204,32 @@ def test_ann_index_materialized_probe_prunes_and_matches(spark, emb, trained, tm
         ).collect()
     ]
     assert got == exp and len(got) == 10
+
+
+def test_append_ann_index_equals_single_build(spark, emb, trained, tmp_path_factory):
+    """Two incremental appends must serve identical probe results to a
+    one-shot build over the union (frozen centroids/codebooks)."""
+    from chainalytic_framework_spark.operators.pq import (
+        append_ann_index,
+        build_ann_index,
+        ivf_pq_search_stored,
+    )
+    from chainalytic_framework_spark.operators.similarity import ivf_train
+    from chainalytic_framework_spark.tables import TableStore
+
+    cb, _ = trained
+    cents = ivf_train(emb, n_centroids=8, n_iters=4)
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+
+    s_inc = TableStore(spark, str(tmp_path_factory.mktemp("ann_inc")))
+    append_ann_index(half_a, s_inc, cents, cb)   # creates
+    append_ann_index(half_b, s_inc, cents, cb)   # appends
+    s_full = TableStore(spark, str(tmp_path_factory.mktemp("ann_full")))
+    build_ann_index(emb, s_full, cents, cb)
+
+    q = np.array(_clustered()[42][1], dtype=np.float32) + 0.02
+    got = ivf_pq_search_stored(s_inc, emb, cents, cb, q, topk=10, n_probe=3).collect()
+    exp = ivf_pq_search_stored(s_full, emb, cents, cb, q, topk=10, n_probe=3).collect()
+    assert [(r["vec_id"], r["dist_x1e6"]) for r in got] == \
+           [(r["vec_id"], r["dist_x1e6"]) for r in exp]
