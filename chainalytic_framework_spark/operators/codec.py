@@ -296,6 +296,220 @@ def _decode_vals(data: bytes, n: int, first_bits: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# batch encode: all series' codes classified flat, packed by one
+# global bit-scatter (streams stay byte-identical to encode_series)
+# ---------------------------------------------------------------------------
+
+
+def _code_pair_idx(ns: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """For flat point arrays with segment lengths ``ns``: (left, right)
+    point indices of every consecutive pair within a segment, plus the
+    code-domain start index of each segment."""
+    total_n = int(ns.sum())
+    seg_start = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    is_start = np.zeros(total_n, dtype=bool)
+    is_start[seg_start[ns > 0]] = True
+    right = np.flatnonzero(~is_start)  # every point except segment firsts
+    m = np.maximum(ns - 1, 0)
+    code_seg_start = np.concatenate([[0], np.cumsum(m)[:-1]])
+    return right - 1, right, code_seg_start
+
+
+def _ts_code_fields(dod: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hi, lo, nbits) for a flat dod array — the same class math as
+    ``_encode_ts``, already elementwise."""
+    hi = np.zeros(len(dod), dtype=np.uint64)
+    lo = np.zeros(len(dod), dtype=np.uint64)
+    nbits = np.ones(len(dod), dtype=np.int64)  # '0' default
+    done = dod == 0
+    for bound, vbits, prefix, pbits in _TS_CLASSES:
+        sel = (~done) & (dod >= -(bound - 1)) & (dod <= bound)
+        enc = (dod[sel] + (bound - 1)).astype(np.uint64)
+        lo[sel] = (np.uint64(prefix) << np.uint64(vbits)) | enc
+        nbits[sel] = pbits + vbits
+        done |= sel
+    rest = ~done
+    if rest.any():
+        hi[rest] = np.uint64(0b1111)
+        lo[rest] = dod[rest].view(np.uint64)
+        nbits[rest] = 68
+    return hi, lo, nbits
+
+
+def _val_code_fields(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(hi, lo, nbits) for a flat xor array — the ``_encode_vals``
+    class math, elementwise."""
+    n = len(x)
+    hi = np.zeros(n, dtype=np.uint64)
+    lo = np.zeros(n, dtype=np.uint64)
+    nbits = np.ones(n, dtype=np.int64)
+    nz = x != 0
+    if nz.any():
+        xv = x[nz]
+        # branchless halving clz/ctz: full-array where-selects beat
+        # masked compress/scatter ~3× at this width
+        v = xv
+        clz = np.zeros(len(xv), dtype=np.uint64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            m_ = (v >> np.uint64(shift)) == 0
+            clz += m_.astype(np.uint64) * np.uint64(shift)
+            v = np.where(m_, v, v >> np.uint64(shift))
+        t = xv
+        ctz = np.zeros(len(xv), dtype=np.uint64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            m_ = (t << np.uint64(64 - shift)) == 0
+            ctz += m_.astype(np.uint64) * np.uint64(shift)
+            t = np.where(m_, t >> np.uint64(shift), t)
+        lead = np.minimum(clz, 31).astype(np.uint64)
+        meaningful = np.where(ctz < 64, xv >> ctz, np.uint64(0))
+        sig_w = np.uint64(64) - lead - ctz
+        sig_field = np.where(sig_w == 64, np.uint64(0), sig_w)
+        head = (np.uint64(0b11) << np.uint64(11)) | (lead << np.uint64(6)) | sig_field
+        h = np.where(sig_w > 51, head >> (np.uint64(64) - sig_w), np.uint64(0))
+        lo_nz = np.where(sig_w < 64, (head << sig_w) | meaningful, meaningful)
+        h = np.where(sig_w == 64, head, h)
+        hi[nz] = h
+        lo[nz] = lo_nz
+        nbits[nz] = 13 + sig_w.astype(np.int64)
+    return hi, lo, nbits
+
+
+def _seg_sums(x: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-segment sums of flat ``x`` (segment i holds counts[i]
+    consecutive elements; zero-length segments sum to 0)."""
+    if len(x) == 0:
+        return np.zeros(len(counts), dtype=np.int64)
+    c = np.cumsum(x)
+    ends = np.cumsum(counts) - 1  # -1 for empty-prefix segments
+    run = np.where(ends >= 0, c[np.maximum(ends, 0)], 0)
+    run[ends < 0] = 0
+    return run - np.concatenate([[0], run[:-1]])
+
+
+def _pack_codes_many(
+    hi: np.ndarray, lo: np.ndarray, nbits: np.ndarray, m: np.ndarray,
+    chunk_codes: int = 1 << 19,
+) -> tuple[bytes, np.ndarray]:
+    """Pack each series' codes into its own byte-aligned stream with ONE
+    bit-scatter + packbits per chunk. Returns (concatenated streams,
+    per-series byte lengths). Bit layout per stream is identical to
+    ``_pack_codes`` (MSB-first codes, zero-padded final byte)."""
+    n_series = len(m)
+    stream_bytes = np.zeros(n_series, dtype=np.int64)
+    out_parts: list[bytes] = []
+    # chunk on series boundaries so every series' stream lives in one pass
+    s0 = 0
+    code0 = 0
+    csum = np.cumsum(m)
+    while s0 < n_series:
+        s1 = s0
+        while s1 < n_series and (csum[s1] - code0) <= chunk_codes:
+            s1 += 1
+        s1 = max(s1, s0 + 1)
+        mc = m[s0:s1]
+        k0, k1 = code0, int(csum[s1 - 1])
+        hi_c, lo_c, nb = hi[k0:k1], lo[k0:k1], nbits[k0:k1]
+        # per-code start bit within its series: global exclusive cumsum
+        # minus its value at the series' first code (safe for
+        # zero-code series — their entry value is never consumed)
+        excl = np.concatenate([[0], np.cumsum(nb)[:-1]]) if len(nb) else np.zeros(0, np.int64)
+        css = np.concatenate([[0], np.cumsum(mc)[:-1]]).astype(np.int64)
+        if len(excl):
+            entry = excl[np.minimum(css, len(excl) - 1)]
+        else:
+            entry = np.zeros(len(mc), dtype=np.int64)
+        code_start = excl - _seg_repeat(entry, mc)
+        L = _seg_sums(nb, mc)  # bit length per series
+        B = (L + 7) // 8
+        stream_bytes[s0:s1] = B
+        base_bits = 8 * np.concatenate([[0], np.cumsum(B)[:-1]])
+        target_base = _seg_repeat(base_bits, mc) + code_start
+        if len(nb):
+            # scatter one BIT POSITION per pass: pass r writes the bit
+            # at LSB-offset r of every code that has one. Codes are
+            # pre-sorted by length so pass r is a SLICE (no per-pass
+            # boolean mask over all codes) — total work is Σ nbits, the
+            # stream's actual bit count
+            outbits = np.zeros(int(8 * B.sum()), dtype=np.uint8)
+            asc = np.argsort(nb, kind="stable")
+            nb_a = nb[asc].astype(np.int64)
+            lo_a, hi_a = lo_c[asc], hi_c[asc]
+            tb_a = target_base[asc]
+            W = int(nb_a[-1])
+            for r in range(W):
+                k = np.searchsorted(nb_a, r, side="right")
+                src = lo_a[k:] if r < 64 else hi_a[k:]
+                rr = np.uint64(r if r < 64 else r - 64)
+                bit = ((src >> rr) & np.uint64(1)).astype(np.uint8)
+                outbits[tb_a[k:] + (nb_a[k:] - 1 - r)] = bit
+            out_parts.append(np.packbits(outbits).tobytes())
+        s0, code0 = s1, k1
+    return b"".join(out_parts), stream_bytes
+
+
+def encode_series_many(
+    ts_flat: np.ndarray, vals_flat: np.ndarray, ns: np.ndarray
+) -> list[bytes]:
+    """Batch encode: blob i covers points ``offsets[i]:offsets[i+1]``
+    of the flat arrays (``offsets`` = cumsum of ``ns``). Byte-identical
+    to per-series ``encode_series`` (tested), but all code
+    classification and bit packing run ONCE over the whole batch —
+    per-series cost drops from ~200 µs of numpy-call overhead to the
+    header/slice loop only. This is the cold WRITE path: billions of
+    short (url, measure) series make per-series overhead the encode
+    bottleneck at scale."""
+    ts_flat = np.ascontiguousarray(ts_flat, dtype=np.int64)
+    vals = np.asarray(vals_flat)
+    if vals.dtype == np.float64:
+        bits_flat, kind = vals.view(np.uint64), 0
+    elif vals.dtype == np.int64:
+        bits_flat, kind = vals.view(np.uint64), 1
+    else:
+        raise TypeError(f"unsupported value dtype {vals.dtype}")
+    ns = np.asarray(ns, dtype=np.int64)
+    if int(ns.sum()) != len(ts_flat) or len(ts_flat) != len(vals):
+        raise ValueError("ns/points length mismatch")
+    left, right, _ = _code_pair_idx(ns)
+    m = np.maximum(ns - 1, 0)
+    code_seg_start = np.concatenate([[0], np.cumsum(m)[:-1]])
+    # timestamps: segmented delta → dod
+    delta = ts_flat[right] - ts_flat[left]
+    prev = np.empty_like(delta)
+    if len(delta):
+        prev[1:] = delta[:-1]
+        prev[0] = 0
+    prev[code_seg_start[m > 0]] = 0
+    ts_hi, ts_lo, ts_nb = _ts_code_fields(delta - prev)
+    ts_stream, ts_len = _pack_codes_many(ts_hi, ts_lo, ts_nb, m)
+    # values: segmented xor chain
+    x = bits_flat[right] ^ bits_flat[left]
+    v_hi, v_lo, v_nb = _val_code_fields(x)
+    val_stream, val_len = _pack_codes_many(v_hi, v_lo, v_nb, m)
+
+    seg_start = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    ts_off = np.concatenate([[0], np.cumsum(ts_len)])
+    val_off = np.concatenate([[0], np.cumsum(val_len)])
+    tmv, vmv = memoryview(ts_stream), memoryview(val_stream)
+    blobs: list[bytes] = []
+    for i in range(len(ns)):
+        n = int(ns[i])
+        if n == 0:
+            blobs.append(_MAGIC + struct.pack("<BIqQII", kind, 0, 0, 0, 0, 0))
+            continue
+        s = int(seg_start[i])
+        header = struct.pack(
+            "<BIqQII", kind, n, int(ts_flat[s]), int(bits_flat[s]),
+            int(ts_len[i]), int(val_len[i]),
+        )
+        blobs.append(
+            _MAGIC + header
+            + bytes(tmv[ts_off[i]:ts_off[i + 1]])
+            + bytes(vmv[val_off[i]:val_off[i + 1]])
+        )
+    return blobs
+
+
+# ---------------------------------------------------------------------------
 # transposed batch decode: one cursor per blob, lock-step rounds
 # ---------------------------------------------------------------------------
 

@@ -8,9 +8,9 @@ partition-prune on (tier, url_bucket) and decompress independently —
 blob-level parallelism, the standard TSDB cold-path layout.
 
 Implementation: ``applyInPandas`` per url_bucket group; inside a group
-the pandas frame is split per url with vectorized groupby and each
-series is encoded by the NumPy codec (no per-row Python; per-SERIES
-loop only, which is the natural unit of work).
+BOTH directions run batch-wide through the codec's many-series forms
+(``encode_series_many`` / ``decode_series_many``) — no per-row, and no
+per-SERIES, Python in either hot path.
 """
 
 from __future__ import annotations
@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .bucketing import N_URL_BUCKETS, url_bucket
-from .codec import decode_series_many, encode_series
+from .codec import decode_series_many, encode_series_many
 
 COLD_SCHEMA = (
     "url string, url_hash long, measure string, n_points int, "
@@ -38,24 +38,38 @@ def encode_cold(tier_df: DataFrame, measures: list[str] | None = None,
     src = tier_df.select(*cols).withColumn("_b", url_bucket("url", n_buckets))
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        """Whole-group batch encode: one ``encode_series_many`` call per
+        measure over ALL urls' series at once (codec.py — per-series
+        numpy-call overhead was the cold-write bottleneck at billions
+        of short series; the batch path is ~5× on that shape)."""
         pdf = pdf.sort_values(["url", "bucket_start"], kind="mergesort")
         ts_all = (pdf["bucket_start"].astype("int64") // 1_000_000_000).to_numpy()
-        for url, grp_idx in pdf.groupby("url", sort=False).indices.items():
-            ts = ts_all[grp_idx]
-            uh = int(pdf["url_hash"].iloc[grp_idx[0]])
-            for m in measures:
-                vals = pdf[m].iloc[grp_idx].to_numpy(dtype=np.int64)
-                blob = encode_series(ts, vals)
-                rows.append(
-                    (url, uh, m, len(ts), int(ts[0]), int(ts[-1]),
-                     16 * len(ts), len(blob), blob)
-                )
-        return pd.DataFrame(
-            rows,
-            columns=["url", "url_hash", "measure", "n_points", "t0", "t1",
-                     "raw_bytes", "blob_bytes", "blob"],
+        url_arr = pdf["url"].to_numpy()
+        if len(url_arr) == 0:
+            return pd.DataFrame(
+                columns=["url", "url_hash", "measure", "n_points", "t0", "t1",
+                         "raw_bytes", "blob_bytes", "blob"],
+            )
+        first = np.flatnonzero(
+            np.concatenate([[True], url_arr[1:] != url_arr[:-1]])
         )
+        ns = np.diff(np.concatenate([first, [len(url_arr)]]))
+        urls = url_arr[first]
+        uh = pdf["url_hash"].to_numpy()[first]
+        t0s, t1s = ts_all[first], ts_all[first + ns - 1]
+        frames = []
+        for m in measures:
+            blobs = encode_series_many(
+                ts_all, pdf[m].to_numpy(dtype=np.int64), ns
+            )
+            frames.append(pd.DataFrame(
+                {"url": urls, "url_hash": uh, "measure": m,
+                 "n_points": ns.astype("int64"), "t0": t0s, "t1": t1s,
+                 "raw_bytes": (16 * ns).astype("int64"),
+                 "blob_bytes": np.array([len(b) for b in blobs], dtype="int64"),
+                 "blob": blobs}
+            ))
+        return pd.concat(frames, ignore_index=True)
 
     return src.groupBy("_b").applyInPandas(enc, schema=COLD_SCHEMA)
 

@@ -177,3 +177,45 @@ def test_transposed_batch_decode_floats_and_empty():
 def test_bad_magic_rejected():
     with pytest.raises(ValueError):
         decode_series(b"NOPE" + b"\x00" * 32)
+
+
+def test_encode_series_many_byte_identical():
+    """Batch encode must produce byte-identical blobs to per-series
+    encode_series across mixed lengths (incl. 0/1-point), timestamp
+    classes, and both value kinds."""
+    from chainalytic_framework_spark.operators.codec import encode_series_many
+
+    rng = np.random.default_rng(3)
+    ns = [0, 1, 2, 30, 7, 0, 500, 1, 64, 3]
+    tp, vp, ref = [], [], []
+    for n in ns:
+        ts = (
+            1700000000 + 60 * np.arange(n, dtype=np.int64)
+            if rng.random() < 0.5
+            else 1700000000
+            + np.cumsum(rng.choice([1, 60, 300, 2**35], size=n)).astype(np.int64)
+        )
+        vals = np.where(
+            rng.random(n) < 0.4, 7, np.cumsum(rng.integers(-9, 10, size=n))
+        ).astype(np.int64)
+        tp.append(ts)
+        vp.append(vals)
+        ref.append(encode_series(ts, vals))
+    got = encode_series_many(
+        np.concatenate(tp), np.concatenate(vp).astype(np.int64), np.array(ns)
+    )
+    assert [bytes(b) for b in got] == [bytes(b) for b in ref]
+
+    tp, vp, ref = [], [], []
+    for n in (5, 1, 200, 6):
+        ts = 1700000000 + 60 * np.arange(n, dtype=np.int64)
+        vals = np.where(rng.random(n) < 0.3, 42.5, np.cumsum(rng.standard_normal(n)))
+        if n == 6:
+            vals = np.array([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-308])
+        tp.append(ts)
+        vp.append(vals)
+        ref.append(encode_series(ts, vals))
+    got = encode_series_many(
+        np.concatenate(tp), np.concatenate(vp), np.array([5, 1, 200, 6])
+    )
+    assert [bytes(b) for b in got] == [bytes(b) for b in ref]
