@@ -172,7 +172,10 @@ def start_histogram_stream_to_store(
     def commit_hist(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.append(batch_df, "hist_1m_stream")
+        out = batch_df.withColumn(
+            "bucket_day", F.to_date(F.col("bucket_epoch").cast("timestamp"))
+        )
+        store.append(out, "hist_1m_stream", partition_by=["bucket_day"])
 
     writer = (
         hist.writeStream.outputMode("append")
@@ -203,6 +206,40 @@ def stream_histogram_counts(store: TableStore) -> DataFrame:
         .groupBy("bucket_epoch", "lang", "hb_lo")
         .agg(F.sum("hb_count").alias("hb_count"))
     )
+
+
+def compact_hist_stream_into_batch(store: TableStore, closed_before=None) -> list:
+    """Fold CLOSED days of the streaming histogram partial log into the
+    batch ``hist_1m`` tier — the distribution twin of
+    ``compact_stream_into_batch``: merge the day's partials (dedupe
+    replay duplicates, sum per bucket), union with any existing batch
+    rows for those days OUTSIDE the stream's buckets (batch re-derives
+    win inside them), dynamic-partition-overwrite the days, then drop
+    them from the log. Idempotent; returns the compacted day list."""
+    if not store.exists("hist_1m_stream"):
+        return []
+    log = store.read("hist_1m_stream").distinct()
+    if closed_before is not None:
+        cb = closed_before.date() if hasattr(closed_before, "date") else closed_before
+        log = log.where(F.col("bucket_day") < F.lit(cb))
+    days = [r["bucket_day"] for r in log.select("bucket_day").distinct().collect()]
+    if not days:
+        return []
+    merged = (
+        log.groupBy("bucket_day", "bucket_epoch", "lang", "hb_lo")
+        .agg(F.sum("hb_count").alias("hb_count"))
+        .select("lang", "bucket_epoch", "hb_lo", "hb_count", "bucket_day")
+    )
+    if store.exists("hist_1m"):
+        existing = store.read("hist_1m").where(F.col("bucket_day").isin(days))
+        keep = existing.join(
+            merged.select("bucket_epoch", "lang", "hb_lo").distinct(),
+            ["bucket_epoch", "lang", "hb_lo"], "left_anti",
+        )
+        merged = merged.unionByName(keep.select(merged.columns))
+    store.overwrite_partitions(merged, "hist_1m", ["bucket_day"])
+    store.delete_where_partition("hist_1m_stream", "bucket_day", [str(d) for d in days])
+    return days
 
 
 def serve_distribution(store: TableStore, series_cols=("lang",)) -> DataFrame:

@@ -291,3 +291,50 @@ def test_replay_double_append_is_deduped(spark, tmp_path):
         .count().where(F.col("count") > 1)
     )
     assert dupes.count() == 0
+
+
+def test_compact_hist_stream_into_batch(spark, tmp_path):
+    """Closed stream-histogram days fold into hist_1m exactly (vs batch
+    histogram_rollup), survive replay duplicates, and compaction is
+    idempotent; serve_distribution keeps working afterward."""
+    from chainalytic_framework_spark.operators.histogram import histogram_rollup
+    from chainalytic_framework_spark.streaming.stream import (
+        compact_hist_stream_into_batch,
+        serve_distribution,
+        start_histogram_stream_to_store,
+    )
+
+    pages = generate_pages(spark, 2000).cache()
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    q = start_histogram_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    # replay-inject duplicates before compaction
+    store.append(store.read("hist_1m_stream").limit(30), "hist_1m_stream",
+                 partition_by=["bucket_day"])
+
+    last_day = store.read("hist_1m_stream").agg(
+        F.max("bucket_day")).first()[0]
+    days = compact_hist_stream_into_batch(store, closed_before=last_day)
+    assert days and last_day not in days
+
+    be = (F.col("warc_ts").cast("long") / 60).cast("long") * 60
+    exp = histogram_rollup(
+        pages.where(F.to_date("warc_ts").isin(days)),
+        be, ["lang"], F.length("text").cast("long"),
+    )
+    got = store.read("hist_1m").where(F.col("bucket_day").isin(days)).drop("bucket_day")
+    cols = ["lang", "bucket_epoch", "hb_lo", "hb_count"]
+    assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
+    assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    # log no longer holds the compacted days; a second compaction of the
+    # same horizon is a no-op; the merged read still serves
+    assert store.read("hist_1m_stream").where(
+        F.col("bucket_day").isin(days)).count() == 0
+    assert compact_hist_stream_into_batch(store, closed_before=last_day) == []
+    assert serve_distribution(store).count() > 0
