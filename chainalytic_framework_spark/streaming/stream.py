@@ -98,8 +98,9 @@ def start_stream_to_store(
         if with_sketches:
             store.append(
                 out.groupBy("bucket_start", "lang")
-                .agg(F.hll_sketch_agg("url").alias("url_sketch")),
-                "sketch_1m_stream",
+                .agg(F.hll_sketch_agg("url").alias("url_sketch"))
+                .withColumn("bucket_day", F.to_date("bucket_start")),
+                "sketch_1m_stream", partition_by=["bucket_day"],
             )
         out.unpersist()
 
@@ -206,6 +207,27 @@ def stream_histogram_counts(store: TableStore) -> DataFrame:
         .groupBy("bucket_epoch", "lang", "hb_lo")
         .agg(F.sum("hb_count").alias("hb_count"))
     )
+
+
+def prune_sketch_stream(store: TableStore, closed_before) -> list:
+    """Drop sketch-log days the batch pipeline has re-derived (its
+    ``sketch_1m`` tier is exact for committed days, so the stream
+    partials are redundant there). Day-partitioned → metadata-only
+    deletes. Returns pruned days."""
+    if not store.exists("sketch_1m_stream"):
+        return []
+    cb = closed_before.date() if hasattr(closed_before, "date") else closed_before
+    days = [
+        r["bucket_day"]
+        for r in store.read("sketch_1m_stream")
+        .select("bucket_day").distinct().collect()
+        if r["bucket_day"] < cb
+    ]
+    if days:
+        store.delete_where_partition(
+            "sketch_1m_stream", "bucket_day", [str(d) for d in days]
+        )
+    return days
 
 
 def compact_hist_stream_into_batch(store: TableStore, closed_before=None) -> list:

@@ -338,3 +338,31 @@ def test_compact_hist_stream_into_batch(spark, tmp_path):
         F.col("bucket_day").isin(days)).count() == 0
     assert compact_hist_stream_into_batch(store, closed_before=last_day) == []
     assert serve_distribution(store).count() > 0
+
+
+def test_prune_sketch_stream(spark, tmp_path):
+    from chainalytic_framework_spark.streaming.stream import (
+        prune_sketch_stream,
+        stream_sketch_estimate,
+    )
+
+    pages = generate_pages(spark, 1500)
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    q = start_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True, with_sketches=True,
+    )
+    q.awaitTermination(300)
+    all_days = sorted(
+        r["bucket_day"] for r in
+        store.read("sketch_1m_stream").select("bucket_day").distinct().collect()
+    )
+    assert len(all_days) >= 2
+    pruned = prune_sketch_stream(store, closed_before=all_days[-1])
+    assert sorted(pruned) == all_days[:-1]
+    remaining = {r["bucket_day"] for r in
+                 store.read("sketch_1m_stream").select("bucket_day").distinct().collect()}
+    assert remaining == {all_days[-1]}
+    assert stream_sketch_estimate(store).count() > 0  # still serves the edge
