@@ -134,6 +134,12 @@ def _cmd_serve_quantile(args: argparse.Namespace) -> None:
     store = TableStore(spark, args.warehouse)
     hists = {t: store.read(f"hist_{t}") for t in ("1m", "1h", "1d", "30d")
              if store.exists(f"hist_{t}")}
+    # include the streaming edge when a partial log exists: the merged
+    # history+edge read drops in as the finest routed tier
+    if store.exists("hist_1m_stream"):
+        from .streaming.stream import serve_distribution
+
+        hists["1m"] = serve_distribution(store, series_cols=("lang",))
     if not hists:
         print(json.dumps({"error": "no hist_* tiers in warehouse "
                                    "(run with --with-histograms)"}))

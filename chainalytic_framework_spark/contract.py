@@ -3151,3 +3151,44 @@ def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(
         d.where(F.col("doc_id") >= 50), d.where(F.col("doc_id") < 50), w=8
     )
+
+
+@q(
+    "strip_dup_spans_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+      FROM t WHERE len(toks) >= 8
+    ),
+    s AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS span FROM u),
+    c AS (SELECT span, COUNT(*) AS cnt FROM s GROUP BY 1),
+    dup AS (SELECT s.doc_id, s.i FROM s JOIN c USING (span) WHERE c.cnt > 1),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS j FROM dup),
+    tok AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM t),
+    tok2 AS (SELECT doc_id, j, toks[j] AS tk FROM tok),
+    kept AS (
+      SELECT tok2.doc_id, tok2.j, tok2.tk
+      FROM tok2 LEFT JOIN cov ON cov.doc_id = tok2.doc_id AND cov.j = tok2.j
+      WHERE cov.j IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(tk, ' ' ORDER BY j) AS text, COUNT(*) AS n
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(agg.text, '') AS text,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(len(t.toks) - COALESCE(agg.n, 0) AS BIGINT) AS n_tokens_dropped
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def strip_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup, hash-gated on the
+    reconstructed text itself (operators/dedup.py::strip_dup_spans):
+    every token covered by a corpus-duplicated 8-token span is dropped
+    and the document reassembled. The oracle rebuilds the same kept
+    text by span-string counting + position anti-join — byte equality
+    through the value-hash gate certifies the whole cover/removal
+    pipeline, not just its counts."""
+    from .operators.dedup import strip_dup_spans
+
+    return strip_dup_spans(_t(spark, sf_dir, "documents"), w=8)
