@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -167,4 +168,94 @@ def streaming_fold_with_expiry(pages_stream: DataFrame, watermark: str = "1 minu
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming CUSUM: sequential change detection at the edge
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = "series_key string, ts timestamp, value double, cusum double, alarm boolean"
+CUSUM_STATE_SCHEMA = "s double"
+
+
+def _cusum_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (k_series,) = key
+    s = state.get[0] if state.exists else 0.0
+    outs = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        d = (pdf["value"].to_numpy(dtype="float64") - pdf["k_ref"].to_numpy(dtype="float64"))
+        h = float(pdf["threshold"].iloc[0])
+        # within-batch vectorization via the reflection identity with the
+        # carried S as a prior prefix: S_t = D_t − min(0, min_{j≤t} D_j),
+        # D_t = S_prev + Σ d. Alarm resets re-run the identity from the
+        # crossing point — a loop over ALARMS (rare), not rows.
+        n = len(d)
+        S = np.empty(n, dtype=np.float64)
+        alarm = np.zeros(n, dtype=bool)
+        start, s_run = 0, s
+        while start < n:
+            D = s_run + np.cumsum(d[start:])
+            floor = np.minimum(np.minimum.accumulate(D), 0.0)
+            seg = D - floor
+            cross = np.flatnonzero(seg >= h)
+            if len(cross) == 0:
+                S[start:] = seg
+                s_run = seg[-1] if len(seg) else s_run
+                break
+            c = int(cross[0])
+            S[start : start + c + 1] = seg[: c + 1]
+            alarm[start + c] = True
+            s_run = 0.0  # restart after alarm (standard Page procedure)
+            start = start + c + 1
+        s = float(s_run)
+        outs.append(
+            pd.DataFrame(
+                {
+                    "series_key": k_series,
+                    "ts": pdf["ts"].values,
+                    "value": pdf["value"].to_numpy(dtype="float64"),
+                    "cusum": S,
+                    "alarm": alarm,
+                }
+            )
+        )
+    state.update((s,))
+    yield from outs
+
+
+def streaming_cusum(
+    events_stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    k_ref: float,
+    threshold: float,
+) -> DataFrame:
+    """Per-key sequential change detection (Page's one-sided CUSUM with
+    a FIXED in-control reference — at the edge the reference comes from
+    history, e.g. the batch tier mean, while the BATCH cusum_drift op
+    estimates it in-sample). Keyed state is one double (the running
+    statistic); each micro-batch updates it with the reflection-identity
+    vectorization and restarts at zero after an alarm. Emits every
+    observation with its running statistic and alarm flag — the
+    streaming twin of operators/rolling.py::cusum_drift
+    (parity: tests/test_streaming_stateful.py pins the drain against a
+    scalar reference replay)."""
+    obs = events_stream.select(
+        F.col(key_col).cast("string").alias("series_key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+        F.lit(float(k_ref)).alias("k_ref"),
+        F.lit(float(threshold)).alias("threshold"),
+    )
+    return obs.groupBy("series_key").applyInPandasWithState(
+        _cusum_key,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

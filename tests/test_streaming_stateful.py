@@ -121,3 +121,70 @@ def test_streaming_fold_emits_ttl_expiry_events(spark, tmp_path):
     assert exp[0]["warc_ts"] == t0 + dt.timedelta(seconds=TTL_SECONDS)
     # observation rows unaffected
     assert out.where("NOT expiry_event").count() == 6
+
+
+def test_streaming_cusum_matches_scalar_replay(spark, tmp_path):
+    """Drained streaming CUSUM must equal a scalar Page recursion over
+    each key's ordered values — statistic, alarms, and post-alarm
+    restarts — across micro-batch boundaries (2 files => >=2 batches)."""
+    import datetime as dt
+
+    from chainalytic_framework_spark.streaming.stateful import streaming_cusum
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    vals = {"a": [], "b": []}
+    rng = __import__("random").Random(9)
+    for i in range(400):
+        for k in ("a", "b"):
+            v = rng.gauss(10.0, 1.0) + (3.0 if (k == "a" and i >= 200) else 0.0)
+            rows.append((k, t0 + dt.timedelta(minutes=i), v))
+            vals[k].append(v)
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    src = str(tmp_path / "src")
+    df.where(F.col("ts") < t0 + dt.timedelta(minutes=200)).coalesce(1).write.parquet(src + "/p1")
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes: the file source orders by them
+    df.where(F.col("ts") >= t0 + dt.timedelta(minutes=200)).coalesce(1).write.parquet(src + "/p2")
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out_dir = str(tmp_path / "out")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        streaming_cusum(stream, "k", "ts", "value", k_ref=10.5, threshold=12.0)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["series_key"], r["ts"]): (r["cusum"], r["alarm"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    import pytest as _p
+
+    n_alarms = 0
+    for k in ("a", "b"):
+        s = 0.0
+        for i, v in enumerate(vals[k]):
+            s = max(0.0, s + (v - 10.5))
+            alarm = s >= 12.0
+            ts = t0 + dt.timedelta(minutes=i)
+            g_c, g_a = got[(k, ts)]
+            assert g_c == _p.approx(s, abs=1e-9), (k, i)
+            assert g_a == alarm, (k, i)
+            if alarm:
+                s = 0.0
+                n_alarms += 1
+    assert n_alarms > 0  # the drifted key must actually fire
