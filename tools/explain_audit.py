@@ -197,6 +197,14 @@ def main() -> int:
     ok &= audit("pack chunks: one window sort family, integer-only",
                 contract.pack_chunks_documents(spark, sf),
                 {"max_exchanges": 2})
+    # span table consumed by count-window AND token rebuild; the rebuild
+    # side joins covered positions back — keyed joins only
+    ok &= audit("strip dup spans: hash-window + position anti-join, no cartesian",
+                contract.strip_dup_spans_documents(spark, sf),
+                {"max_exchanges": 6})
+    ok &= audit("contamination: broadcast-eligible benchmark probe",
+                contract.contamination_documents(spark, sf),
+                {"max_exchanges": 5})
 
     # z-order write key must be pure codegen (no UDF, no exchange of its own)
     from chainalytic_framework_spark.operators.zorder import zorder_key
