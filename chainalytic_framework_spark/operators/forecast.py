@@ -48,12 +48,17 @@ def _fit_forecast_group(
     gamma: float | None,
     period: int | None,
     horizon: int,
-) -> np.ndarray:
+    return_fitted: bool = False,
+):
     """(K, horizon) forecasts for K series stacked in a (K, T) matrix
     (rows padded past ``lens`` with anything — masked). Pure numpy,
-    shared by the Spark path and the test reference harness."""
+    shared by the Spark path and the test reference harness.
+    ``return_fitted`` additionally returns the (K, T) ONE-STEP-AHEAD
+    in-sample predictions (NaN before the recursion warms up) — the
+    residual stream anomaly detection consumes."""
     K, T = y_mat.shape
     seasonal = gamma is not None and period is not None
+    fitted = np.full((K, T), np.nan) if return_fitted else None
     if seasonal:
         m = int(period)
         # classic init: level = mean of season 1; trend = per-step gap
@@ -76,6 +81,9 @@ def _fit_forecast_group(
             break
         y = y_mat[:, t]
         prev = level + trend
+        if return_fitted:
+            pred = prev + (season[:, t % m] if seasonal else 0.0)
+            fitted[:, t] = np.where(active, pred, np.nan)
         if seasonal:
             si = season[:, t % m]
             new_level = alpha * (y - si) + (1 - alpha) * prev
@@ -92,6 +100,8 @@ def _fit_forecast_group(
         # season index continues from each series' own last step
         idx = (lens[:, None] + steps[None, :] - 1) % m
         out = out + season[np.arange(K)[:, None], idx]
+    if return_fitted:
+        return out, fitted
     return out
 
 
@@ -178,5 +188,118 @@ def holt_forecast(
             np.repeat(last_ts, h) + steps * np.repeat(step_secs, h), unit="s"
         )
         return pd.DataFrame(out)
+
+    return sel.groupBy("_b").applyInPandas(run, schema=out_schema)
+
+
+def forecast_residual_anomalies(
+    tier_df: DataFrame,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "bucket_start",
+    value_col: str = "point_count",
+    alpha: float = 0.5,
+    beta: float = 0.1,
+    gamma: float | None = None,
+    period: int | None = None,
+    n_mads: float = 6.0,
+    n_buckets: int = N_FORECAST_BUCKETS,
+) -> DataFrame:
+    """Model-based anomaly flags: one-step-ahead Holt(-Winters)
+    residuals thresholded at ``n_mads`` robust deviations — the
+    production anomaly-detection shape (forecast the expected value,
+    flag what the model could not have predicted). Complements the
+    rolling z-score (spikes vs a trailing window) and CUSUM (slow
+    drifts): a seasonal series' nightly dip never alarms here because
+    the model EXPECTS it.
+
+    Per point: (key..., bucket_start, value, yhat, residual, anomaly).
+    Warm-up points (no prediction yet) carry null yhat and never flag.
+    Threshold = median ± n_mads · MAD of the series' own residuals
+    (robust: the anomalies being hunted don't inflate their own
+    threshold the way a stddev would). Same transposed execution and
+    regularity validation as :func:`holt_forecast`."""
+    if gamma is not None and (period is None or period < 2):
+        raise ValueError("seasonal mode needs period >= 2")
+    min_len = (2 * period) if gamma is not None else 3
+    keys = list(key_cols)
+    sel = tier_df.select(
+        *keys,
+        F.col(ts_col).cast("timestamp").cast("long").alias("_ts"),
+        F.col(value_col).cast("double").alias("_y"),
+        F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int").alias("_b"),
+    )
+    out_schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", bucket_start timestamp, value double, yhat double, "
+          "residual double, anomaly boolean"
+    )
+    a, b, g, per, mn, nm = alpha, beta, gamma, period, min_len, n_mads
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {**{k: pd.Series(dtype="object") for k in keys},
+             "bucket_start": pd.Series(dtype="datetime64[us]"),
+             "value": pd.Series(dtype="float64"),
+             "yhat": pd.Series(dtype="float64"),
+             "residual": pd.Series(dtype="float64"),
+             "anomaly": pd.Series(dtype="bool")}
+        )
+        if len(pdf) == 0:
+            return empty
+        pdf = pdf.sort_values([*keys, "_ts"], kind="mergesort")
+        grp = pdf.groupby(keys, sort=False)
+        lens_s = grp.size()
+        keep = lens_s[lens_s >= mn]
+        if len(keep) == 0:
+            return empty
+        K, T = len(keep), int(keep.max())
+        y_mat = np.zeros((K, T), dtype=np.float64)
+        lens = keep.to_numpy().astype(np.int64)
+        idx_map = grp.indices
+        rows_parts = []
+        ts_np = pdf["_ts"].to_numpy()
+        y_np = pdf["_y"].to_numpy()
+        key_rows = []
+        for r, kv in enumerate(keep.index):
+            ridx = idx_map[kv]
+            ts = ts_np[ridx]
+            d = np.diff(ts)
+            if len(d) and (d != d[0]).any():
+                raise ValueError(
+                    f"irregular series for key {kv!r}: gap-fill first"
+                )
+            y_mat[r, : lens[r]] = y_np[ridx]
+            key_rows.append(kv if isinstance(kv, tuple) else (kv,))
+            rows_parts.append(ts)
+        _, fitted = _fit_forecast_group(y_mat, lens, a, b, g, per, 1,
+                                        return_fitted=True)
+        resid = y_mat - fitted  # NaN in warm-up
+        # robust per-series threshold from each series' own residuals
+        med = np.nanmedian(np.where(np.arange(T)[None, :] < lens[:, None],
+                                    resid, np.nan), axis=1)
+        mad = np.nanmedian(
+            np.abs(np.where(np.arange(T)[None, :] < lens[:, None],
+                            resid, np.nan) - med[:, None]), axis=1)
+        thr = nm * np.maximum(mad, 1e-12)
+        anom = np.abs(resid - med[:, None]) > thr[:, None]
+        out = {k: [] for k in keys}
+        ts_out, v_out, f_out, r_out, a_out = [], [], [], [], []
+        for r in range(K):
+            L = lens[r]
+            for i, k in enumerate(keys):
+                out[k].append(np.repeat(key_rows[r][i], L))
+            ts_out.append(rows_parts[r])
+            v_out.append(y_mat[r, :L])
+            f_out.append(fitted[r, :L])
+            r_out.append(resid[r, :L])
+            a_out.append(anom[r, :L] & ~np.isnan(fitted[r, :L]))
+        return pd.DataFrame(
+            {**{k: np.concatenate(v) for k, v in out.items()},
+             "bucket_start": pd.to_datetime(np.concatenate(ts_out), unit="s"),
+             "value": np.concatenate(v_out),
+             "yhat": np.concatenate(f_out),
+             "residual": np.concatenate(r_out),
+             "anomaly": np.concatenate(a_out)}
+        )
 
     return sel.groupBy("_b").applyInPandas(run, schema=out_schema)

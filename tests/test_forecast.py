@@ -135,3 +135,30 @@ def test_short_series_dropped(spark):
     rows = [("u", t0, 1.0), ("u", t0 + dt.timedelta(hours=1), 2.0)]
     df = spark.createDataFrame(rows, "url string, bucket_start timestamp, point_count double")
     assert holt_forecast(df, horizon=2).count() == 0
+
+
+def test_residual_anomalies_flag_planted_spike(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in ("good", "spiky"):
+        for i in range(72):
+            v = 100.0 + 10 * math.sin(i * 2 * math.pi / 24) + 0.1 * ((i * 7) % 5)
+            if u == "spiky" and i == 60:
+                v += 500.0
+            rows.append((u, t0 + dt.timedelta(hours=i), v))
+    df = spark.createDataFrame(rows, "url string, bucket_start timestamp, point_count double")
+    from chainalytic_framework_spark.operators.forecast import (
+        forecast_residual_anomalies,
+    )
+
+    out = forecast_residual_anomalies(
+        df, alpha=0.4, beta=0.1, gamma=0.3, period=24, n_mads=8.0
+    ).collect()
+    flags = {(r["url"], r["bucket_start"]) for r in out if r["anomaly"]}
+    assert ("spiky", t0 + dt.timedelta(hours=60)) in flags
+    assert not any(u == "good" for u, _ in flags)
+    # warm-up rows carry null yhat and never flag
+    warm = [r for r in out if r["bucket_start"] < t0 + dt.timedelta(hours=24)]
+    assert warm and all(r["yhat"] is None and not r["anomaly"] for r in warm)
