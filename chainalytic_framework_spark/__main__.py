@@ -160,6 +160,57 @@ def _cmd_serve_quantile(args: argparse.Namespace) -> None:
                       "rows": [r.asDict() for r in rows]}, default=str))
 
 
+def _cmd_forecast(args: argparse.Namespace) -> None:
+    """Per-key Holt(-Winters) forecast over a stored tier (gap-fill the
+    tier first for url grain; lang grain is dense already)."""
+    from .operators.forecast import holt_forecast
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    from pyspark.sql import functions as F
+
+    spark = get_active_or_build(app_name="cfs-forecast")
+    store = TableStore(spark, args.warehouse)
+    tier = store.read(f"tier_{args.tier}")
+    if args.gapfill:
+        from .operators.gapfill import gapfill_locf
+
+        tier = gapfill_locf(tier, args.tier)
+    keys = args.keys.split(",")
+    # collapse to the requested key grain (tier tables are url grain):
+    # one row per (keys, bucket)
+    tier = tier.groupBy(*keys, "bucket_start").agg(
+        F.sum(args.measure).alias(args.measure)
+    )
+    if args.zero_fill:
+        # additive count measures: an empty bucket IS zero (unlike LOCF
+        # state carry) — dense per-key spine, missing buckets -> 0
+        from .operators.bucketing import SECONDS
+
+        secs = SECONDS[args.tier]
+        bounds = tier.groupBy(*keys).agg(
+            F.min("bucket_start").alias("_b0"), F.max("bucket_start").alias("_b1")
+        )
+        spine = bounds.select(
+            *keys,
+            F.explode(
+                F.expr(f"sequence(_b0, _b1, interval {secs} seconds)")
+            ).alias("bucket_start"),
+        )
+        tier = spine.join(tier, [*keys, "bucket_start"], "left").fillna(
+            {args.measure: 0}
+        )
+    df = holt_forecast(
+        tier, key_cols=tuple(keys), value_col=args.measure,
+        alpha=args.alpha, beta=args.beta,
+        gamma=args.gamma, period=args.period, horizon=args.horizon,
+    )
+    rows = df.orderBy(*args.keys.split(","), "step").limit(args.limit).collect()
+    print(json.dumps({"tier": args.tier, "measure": args.measure,
+                      "horizon": args.horizon,
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="chainalytic_framework_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -221,6 +272,24 @@ def main(argv: list[str] | None = None) -> None:
     sq.add_argument("--limit", type=int, default=50)
     sq.add_argument("--retention-now", default=None)
     sq.set_defaults(fn=_cmd_serve_quantile)
+
+    fc = sub.add_parser("forecast", help="Holt(-Winters) forecast over a stored tier")
+    fc.add_argument("--warehouse", required=True)
+    fc.add_argument("--tier", default="1h")
+    fc.add_argument("--measure", default="point_count")
+    fc.add_argument("--keys", default="lang", help="comma-separated key cols")
+    fc.add_argument("--horizon", type=int, default=12)
+    fc.add_argument("--alpha", type=float, default=0.5)
+    fc.add_argument("--beta", type=float, default=0.1)
+    fc.add_argument("--gamma", type=float, default=None)
+    fc.add_argument("--period", type=int, default=None)
+    fc.add_argument("--gapfill", action="store_true",
+                    help="LOCF gap-fill the tier before fitting (url grain)")
+    fc.add_argument("--zero-fill", action="store_true",
+                    help="dense per-key spine, missing buckets = 0 "
+                         "(additive count measures)")
+    fc.add_argument("--limit", type=int, default=50)
+    fc.set_defaults(fn=_cmd_forecast)
 
     args = p.parse_args(argv)
     args.fn(args)
