@@ -5,9 +5,14 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "docs_per_sec": ...}
 
 Headliners: the engine's full pages pipeline (synth → 1m rollup →
-cascade 1h/1d/30d → gap-fill; docs/sec is measured on this) plus the
-representative contract queries over the driver testdata tables.
-Every query is forced end-to-end with a noop sink (no driver collect).
+cascade 1h/1d/30d → gap-fill; docs/sec is measured on this), a
+cold-tier encode+decode roundtrip, plus representative contract
+queries over the driver testdata tables. Every query is forced
+end-to-end with a noop sink (no driver collect).
+
+NOTE on cross-round comparisons: the headline `value` is the SUM of
+per-entry walls, and the entry list GROWS across rounds — compare
+per-query timings (and docs_per_sec), not the total.
 """
 
 from __future__ import annotations
@@ -140,7 +145,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # value = sum of per-entry best-of-2 walls (NOT the harness's own
-    # double-run overhead) — comparable across rounds
+    # double-run overhead); see the module note on cross-round reads
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -219,3 +219,47 @@ def test_encode_series_many_byte_identical():
         np.concatenate(tp), np.concatenate(vp), np.array([5, 1, 200, 6])
     )
     assert [bytes(b) for b in got] == [bytes(b) for b in ref]
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_property_encode_many_matches_per_series(data):
+    """Randomized ragged batches (empty/1-point/irregular series, both
+    value kinds) — batch encode must stay byte-identical to per-series
+    encode, and batch decode must invert it."""
+    from chainalytic_framework_spark.operators.codec import (
+        decode_series_many,
+        encode_series_many,
+    )
+
+    kind = data.draw(st.sampled_from(["int", "float"]))
+    ns = data.draw(st.lists(st.integers(min_value=0, max_value=40),
+                            min_size=1, max_size=12))
+    tp, vp, ref = [], [], []
+    for n in ns:
+        deltas = data.draw(st.lists(
+            st.integers(min_value=0, max_value=2**34),
+            min_size=n, max_size=n))
+        ts = 1700000000 + np.cumsum(np.array(deltas, dtype=np.int64))
+        if kind == "int":
+            vals = np.array(data.draw(st.lists(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                min_size=n, max_size=n)), dtype=np.int64)
+        else:
+            vals = np.array(data.draw(st.lists(
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+                min_size=n, max_size=n)), dtype=np.float64)
+        tp.append(ts)
+        vp.append(vals)
+        ref.append(encode_series(ts, vals))
+    ts_flat = np.concatenate(tp) if tp else np.array([], dtype=np.int64)
+    vals_flat = np.concatenate(vp) if vp else np.array(
+        [], dtype=np.int64 if kind == "int" else np.float64)
+    got = encode_series_many(ts_flat, vals_flat, np.array(ns))
+    assert [bytes(b) for b in got] == [bytes(b) for b in ref]
+    offs, tsd, vd = decode_series_many(got)
+    np.testing.assert_array_equal(tsd, ts_flat)
+    if kind == "float":
+        np.testing.assert_array_equal(vd.view(np.uint64), vals_flat.view(np.uint64))
+    else:
+        np.testing.assert_array_equal(vd, vals_flat)
