@@ -3192,3 +3192,52 @@ def strip_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import strip_dup_spans
 
     return strip_dup_spans(_t(spark, sf_dir, "documents"), w=8)
+
+
+_EMB_DEDUP_X1E4 = 9500  # near-dup edge: cosine >= 0.95
+
+
+@q(
+    "embedding_dedup_groups",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS BIGINT) AS bucket
+      FROM embeddings),
+    vpairs AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+      WHERE CAST(round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                              CAST(r.embedding AS DOUBLE[])) * 10000)
+                 AS BIGINT) >= {_EMB_DEDUP_X1E4}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM vpairs
+            UNION SELECT id_b, id_a FROM vpairs),
+    reach(node, r) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT reach.node, s.b FROM reach JOIN sym s ON s.a = reach.r),
+    comp AS (SELECT node, least(node, MIN(r)) AS component
+             FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           CAST(COALESCE(c.component, e.vec_id) AS BIGINT) AS group_id,
+           (COALESCE(c.component, e.vec_id) = e.vec_id) AS is_representative
+    FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+    """,
+)
+def embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space near-dup groups: connected components
+    (large-star/small-star, operators/components.py) over the
+    hyperplane-LSH-bucketed cosine pair graph thresholded at 0.95 —
+    the semantic-dedup companion of the shingle-based
+    ``dedup_groups_documents`` (same component machinery, a different
+    edge source: vectors instead of text). Oracle = recursive-CTE
+    transitive closure over the same bucketed pair SQL that gates
+    ``embedding_neardup_pairs``."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        _sim.cosine_pairs_over_threshold(e, _PLANES, threshold=-2.0)
+        .where(F.round(F.col("cos_sim") * 10000, 0).cast("long") >= _EMB_DEDUP_X1E4)
+        .select("id_a", "id_b")
+    )
+    return _cc.dedup_groups(e, pairs, id_col="vec_id").select(
+        "vec_id", "group_id", "is_representative"
+    )
