@@ -184,3 +184,62 @@ def bpe_token_counts(
     return docs.select(id_col, text_col).mapInPandas(
         run, schema="doc_id long, n_words long, n_bpe_tokens long"
     )
+
+
+def bpe_vocab(merges: list[tuple[str, str]], counts: list[tuple[str, int]]) -> list[str]:
+    """Deterministic id→symbol table: base symbols (all characters seen
+    in the word list, sorted, plus ``</w>``) followed by one merged
+    symbol per merge in learned order — the standard BPE vocab layout,
+    so ids are stable across retrains that only APPEND merges."""
+    base = sorted({ch for w, _ in counts for ch in w})
+    vocab = base + [END]
+    seen = set(vocab)
+    for a, b in merges:
+        sym = a + b
+        if sym not in seen:
+            vocab.append(sym)
+            seen.add(sym)
+    return vocab
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """(id, token_ids array<int>): the materialized training-token
+    stream — ``pack_chunks`` consumes its lengths, shard writers
+    consume the arrays. Same broadcast-rank + per-unique-word
+    memoization as :func:`bpe_token_counts`; symbols outside the vocab
+    (unseen characters) map to ``unk_id``."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    vid = {s: i for i, s in enumerate(vocab)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+
+        def ids(word: str) -> list[int]:
+            out = cache.get(word)
+            if out is None:
+                out = [vid.get(s, unk_id) for s in bpe_segment(word, ranks)]
+                cache[word] = out
+            return out
+
+        for pdf in batches:
+            words = pdf[text_col].str.lower().str.split()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "token_ids": [
+                        [i for w in ws for i in ids(w)] if isinstance(ws, list) else []
+                        for ws in words
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema="doc_id long, token_ids array<int>"
+    )

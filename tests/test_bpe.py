@@ -79,3 +79,33 @@ def test_word_frequencies_bounded_and_ordered(spark, pages):
     assert len(wf) == 50
     counts = [c for _, c in wf]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_vocab_and_encode_ids_roundtrip(spark):
+    from chainalytic_framework_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train_from_counts,
+        bpe_vocab,
+    )
+
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe_train_from_counts(counts, 8)
+    vocab = bpe_vocab(merges, counts)
+    assert vocab[: len(set("lowernewstid"))] == sorted(set("lowernewstid"))
+    assert END in vocab and len(vocab) == len(set(vocab))
+
+    docs = spark.createDataFrame(
+        [(1, "low lowest"), (2, "newest zebra"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: list(r["token_ids"])
+           for r in bpe_encode_ids(docs, merges, vocab).collect()}
+    # ids decode back to the exact lowercased words (END markers included)
+    def decode(ids):
+        return "".join(vocab[i] for i in ids if i >= 0).replace(END, " ").strip()
+
+    assert decode(out[1]) == "low lowest"
+    # 'z', 'b', 'a', 'r' are unseen base chars -> unk ids (-1)
+    assert -1 in out[2]
+    assert decode(out[2]).startswith("newest")
+    assert out[3] == []
