@@ -66,6 +66,13 @@ def topk_partial_rollup(
         .groupBy("bucket_epoch", "key")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return topk_partial_from_counts(counts, k)
+
+
+def topk_partial_from_counts(counts: DataFrame, k: int) -> DataFrame:
+    """Partial from an ALREADY-AGGREGATED (bucket_epoch, key, cnt)
+    table — shared by the batch rollup above and the streaming edge
+    (finalized window counts arrive pre-aggregated in foreachBatch)."""
     w = Window.partitionBy("bucket_epoch").orderBy(F.col("cnt").desc(), F.col("key").asc())
     wb = Window.partitionBy("bucket_epoch")
     dropped_cnt = F.when(F.col("_rn") > k, F.col("cnt"))

@@ -209,6 +209,66 @@ def stream_histogram_counts(store: TableStore) -> DataFrame:
     )
 
 
+def start_heavyhitter_stream_to_store(
+    spark: SparkSession,
+    pages_path: str,
+    store: TableStore,
+    checkpoint_dir: str,
+    k: int = 20,
+    watermark: str = "10 minutes",
+    trigger_available_now: bool = True,
+):
+    """Streaming heavy-hitter partials — the last mergeable-summary
+    family to get a streaming edge (tier counts, HLL sketches and
+    histograms already have one): per finalized 1m window, a
+    Misra-Gries-style top-k partial with truncation bounds
+    (operators/heavyhitters.py) is appended to the ``hh_1m_stream``
+    log (day-partitioned). The read path merges the log with
+    ``topk_partial_merge`` — the identical merge the batch cascade
+    uses, so edge and history compose."""
+    from ..operators.heavyhitters import topk_partial_from_counts
+
+    counts = (
+        read_pages_stream(spark, pages_path)
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 minute").alias("win"), F.col("url"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").cast("long").alias("bucket_epoch"),
+            F.col("url").alias("key"),
+            "cnt",
+        )
+    )
+
+    def commit_hh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = topk_partial_from_counts(batch_df, k).withColumn(
+            "bucket_day", F.to_date(F.col("bucket_epoch").cast("timestamp"))
+        )
+        store.append(out, "hh_1m_stream", partition_by=["bucket_day"])
+
+    writer = (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(commit_hh)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_heavy_hitters(store: TableStore, parent_secs: int = 3600,
+                         k: int = 20) -> DataFrame:
+    """Heavy hitters over the streaming partial log, merged to
+    ``parent_secs`` buckets — replay-safe via the same deterministic-
+    duplicate distinct as the histogram log."""
+    from ..operators.heavyhitters import topk_partial_merge
+
+    log = store.read("hh_1m_stream").drop("bucket_day").distinct()
+    return topk_partial_merge(log, parent_secs, k)
+
+
 def prune_sketch_stream(store: TableStore, closed_before) -> list:
     """Drop sketch-log days the batch pipeline has re-derived (its
     ``sketch_1m`` tier is exact for committed days, so the stream

@@ -366,3 +366,50 @@ def test_prune_sketch_stream(spark, tmp_path):
                  store.read("sketch_1m_stream").select("bucket_day").distinct().collect()}
     assert remaining == {all_days[-1]}
     assert stream_sketch_estimate(store).count() > 0  # still serves the edge
+
+
+def test_stream_heavy_hitters_match_batch(spark, tmp_path):
+    """Drained streaming heavy-hitter partials, merged at 1h, must
+    equal the batch partial rollup + merge over the finalized region
+    (identical merge code → parity is exact rows), and survive
+    replay-injected duplicates."""
+    import datetime as dt
+
+    from chainalytic_framework_spark.operators.heavyhitters import (
+        topk_partial_merge,
+        topk_partial_rollup,
+    )
+    from chainalytic_framework_spark.streaming.stream import (
+        start_heavyhitter_stream_to_store,
+        stream_heavy_hitters,
+    )
+
+    pages = generate_pages(spark, 2500).cache()
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    q = start_heavyhitter_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt"), k=10,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    # replay injection
+    store.append(store.read("hh_1m_stream").limit(20), "hh_1m_stream",
+                 partition_by=["bucket_day"])
+
+    horizon = int(
+        (pages.agg(F.max("warc_ts")).first()[0] - dt.timedelta(minutes=11)).timestamp()
+    )
+    got = (
+        stream_heavy_hitters(store, parent_secs=3600, k=10)
+        .where(F.col("bucket_epoch") < (horizon // 3600) * 3600)
+    )
+    be = (F.col("warc_ts").cast("long") / 60).cast("long") * 60
+    finalized = pages.where(F.col("warc_ts").cast("long") < F.lit(horizon))
+    exp = topk_partial_merge(
+        topk_partial_rollup(finalized, be, "url", 10), 3600, 10
+    ).where(F.col("bucket_epoch") < (horizon // 3600) * 3600)
+    cols = ["bucket_epoch", "key", "cnt_lb", "err", "exact"]
+    assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
+    assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
+    assert got.count() > 0
