@@ -160,6 +160,56 @@ def _cmd_serve_quantile(args: argparse.Namespace) -> None:
                       "rows": [r.asDict() for r in rows]}, default=str))
 
 
+def _cmd_stream(args: argparse.Namespace) -> None:
+    """Drain the pages stream into the warehouse (availableNow) and
+    optionally fold closed days into the batch tiers — the operational
+    form of the streaming edge: run it on a schedule between batch
+    pipeline increments."""
+    from .streaming.stream import (
+        compact_hist_stream_into_batch,
+        compact_stream_into_batch,
+        start_heavyhitter_stream_to_store,
+        start_histogram_stream_to_store,
+        start_stream_to_store,
+    )
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-stream")
+    store = TableStore(spark, args.warehouse)
+    q = start_stream_to_store(
+        spark, args.input, store, checkpoint_dir=args.checkpoint + "/tier",
+        trigger_available_now=True, with_sketches=args.with_sketches,
+    )
+    q.awaitTermination()
+    if args.with_histograms:
+        qh = start_histogram_stream_to_store(
+            spark, args.input, store, checkpoint_dir=args.checkpoint + "/hist",
+            trigger_available_now=True,
+        )
+        qh.awaitTermination()
+    if args.with_heavyhitters:
+        qq = start_heavyhitter_stream_to_store(
+            spark, args.input, store, checkpoint_dir=args.checkpoint + "/hh",
+            trigger_available_now=True,
+        )
+        qq.awaitTermination()
+    result = {"drained": True}
+    if args.compact_closed:
+        import pyspark.sql.functions as F
+
+        wm = store.read("tier_1m_stream").agg(F.max("bucket_day")).first()[0] \
+            if store.exists("tier_1m_stream") else None
+        result["compacted_tier_days"] = [
+            str(d) for d in compact_stream_into_batch(store, closed_before=wm)
+        ]
+        if args.with_histograms and store.exists("hist_1m_stream"):
+            result["compacted_hist_days"] = [
+                str(d) for d in compact_hist_stream_into_batch(store, closed_before=wm)
+            ]
+    print(json.dumps(result))
+
+
 def _cmd_forecast(args: argparse.Namespace) -> None:
     """Per-key Holt(-Winters) forecast over a stored tier (gap-fill the
     tier first for url grain; lang grain is dense already)."""
@@ -272,6 +322,17 @@ def main(argv: list[str] | None = None) -> None:
     sq.add_argument("--limit", type=int, default=50)
     sq.add_argument("--retention-now", default=None)
     sq.set_defaults(fn=_cmd_serve_quantile)
+
+    sm = sub.add_parser("stream", help="drain the pages stream into the warehouse")
+    sm.add_argument("--input", required=True, help="pages parquet dir (file stream)")
+    sm.add_argument("--warehouse", required=True)
+    sm.add_argument("--checkpoint", required=True)
+    sm.add_argument("--with-sketches", action="store_true")
+    sm.add_argument("--with-histograms", action="store_true")
+    sm.add_argument("--with-heavyhitters", action="store_true")
+    sm.add_argument("--compact-closed", action="store_true",
+                    help="fold closed stream days into the batch tiers")
+    sm.set_defaults(fn=_cmd_stream)
 
     fc = sub.add_parser("forecast", help="Holt(-Winters) forecast over a stored tier")
     fc.add_argument("--warehouse", required=True)
