@@ -43,12 +43,84 @@ def q(name: str, sql: str | None):
     return deco
 
 
+# The driver's correctness gate snapshots exactly the FIRST 50 entries of
+# queries() in dict order.  Rounds 1-3 certified the first 50 registrations;
+# round 4 rotates the 39 never-gated queries into the snapshot window,
+# keeping one core representative per operator family (rollup, cascade,
+# distinct-count, topk, gapfill, join, fold/asof, TPC-H, exact dedup,
+# LSH-verified dedup, ANN) for cross-round continuity.  Registration order
+# in this file is unchanged; only the exported dict order differs.
+_GATE_PRIORITY = [
+    # 11 core representatives already certified in r01-r03
+    "rollup_1m_events",
+    "rollup_1h_cascade_events",
+    "distinct_users_daily_events",
+    "topk_users_events",
+    "gapfill_locf_events",
+    "join_revenue_by_nation",
+    "asof_join_events",
+    "tpch_q1_lineitem",
+    "dedup_exact_documents",
+    "lsh_verified_pairs_documents",
+    "knn_bruteforce_embeddings",
+    # 39 queries green locally every round but never in the driver snapshot
+    "dedup_survivors_documents",
+    "hash_sample_documents",
+    "stratified_sample_documents",
+    "reservoir_per_group_documents",
+    "tfidf_top_terms_documents",
+    "incremental_lsh_pairs_documents",
+    "curation_pipeline_documents",
+    "gapfill_interp_events",
+    "counter_increase_events",
+    "time_weighted_avg_events",
+    "lttb_downsample_events",
+    "moving_window_events",
+    "zscore_anomaly_events",
+    "seasonal_profile_events",
+    "snapshot_diff_events",
+    "repetition_documents",
+    "histogram_1h_events",
+    "histogram_p90_daily_events",
+    "cusum_drift_events",
+    "ewma_1h_events",
+    "heavy_hitters_daily_events",
+    "term_stats_documents",
+    "term_search_documents",
+    "url_canonicalize_documents",
+    "cohort_retention_events",
+    "unigram_surprisal_documents",
+    "routed_range_events",
+    "correlation_pairs_events",
+    "path_prefix_rollup_documents",
+    "rollup_grouping_sets_documents",
+    "html_extract_documents",
+    "curation_score_documents",
+    "routed_p90_events",
+    "dup_span_stats_documents",
+    "bpe_word_freq_documents",
+    "pack_chunks_documents",
+    "contamination_documents",
+    "strip_dup_spans_documents",
+    "embedding_dedup_groups",
+]
+
+
+def _gate_order(d: dict) -> dict:
+    missing = [n for n in _GATE_PRIORITY if n not in _QUERIES]
+    if missing:  # fail loudly: a rename must not silently shrink gate coverage
+        raise KeyError(f"_GATE_PRIORITY names not registered: {missing}")
+    ordered = {n: d[n] for n in _GATE_PRIORITY if n in d}
+    ordered.update({n: v for n, v in d.items() if n not in ordered})
+    return ordered
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _gate_order(dict(_QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _gate_order(dict(_ORACLES))
 
 
 # integer-cents value: exact, order-insensitive (lazy: Column needs a session)
