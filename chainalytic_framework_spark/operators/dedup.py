@@ -386,22 +386,31 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     (``dup_span_stats_documents``).
 
     Scale shape: spans are counted by 64-bit hash (never shuffling the
-    span strings — ~8 bytes/span instead of ~50), one shuffle on the
-    hash (window count), one shuffle for the per-doc rollup. Hash
-    collisions can only overcount n_dup_spans by ~n²/2⁶⁴ — negligible
-    and one-sided; the gate sf has none."""
+    span strings — ~8 bytes/span instead of ~50). The multiplicity is a
+    ``groupBy(_h).count()`` — map-side partial aggregation collapses a
+    hot span (web boilerplate at 10⁸-10⁹ copies) to one row per input
+    partition BEFORE the shuffle — filtered to the (much smaller) set
+    of duplicated hashes and joined back; AQE's skew-join splits the
+    join where a ``Window.partitionBy(_h)`` count could not be split
+    (one straggler task per hot span). Same shape as the incremental
+    ``commit_span_counts`` log. Hash collisions can only overcount
+    n_dup_spans by ~n²/2⁶⁴ — negligible and one-sided; the gate sf has
+    none."""
     sp = span_positions(docs, text_col, id_col, w).withColumn(
         "_h", F.xxhash64("span")
     ).drop("span")
-    from pyspark.sql import Window
-
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("_h"))
-    per = sp.withColumn("_cnt", cnt)
+    dup_h = (
+        sp.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") > 1)
+        .select("_h", F.lit(True).alias("_dup"))
+    )
+    per = sp.join(dup_h, "_h", "left")
     return (
         per.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("_cnt") > 1).cast("long")).alias("n_dup_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(False)).cast("long")).alias("n_dup_spans"),
         )
         .select(
             id_col, "n_spans", "n_dup_spans",
@@ -415,8 +424,10 @@ def strip_dup_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
                     w: int = 8) -> DataFrame:
     """The removal half of exact-substring dedup: every token covered by
     ANY duplicated span (corpus count > 1) is dropped and the text
-    reassembled — all JVM array ops after the same hash-count shuffle
-    as :func:`dup_span_stats`; no Python in the row path.
+    reassembled — all JVM array ops after the same skew-safe
+    groupBy-count + semi-join shape as :func:`dup_span_stats` (hot-span
+    multiplicity collapses map-side; no per-hash window task); no
+    Python in the row path.
 
     Returns (id, {text_col} with covered tokens removed, n_tokens_kept,
     n_tokens_dropped). Docs with no spans (shorter than w) pass through
@@ -425,11 +436,14 @@ def strip_dup_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     substring; covering-token removal is the w-gram approximation of
     the same cut)."""
     sp = span_positions(docs, text_col, id_col, w).withColumn("_h", F.xxhash64("span"))
-    from pyspark.sql import Window
-
-    dup_starts = (
-        sp.withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h")))
+    dup_h = (
+        sp.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
         .where(F.col("_cnt") > 1)
+        .select("_h")
+    )
+    dup_starts = (
+        sp.join(dup_h, "_h", "left_semi")
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("_starts"))
     )

@@ -29,6 +29,10 @@ def audit(name: str, df, expect: dict) -> bool:
         "take_ordered": ("TakeOrderedAndProject" in plan) == expect.get("take_ordered", "TakeOrderedAndProject" in plan),
         "no_cartesian": "CartesianProduct" not in plan or expect.get("allow_cartesian", False),
     }
+    if expect.get("no_window"):
+        # skew guard: a Window.partitionBy on a high-multiplicity key makes
+        # one unsplittable task per hot key; groupBy+join shapes must be used
+        checks["no_window"] = not re.search(r"\bWindow\b", plan)
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if expect.get("pushed_filters"):
         checks["pushed_filters"] = bool(pushed and pushed.group(1).strip())
@@ -188,20 +192,20 @@ def main() -> int:
     ok &= audit("routed p90: per-tier hist branches + merge + quantile window",
                 contract.routed_p90_events(spark, sf),
                 {"max_exchanges": 12})
-    ok &= audit("dup spans: ONE hash-window shuffle + per-doc rollup",
+    ok &= audit("dup spans: groupBy-count + join back, NO per-hash window",
                 contract.dup_span_stats_documents(spark, sf),
-                {"max_exchanges": 3})
+                {"max_exchanges": 4, "no_window": True})
     ok &= audit("bpe word freq: single agg shuffle + bounded topk",
                 contract.bpe_word_freq_documents(spark, sf),
                 {"max_exchanges": 2, "take_ordered": True})
     ok &= audit("pack chunks: one window sort family, integer-only",
                 contract.pack_chunks_documents(spark, sf),
                 {"max_exchanges": 2})
-    # span table consumed by count-window AND token rebuild; the rebuild
-    # side joins covered positions back — keyed joins only
-    ok &= audit("strip dup spans: hash-window + position anti-join, no cartesian",
+    # span table consumed by dup-hash semi-join AND token rebuild; the
+    # rebuild side joins covered positions back — keyed joins only
+    ok &= audit("strip dup spans: dup-hash semi-join + position join, no window",
                 contract.strip_dup_spans_documents(spark, sf),
-                {"max_exchanges": 6})
+                {"max_exchanges": 7, "no_window": True})
     ok &= audit("contamination: broadcast-eligible benchmark probe",
                 contract.contamination_documents(spark, sf),
                 {"max_exchanges": 5})
