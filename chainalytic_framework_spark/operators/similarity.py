@@ -170,12 +170,54 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], centroids: list[list[float]
     )
 
 
+MAX_LSH_BUCKET_WIDTH = 10_000
+
+
 def cosine_pairs_over_threshold(emb: DataFrame, planes: list[list[float]],
                                 threshold: float = 0.9, id_col: str = "vec_id",
-                                vec_col: str = "embedding") -> DataFrame:
+                                vec_col: str = "embedding",
+                                max_bucket_width: int | None = MAX_LSH_BUCKET_WIDTH,
+                                ) -> DataFrame:
     """Embedding near-dup pairs: candidate generation within LSH buckets,
-    exact cosine verification, threshold filter."""
+    exact cosine verification, threshold filter.
+
+    Width guard (VERDICT r3 wrong-item #2): a degenerate bucket — zero
+    vectors, templated pages embedded identically — makes the
+    within-bucket self-join silently quadratic. Widths are counted
+    first (tiny agg, reuses the bucket column) and checked lazily with
+    ``assert_true`` on the broadcast-joined width column, so the job
+    FAILS LOUDLY (mirroring ``router.check_routable``) the moment any
+    bucket exceeds ``max_bucket_width`` instead of grinding one W²/2
+    task. Default 10k caps a bucket's pair count at ~5·10⁷ — one
+    task-sized unit. Remedies on trip: add planes (halves expected
+    width per plane), or run exact dedup first so identical vectors
+    collapse to one representative. ``max_bucket_width=None`` disables.
+    When no bucket trips, results are bit-identical to the unguarded
+    form (the oracle pairing is unchanged)."""
     b = hyperplane_lsh_buckets(emb, planes, id_col, vec_col)
+    if max_bucket_width is not None:
+        widths = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_w"))
+        checked = widths.select(
+            "bucket",
+            F.assert_true(
+                F.col("_w") <= max_bucket_width,
+                F.concat(
+                    F.lit("LSH bucket "), F.col("bucket").cast("string"),
+                    F.lit(" holds "), F.col("_w").cast("string"),
+                    F.lit(f" vectors (> max_bucket_width={max_bucket_width}); the"
+                          " within-bucket self-join would go quadratic — add"
+                          " hyperplanes or exact-dedup identical vectors first"),
+                ),
+            ).alias("_chk"),
+        )
+        # the assert must survive column pruning: route it through a filter
+        # (assert_true yields NULL on pass, so isNull() keeps every row but
+        # forces evaluation — a bare .drop would let Catalyst prune it away)
+        b = (
+            b.join(F.broadcast(checked), "bucket")
+            .where(F.col("_chk").isNull())
+            .drop("_chk")
+        )
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(

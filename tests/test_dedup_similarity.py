@@ -308,3 +308,35 @@ def test_dup_span_skewed_hot_span_no_window(spark):
     assert out[42]["n_tokens_dropped"] == 9
     assert out[42]["text"] == "tail42 a42 b42 c42 d42 e42 f42 g42 h42"
     assert out[10_000]["n_tokens_dropped"] == 0
+
+
+def test_cosine_pairs_bucket_width_guard(spark):
+    """Degenerate LSH bucket (identical vectors) must FAIL LOUDLY at the
+    configured cap instead of silently going quadratic; under the cap
+    results equal the unguarded form."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from chainalytic_framework_spark.operators.similarity import (
+        cosine_pairs_over_threshold,
+        projection_planes,
+    )
+
+    planes = projection_planes(dim=4, n_planes=4)
+    # 50 identical vectors -> one bucket of width 50 (plus two normals)
+    rows = [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(50)]
+    rows += [(100, [0.9, -1.0, 0.3, 0.0]), (101, [-0.4, 0.2, 1.0, -0.7])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    guarded = cosine_pairs_over_threshold(emb, planes, threshold=0.99,
+                                          max_bucket_width=20)
+    with pytest.raises(Py4JJavaError, match="max_bucket_width"):
+        guarded.collect()
+
+    loose = cosine_pairs_over_threshold(emb, planes, threshold=0.99,
+                                        max_bucket_width=64)
+    open_ = cosine_pairs_over_threshold(emb, planes, threshold=0.99,
+                                        max_bucket_width=None)
+    got = sorted((r["id_a"], r["id_b"]) for r in loose.collect())
+    exp = sorted((r["id_a"], r["id_b"]) for r in open_.collect())
+    assert got == exp and len(got) == 50 * 49 // 2
