@@ -135,8 +135,10 @@ def holt_forecast(
         F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int").alias("_b"),
     )
 
+    # key types come from the INPUT schema (ADVICE r3: hardcoding string
+    # broke/coerced numeric key grains, e.g. CLI --keys over int columns)
     out_schema = (
-        ", ".join(f"{k} string" for k in keys)
+        ", ".join(f"{k} {tier_df.schema[k].dataType.simpleString()}" for k in keys)
         + ", step int, yhat double, bucket_start timestamp"
     )
     a, b, g, per, h, mn = alpha, beta, gamma, period, horizon, min_len
@@ -167,10 +169,10 @@ def holt_forecast(
             ridx = idx_map[kv]
             ts = pdf["_ts"].to_numpy()[ridx]
             d = np.diff(ts)
-            if len(d) and (d != d[0]).any():
+            if len(d) and ((d != d[0]).any() or d[0] <= 0):
                 raise ValueError(
-                    f"irregular series for key {kv!r}: gap-fill first "
-                    f"(operators/gapfill.py)"
+                    f"irregular or non-increasing series for key {kv!r}: "
+                    f"dedupe buckets / gap-fill first (operators/gapfill.py)"
                 )
             y_mat[r, : lens[r]] = pdf["_y"].to_numpy()[ridx]
             last_ts[r] = ts[-1]
@@ -229,7 +231,7 @@ def forecast_residual_anomalies(
         F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int").alias("_b"),
     )
     out_schema = (
-        ", ".join(f"{k} string" for k in keys)
+        ", ".join(f"{k} {tier_df.schema[k].dataType.simpleString()}" for k in keys)
         + ", bucket_start timestamp, value double, yhat double, "
           "residual double, anomaly boolean"
     )
@@ -264,9 +266,10 @@ def forecast_residual_anomalies(
             ridx = idx_map[kv]
             ts = ts_np[ridx]
             d = np.diff(ts)
-            if len(d) and (d != d[0]).any():
+            if len(d) and ((d != d[0]).any() or d[0] <= 0):
                 raise ValueError(
-                    f"irregular series for key {kv!r}: gap-fill first"
+                    f"irregular or non-increasing series for key {kv!r}: "
+                    f"dedupe buckets / gap-fill first"
                 )
             y_mat[r, : lens[r]] = y_np[ridx]
             key_rows.append(kv if isinstance(kv, tuple) else (kv,))

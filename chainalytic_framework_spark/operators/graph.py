@@ -68,12 +68,17 @@ def link_edges(
         F.explode(extract_links(F.col(html_col).cast("string"))).alias("href"),
     )
     dst_host = grain(F.col("href"))
+    # protocol-relative //host/path carries its own host — resolve it via
+    # url_host after prepending a scheme (ADVICE r3: checking '/' first
+    # misread these as site-relative self-edges, skewing degree/PageRank)
+    proto_rel_host = grain(F.concat(F.lit("https:"), F.col("href")))
     # absolute http(s) → target host; site-relative path → self edge;
     # other schemes (mailto:, javascript:, …) and fragments → dropped
     return (
         links.select(
             "src",
             F.when(F.col("href").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), dst_host)
+            .when(F.col("href").startswith("//"), proto_rel_host)
             .when(F.col("href").startswith("/"), F.col("src"))
             .otherwise(F.lit(""))
             .alias("dst"),

@@ -326,11 +326,19 @@ def compact_hist_stream_into_batch(store: TableStore, closed_before=None) -> lis
 
 def serve_distribution(store: TableStore, series_cols=("lang",)) -> DataFrame:
     """Seamless history+edge distribution read: the stored batch
-    ``hist_1m`` tier serves every bucket up to its high-water mark, and
-    the streaming partial log serves strictly NEWER buckets — the
-    batch-wins cutoff rides in as a broadcast 1-row aggregate, so
-    overlap (a stream day later re-derived by the batch pipeline) can
-    never double-count. Output: (series..., bucket_epoch, hb_lo,
+    ``hist_1m`` tier is authoritative for every bucket it COVERS (batch
+    re-derives a covered bucket in full), and the streaming partial log
+    serves every other bucket — batch-wins rides in as a broadcast
+    anti-join on the batch's distinct bucket set, so overlap (a stream
+    day later re-derived by the batch pipeline) can never double-count.
+    ADVICE r3 fix: the previous single global-max cutoff silently
+    dropped stream partials below the high-water that batch never
+    covered (ingest gap), and an existing-but-empty ``hist_1m`` (null
+    high-water) dropped the whole streaming edge; per-bucket coverage
+    handles both. The covered set is one row per closed 1m bucket
+    inside the fine tier's retention horizon (~0.5M rows/year —
+    broadcastable; history beyond the horizon serves from coarser
+    tiers via the router). Output: (series..., bucket_epoch, hb_lo,
     hb_count) — feed straight to ``quantile_from_histogram``.
     """
     cols = [*series_cols, "bucket_epoch", "hb_lo", "hb_count"]
@@ -344,12 +352,8 @@ def serve_distribution(store: TableStore, series_cols=("lang",)) -> DataFrame:
     if not have_batch:
         return stream_part
     batch = store.read("hist_1m").select(*cols)
-    hw = batch.agg(F.max("bucket_epoch").alias("_hw"))
-    edge = (
-        stream_part.crossJoin(F.broadcast(hw))
-        .where(F.col("bucket_epoch") > F.col("_hw"))
-        .drop("_hw")
-    )
+    covered = batch.select("bucket_epoch").distinct()
+    edge = stream_part.join(F.broadcast(covered), "bucket_epoch", "left_anti")
     return batch.unionByName(edge)
 
 

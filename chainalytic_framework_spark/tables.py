@@ -172,9 +172,13 @@ class IcebergBackend:
         parquet file-listing fingerprint."""
         if not self.exists(name):
             return "empty"
+        # snapshot_id DESC tie-break (ADVICE r3): rapid successive commits
+        # can share a made_current_at timestamp; the secondary key makes
+        # the pick deterministic so checkpoint lineage can't flap between
+        # runs reading an unchanged table
         rows = self.spark.sql(
             f"SELECT snapshot_id FROM {self.qualified(name)}.history "
-            f"ORDER BY made_current_at DESC LIMIT 1"
+            f"ORDER BY made_current_at DESC, snapshot_id DESC LIMIT 1"
         ).collect()
         return str(rows[0][0]) if rows else "empty"
 

@@ -162,3 +162,34 @@ def test_residual_anomalies_flag_planted_spike(spark):
     # warm-up rows carry null yhat and never flag
     warm = [r for r in out if r["bucket_start"] < t0 + dt.timedelta(hours=24)]
     assert warm and all(r["yhat"] is None and not r["anomaly"] for r in warm)
+
+
+def test_holt_forecast_numeric_key_grain(spark):
+    """Non-string key columns (ADVICE r3): output schema must carry the
+    input key type, not a hardcoded string coercion."""
+    from datetime import datetime, timezone
+
+    from chainalytic_framework_spark.operators.forecast import holt_forecast
+
+    rows = [(7, datetime.fromtimestamp(3600 * i, tz=timezone.utc), float(10 + 2 * i))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "site_id long, bucket_start timestamp, point_count double")
+    out = holt_forecast(df, key_cols=("site_id",), horizon=3)
+    assert dict(out.dtypes)["site_id"] == "bigint"
+    got = out.collect()
+    assert len(got) == 3 and all(r["site_id"] == 7 for r in got)
+
+
+def test_holt_forecast_duplicate_buckets_raise(spark):
+    """Duplicated timestamps (all diffs 0) must fail loudly, not emit
+    step_secs=0 forecasts stacked on last_ts (ADVICE r3)."""
+    from datetime import datetime, timezone
+
+    import pytest
+
+    from chainalytic_framework_spark.operators.forecast import holt_forecast
+
+    rows = [("u", datetime.fromtimestamp(0, tz=timezone.utc), 1.0)] * 4
+    df = spark.createDataFrame(rows, "url string, bucket_start timestamp, point_count double")
+    with pytest.raises(Exception, match="non-increasing"):
+        holt_forecast(df, horizon=2).collect()

@@ -95,3 +95,17 @@ def test_pagerank_on_extracted_edges(edges):
     by = {r["host"]: r["rank"] for r in ranks}
     # a.com has two in-edges (incl. self) -> highest rank
     assert by["a.com"] == max(by.values())
+
+
+def test_link_edges_protocol_relative(spark):
+    """//host/path hrefs carry their own host (ADVICE r3): they must
+    resolve cross-host via the href's authority, not to a self-edge."""
+    rows = [_page("http://a.com/1", ["//cdn.example.com/lib.js", "//a.com/self",
+                                     "/local", "http://b.com/x"])]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {(r["src"], r["dst"]) for r in link_edges(df).collect()}
+    assert got == {
+        ("a.com", "cdn.example.com"),
+        ("a.com", "a.com"),  # //a.com/self and /local both land here
+        ("a.com", "b.com"),
+    }

@@ -413,3 +413,43 @@ def test_stream_heavy_hitters_match_batch(spark, tmp_path):
     assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
     assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
     assert got.count() > 0
+
+
+def test_serve_distribution_ingest_gap_and_empty_batch(spark, tmp_path):
+    """ADVICE r3: stream partials for buckets BELOW the batch high-water
+    that batch never covered (ingest gap) must serve from the stream;
+    an existing-but-empty batch table must serve the full stream, not
+    drop it on a null high-water."""
+    import datetime as dt
+
+    from chainalytic_framework_spark.streaming.stream import serve_distribution
+
+    schema = ("lang string, bucket_epoch long, hb_lo long, hb_count long, "
+              "bucket_day date")
+    day = dt.date(2026, 1, 1)
+    # batch covers buckets 60 and 180; the stream has 120 (the gap,
+    # below batch max) and 240 (the fresh edge) plus an overlap at 180
+    batch_rows = [("en", 60, 0, 5, day), ("en", 180, 0, 7, day)]
+    stream_rows = [("en", 120, 0, 3, day), ("en", 240, 0, 4, day),
+                   ("en", 180, 0, 999, day)]
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.write(spark.createDataFrame(batch_rows, schema), "hist_1m",
+                partition_by=["bucket_day"])
+    store.append(spark.createDataFrame(stream_rows, schema), "hist_1m_stream",
+                 partition_by=["bucket_day"])
+
+    got = {(r["bucket_epoch"], r["hb_count"])
+           for r in serve_distribution(store).collect()}
+    # 60/180 from batch (overlap partial at 180 discarded), 120 and 240
+    # from the stream
+    assert got == {(60, 5), (180, 7), (120, 3), (240, 4)}
+
+    # empty batch table present -> whole stream serves
+    store2 = TableStore(spark, str(tmp_path / "wh2"))
+    store2.write(spark.createDataFrame([], schema), "hist_1m",
+                 partition_by=["bucket_day"])
+    store2.append(spark.createDataFrame(stream_rows, schema), "hist_1m_stream",
+                  partition_by=["bucket_day"])
+    got2 = {(r["bucket_epoch"], r["hb_count"])
+            for r in serve_distribution(store2).collect()}
+    assert got2 == {(120, 3), (240, 4), (180, 999)}
