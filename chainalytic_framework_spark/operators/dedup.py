@@ -386,37 +386,65 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     (``dup_span_stats_documents``).
 
     Scale shape: spans are counted by 64-bit hash (never shuffling the
-    span strings — ~8 bytes/span instead of ~50). The multiplicity is a
-    ``groupBy(_h).count()`` — map-side partial aggregation collapses a
-    hot span (web boilerplate at 10⁸-10⁹ copies) to one row per input
-    partition BEFORE the shuffle — filtered to the (much smaller) set
-    of duplicated hashes and joined back; AQE's skew-join splits the
-    join where a ``Window.partitionBy(_h)`` count could not be split
-    (one straggler task per hot span). Same shape as the incremental
-    ``commit_span_counts`` log. Hash collisions can only overcount
+    span strings — ~8 bytes/span instead of ~50), pre-aggregated per
+    (doc, hash) so the ONE wide shuffle is keyed on (doc, hash) — a hot
+    span (web boilerplate at 10⁸-10⁹ copies) spreads across its carrier
+    docs instead of landing in one ``Window.partitionBy(_h)`` straggler
+    task, and within one doc it collapses map-side. The corpus-wide
+    multiplicity is a second, much smaller aggregation over the
+    collapsed pairs, and both the count branch and the probe branch
+    hang off the SAME (doc, hash) exchange, so ReuseExchange computes
+    the span explode exactly once. Hash collisions can only overcount
     n_dup_spans by ~n²/2⁶⁴ — negligible and one-sided; the gate sf has
     none."""
-    sp = span_positions(docs, text_col, id_col, w).withColumn(
-        "_h", F.xxhash64("span")
-    ).drop("span")
+    sp = span_positions(docs, text_col, id_col, w).select(
+        id_col, F.xxhash64("span").alias("_h")
+    )
+    g1 = sp.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c_dh"))
     dup_h = (
-        sp.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .where(F.col("_cnt") > 1)
+        g1.groupBy("_h")
+        .agg(F.sum("_c_dh").alias("_C"))
+        .where(F.col("_C") > 1)
         .select("_h", F.lit(True).alias("_dup"))
     )
-    per = sp.join(dup_h, "_h", "left")
+    per = g1.join(dup_h, "_h", "left")
     return (
         per.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.coalesce(F.col("_dup"), F.lit(False)).cast("long")).alias("n_dup_spans"),
+            F.sum("_c_dh").alias("n_spans"),
+            F.sum(F.when(F.col("_dup"), F.col("_c_dh")).otherwise(F.lit(0)))
+            .alias("n_dup_spans"),
         )
         .select(
             id_col, "n_spans", "n_dup_spans",
             F.floor(F.col("n_dup_spans") * 10000 / F.col("n_spans"))
             .cast("long").alias("dup_frac_x1e4"),
         )
+    )
+
+
+def _dup_span_starts(docs: DataFrame, text_col: str, id_col: str,
+                     w: int) -> DataFrame:
+    """Per-doc start positions of corpus-duplicated w-spans — the shared
+    front half of both strip variants. Pre-aggregated per (doc, hash):
+    positions collapse into a bounded list (≤ doc length), the corpus
+    count derives from the SAME exchange (ReuseExchange → one span
+    explode), and the semi-join probe carries collapsed pairs, not
+    per-occurrence rows — the skew-safe shape dup_span_stats uses."""
+    sp = span_positions(docs, text_col, id_col, w).withColumn("_h", F.xxhash64("span"))
+    g1 = sp.groupBy(id_col, "_h").agg(
+        F.collect_list("pos").alias("_pos"), F.count(F.lit(1)).alias("_c_dh")
+    )
+    dup_h = (
+        g1.groupBy("_h")
+        .agg(F.sum("_c_dh").alias("_C"))
+        .where(F.col("_C") > 1)
+        .select("_h")
+    )
+    return (
+        g1.join(dup_h, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.flatten(F.collect_list("_pos")).alias("_starts"))
     )
 
 
@@ -435,19 +463,7 @@ def strip_dup_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     conservative variant of Lee et al. (they cut the duplicated
     substring; covering-token removal is the w-gram approximation of
     the same cut)."""
-    sp = span_positions(docs, text_col, id_col, w).withColumn("_h", F.xxhash64("span"))
-    dup_h = (
-        sp.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .where(F.col("_cnt") > 1)
-        .select("_h")
-    )
-    dup_starts = (
-        sp.join(dup_h, "_h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_list("pos").alias("_starts"))
-    )
-    joined = docs.join(dup_starts, id_col, "left")
+    joined = docs.join(_dup_span_starts(docs, text_col, id_col, w), id_col, "left")
     toks = F.split(F.col(text_col), " ", -1)
     covered = F.array_distinct(
         F.flatten(
@@ -463,6 +479,67 @@ def strip_dup_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.concat_ws(" ", kept).alias(text_col),
         F.size(kept).alias("n_tokens_kept"),
         (F.size(toks) - F.size(kept)).alias("n_tokens_dropped"),
+    )
+
+
+def strip_dup_spans_segments(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", w: int = 8) -> DataFrame:
+    """Segment-granularity exact-substring cut — the faithful Lee et al.
+    (ACL'22 §4.2) shape: CUT the duplicated substring and KEEP the
+    surrounding text as separate runs, instead of collapsing the whole
+    doc to one space-joined remainder (``strip_dup_spans``). Each
+    maximal run of tokens not covered by any corpus-duplicated w-span
+    becomes its own output row:
+
+        (doc_id, seg_idx 1..n, seg_start = 1-based token position,
+         seg_text, n_tokens)
+
+    Intra-run spacing is byte-exact: the tokenization splits on single
+    spaces (empty tokens preserved), so rejoining a run of consecutive
+    positions with single spaces reconstructs the original bytes of
+    that run — the oracle rebuilds segment TEXT and must match
+    byte-identically. Fully-covered docs emit no rows; docs shorter
+    than w (nothing coverable) emit one whole-doc segment.
+
+    Scale shape: same skew-safe front half as ``strip_dup_spans``
+    ((doc,hash) pre-agg + semi-join), then runs form via the
+    gaps-and-islands trick (pos - row_number over the doc) — windows
+    are DOC-keyed (bounded by doc length, never corpus-keyed), one
+    shuffle family on doc_id."""
+    from pyspark.sql import Window
+
+    joined = docs.join(_dup_span_starts(docs, text_col, id_col, w), id_col, "left")
+    toks = F.split(F.col(text_col), " ", -1)
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (w - 1)),
+            )
+        )
+    )
+    kept = joined.select(
+        id_col, F.posexplode(toks).alias("_i0", "_tk"), covered.alias("_cov")
+    ).where(~F.array_contains(F.col("_cov"), F.col("_i0") + 1)).select(
+        id_col, (F.col("_i0") + 1).alias("_pos"), "_tk"
+    )
+    wd = Window.partitionBy(id_col).orderBy("_pos")
+    runs = kept.withColumn("_rid", F.col("_pos") - F.row_number().over(wd))
+    segs = runs.groupBy(id_col, "_rid").agg(
+        F.min("_pos").alias("seg_start"),
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("_pos", "_tk"))),
+                             lambda s: s["_tk"])
+        ).alias("seg_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    ws = Window.partitionBy(id_col).orderBy("seg_start")
+    return segs.select(
+        id_col,
+        F.row_number().over(ws).cast("long").alias("seg_idx"),
+        F.col("seg_start").cast("long").alias("seg_start"),
+        "seg_text",
+        "n_tokens",
     )
 
 
@@ -537,6 +614,90 @@ def dup_span_stats_incremental(new_docs: DataFrame, store,
             F.floor(F.col("n_dup_spans") * 10000 / F.col("n_spans"))
             .cast("long").alias("dup_frac_x1e4"),
         )
+    )
+
+
+def contamination_span_positions(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """Span-LEVEL contamination (VERDICT r3 next-item #7): the 1-based
+    start position of every training-doc w-span that also occurs in the
+    benchmark — what surgical excision needs (cut exactly the
+    overlapping n-grams) where ``benchmark_contamination``'s doc-level
+    flag could only drop whole docs.
+
+    Returns (doc_id, pos) per matching occurrence. Same scale shape as
+    the doc-level flag: the benchmark side collapses to distinct span
+    hashes (broadcastable — eval sets are tiny next to the corpus) and
+    the probe is a semi-join on the hash riding the span pass the dedup
+    family already makes."""
+    sp = span_positions(docs, text_col, id_col, w).withColumn(
+        "_h", F.xxhash64("span")
+    ).drop("span")
+    bench = (
+        span_positions(benchmark, text_col, id_col, w)
+        .select(F.xxhash64("span").alias("_h"))
+        .distinct()
+    )
+    return sp.join(bench, "_h", "left_semi").select(id_col, "pos")
+
+
+def excise_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """Surgical decontamination: cut every token covered by a
+    benchmark-overlapping w-span and keep the surrounding runs as
+    segments — ``strip_dup_spans_segments``' cut semantics with the
+    covered set sourced from :func:`contamination_span_positions`
+    instead of corpus-duplicate counts. Output rows: (doc_id, seg_idx,
+    seg_start, seg_text, n_tokens); uncontaminated docs come through as
+    one whole-doc segment."""
+    from pyspark.sql import Window
+
+    starts = contamination_span_positions(docs, benchmark, text_col, id_col, w)
+    starts_per_doc = starts.groupBy(id_col).agg(
+        F.collect_list("pos").alias("_starts")
+    )
+    joined = docs.join(starts_per_doc, id_col, "left")
+    toks = F.split(F.col(text_col), " ", -1)
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (w - 1)),
+            )
+        )
+    )
+    kept = joined.select(
+        id_col, F.posexplode(toks).alias("_i0", "_tk"), covered.alias("_cov")
+    ).where(~F.array_contains(F.col("_cov"), F.col("_i0") + 1)).select(
+        id_col, (F.col("_i0") + 1).alias("_pos"), "_tk"
+    )
+    wd = Window.partitionBy(id_col).orderBy("_pos")
+    runs = kept.withColumn("_rid", F.col("_pos") - F.row_number().over(wd))
+    segs = runs.groupBy(id_col, "_rid").agg(
+        F.min("_pos").alias("seg_start"),
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("_pos", "_tk"))),
+                             lambda s: s["_tk"])
+        ).alias("seg_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    ws = Window.partitionBy(id_col).orderBy("seg_start")
+    return segs.select(
+        id_col,
+        F.row_number().over(ws).cast("long").alias("seg_idx"),
+        F.col("seg_start").cast("long").alias("seg_start"),
+        "seg_text",
+        "n_tokens",
     )
 
 

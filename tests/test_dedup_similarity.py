@@ -340,3 +340,64 @@ def test_cosine_pairs_bucket_width_guard(spark):
     got = sorted((r["id_a"], r["id_b"]) for r in loose.collect())
     exp = sorted((r["id_a"], r["id_b"]) for r in open_.collect())
     assert got == exp and len(got) == 50 * 49 // 2
+
+
+def test_strip_dup_spans_segments_hand_case(spark):
+    """Cut-the-substring semantics: surrounding runs survive as separate
+    segments with byte-exact text and 1-based start positions."""
+    from chainalytic_framework_spark.operators.dedup import strip_dup_spans_segments
+
+    boiler = "the quick brown fox jumps over the lazy dog now"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + boiler + " closing remarks follow"),
+            (2, boiler + " only a tail after"),
+            (3, "no duplicated content in this document at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    segs = {}
+    for r in strip_dup_spans_segments(docs, w=10).collect():
+        segs.setdefault(r["doc_id"], []).append(
+            (r["seg_idx"], r["seg_start"], r["seg_text"], r["n_tokens"]))
+    for v in segs.values():
+        v.sort()
+    # doc 1: prefix run (3 tokens at pos 1) and suffix run (3 tokens at 14)
+    assert segs[1] == [(1, 1, "intro words here", 3),
+                      (2, 14, "closing remarks follow", 3)]
+    # doc 2: boiler at the start -> single suffix segment at pos 11
+    assert segs[2] == [(1, 11, "only a tail after", 4)]
+    # doc 3: untouched -> one whole-doc segment
+    assert segs[3] == [(1, 1, "no duplicated content in this document at all ok", 9)]
+
+
+def test_contamination_spans_and_excision(spark):
+    """Span positions locate the exact benchmark overlap; excision cuts
+    those tokens and keeps the surrounding runs."""
+    from chainalytic_framework_spark.operators.dedup import (
+        contamination_span_positions,
+        excise_contaminated_spans,
+    )
+
+    leak = "what is the capital of france paris obviously"  # 8 tokens
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "document opens here " + leak + " and then goes on"),
+            (2, "clean text with no benchmark overlap of any kind here"),
+        ],
+        "doc_id long, text string",
+    )
+    pos = [(r["doc_id"], r["pos"])
+           for r in contamination_span_positions(docs, bench, w=8).collect()]
+    assert pos == [(1, 4)]
+
+    segs = {}
+    for r in excise_contaminated_spans(docs, bench, w=8).collect():
+        segs.setdefault(r["doc_id"], []).append(
+            (r["seg_idx"], r["seg_start"], r["seg_text"], r["n_tokens"]))
+    for v in segs.values():
+        v.sort()
+    assert segs[1] == [(1, 1, "document opens here", 3),
+                      (2, 12, "and then goes on", 4)]
+    assert segs[2] == [(1, 1, "clean text with no benchmark overlap of any kind here", 10)]

@@ -192,9 +192,9 @@ def main() -> int:
     ok &= audit("routed p90: per-tier hist branches + merge + quantile window",
                 contract.routed_p90_events(spark, sf),
                 {"max_exchanges": 12})
-    ok &= audit("dup spans: groupBy-count + join back, NO per-hash window",
+    ok &= audit("dup spans: (doc,hash) pre-agg + count join, NO per-hash window",
                 contract.dup_span_stats_documents(spark, sf),
-                {"max_exchanges": 4, "no_window": True})
+                {"max_exchanges": 5, "no_window": True})
     ok &= audit("bpe word freq: single agg shuffle + bounded topk",
                 contract.bpe_word_freq_documents(spark, sf),
                 {"max_exchanges": 2, "take_ordered": True})
