@@ -128,6 +128,63 @@ def read_routed(
     return allp.groupBy(*keys).agg(F.sum("_v").alias(measure))
 
 
+def read_routed_series(
+    tier_dfs: dict[str, DataFrame],
+    e0: int,
+    e1: int,
+    grain: str,
+    measure: str = "point_count",
+    keys: tuple[str, ...] = ("lang",),
+    retention_horizons: dict[str, int | None] | None = None,
+    now_epoch: int | None = None,
+) -> DataFrame:
+    """Regular per-key SERIES at ``grain`` over [e0, e1) — the routed
+    input a long-horizon forecast consumes (``serve-forecast`` CLI):
+    history far from the edge reads from coarse tiers, the ragged edges
+    from fine ones, every segment rebucketed UP to the forecast grain
+    (additive measures only, same losslessness argument as
+    ``read_routed``). Routing uses only tiers no coarser than
+    ``grain`` — a coarser bucket cannot be split down — so a 1h-grain
+    forecast over two years scans the 1d+1h tiers, never 10⁶ minute
+    buckets per key.
+
+    Output: (keys..., bucket_start timestamp, <measure> long), one row
+    per populated grain bucket — feed through a zero-fill spine for
+    count measures, then ``holt_forecast``. A grain bucket split across
+    two routed segments (tier handoff inside the bucket) merges in the
+    final aggregation."""
+    gsecs = SECONDS[grain]
+    if e0 % gsecs or e1 % gsecs:
+        raise ValueError(f"[{e0},{e1}) must align to the {grain} grain")
+    usable = [t for t in TIER_ORDER if t in tier_dfs and SECONDS[t] <= gsecs]
+    if not usable:
+        raise ValueError(f"no stored tier at or below grain {grain}")
+    segs = route_range(e0, e1, usable)
+    if retention_horizons is not None:
+        if now_epoch is None:
+            raise ValueError("now_epoch required with retention_horizons")
+        check_routable(segs, retention_horizons, now_epoch)
+    parts = []
+    for tier, lo, hi in segs:
+        df = tier_dfs[tier]
+        if "gap_filled" in df.columns:
+            df = df.where(~F.col("gap_filled"))
+        b = F.col("bucket_start").cast("long")
+        parts.append(
+            df.where((b >= lo) & (b < hi)).select(
+                *keys,
+                ((b / gsecs).cast("long") * gsecs).alias("_g"),
+                F.col(measure).cast("long").alias("_v"),
+            )
+        )
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        allp.groupBy(*keys, "_g")
+        .agg(F.sum("_v").alias(measure))
+        .select(*keys, F.col("_g").cast("timestamp").alias("bucket_start"), measure)
+    )
+
+
 def read_routed_quantile(
     hist_dfs: dict[str, DataFrame],
     e0: int,

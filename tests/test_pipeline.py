@@ -259,6 +259,21 @@ def test_cli_run_idempotent(spark, tmp_path):
         main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
     assert json.loads(buf.getvalue().strip().splitlines()[-1])["pending_days"] == 0
 
+    # serve-forecast: router-fed Holt fit over the stored tiers
+    from pyspark.sql import functions as F
+
+    t1m = store.read("tier_1m")
+    lo = t1m.agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = t1m.agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    a, b = -(-lo // 3600) * 3600, (hi // 3600) * 3600
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-forecast", "--warehouse", wh, "--t0", str(a), "--t1", str(b),
+              "--grain", "1h", "--keys", "lang", "--zero-fill", "--horizon", "4"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["grain"] == "1h" and len(out["rows"]) > 0
+    assert {r["step"] for r in out["rows"] if r["lang"] == out["rows"][0]["lang"]} == {1, 2, 3, 4}
+
 
 def test_histogram_tiers_incremental_equals_direct(spark, tmp_path):
     """with_histograms: the pipeline's incrementally-maintained hist_1d

@@ -210,3 +210,60 @@ def test_read_routed_quantile_equals_direct_and_reduces_rows(tiers, spark):
     )
     n_direct = fine.count()
     assert n_routed * 5 < n_direct
+
+
+def test_read_routed_series_equals_direct_rebucket(tiers, spark):
+    """serve-forecast input parity: the routed series at a grain must
+    equal rebucketing the finest tier directly — per key AND per bucket
+    (the reduction property read_routed has, extended to series), and a
+    forecast fit on either input is identical."""
+    from chainalytic_framework_spark.operators.forecast import holt_forecast
+    from chainalytic_framework_spark.operators.router import read_routed_series
+
+    lo = tiers["1m"].agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = tiers["1m"].agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    a = -(-lo // 3600) * 3600
+    b = (hi // 3600) * 3600
+    assert b - a >= 5 * 3600
+
+    series = read_routed_series(tiers, a, b, "1h", keys=("lang",))
+    routed = {(r["lang"], r["bucket_start"]): r["point_count"]
+              for r in series.collect()}
+    direct_df = (
+        tiers["1m"]
+        .where((F.col("bucket_start").cast("long") >= a)
+               & (F.col("bucket_start").cast("long") < b))
+        .groupBy(
+            "lang",
+            ((F.col("bucket_start").cast("long") / 3600).cast("long") * 3600)
+            .cast("timestamp").alias("bucket_start"),
+        )
+        .agg(F.sum("point_count").alias("point_count"))
+    )
+    direct = {(r["lang"], r["bucket_start"]): r["point_count"]
+              for r in direct_df.collect()}
+    assert routed == direct and len(routed) > 0
+
+    # sparse keys have holes -> zero-fill (the CLI's --zero-fill path)
+    from chainalytic_framework_spark.__main__ import _zero_fill_spine
+
+    fc_routed = {(r["lang"], r["step"]): round(r["yhat"], 9)
+                 for r in holt_forecast(
+                     _zero_fill_spine(series, ["lang"], "point_count", "1h"),
+                     key_cols=("lang",), horizon=3).collect()}
+    fc_direct = {(r["lang"], r["step"]): round(r["yhat"], 9)
+                 for r in holt_forecast(
+                     _zero_fill_spine(direct_df, ["lang"], "point_count", "1h"),
+                     key_cols=("lang",), horizon=3).collect()}
+    assert fc_routed == fc_direct and len(fc_routed) > 0
+
+
+def test_read_routed_series_rejects_coarse_grain_misalignment():
+    import pytest as _p
+
+    from chainalytic_framework_spark.operators.router import read_routed_series
+
+    with _p.raises(ValueError, match="align"):
+        read_routed_series({"1m": None}, 30, 7200, "1h")
+    with _p.raises(ValueError, match="no stored tier"):
+        read_routed_series({"1d": None}, 0, 7200, "1h")
