@@ -72,6 +72,9 @@ def _force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # best-of-N per timed section: this shared host shows >2x run-to-run
+    # variance under neighbor load; min isolates code capability
+    n_rep = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
 
     spark = build_session(
@@ -103,7 +106,7 @@ def main() -> None:
     # neighbor load; min isolates code capability from noise (same
     # protocol as tools/bench_scaling.py)
     pipeline_sec = None
-    for attempt in range(2):
+    for attempt in range(n_rep):
         shutil.rmtree(wh, ignore_errors=True)
         store = TableStore(spark, wh)
         t0 = time.perf_counter()
@@ -123,7 +126,7 @@ def main() -> None:
     from chainalytic_framework_spark.operators.cold_store import decode_cold, encode_cold
 
     cold_best = None
-    for attempt in range(2):
+    for attempt in range(n_rep):
         t0 = time.perf_counter()
         store.write(encode_cold(store.read("tier_1d")), "cold_1d")
         _force(decode_cold(store.read("cold_1d")))
@@ -138,7 +141,7 @@ def main() -> None:
     from chainalytic_framework_spark.operators.forecast import holt_forecast
 
     fc_best = None
-    for attempt in range(2):
+    for attempt in range(n_rep):
         t0 = time.perf_counter()
         t1h = (
             store.read("tier_1h")
@@ -169,7 +172,7 @@ def main() -> None:
     qs = contract.queries()
     for name in HEADLINE:
         best = None
-        for attempt in range(2):
+        for attempt in range(n_rep):
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             sec = time.perf_counter() - t0

@@ -152,36 +152,92 @@ def _fold_frames(obs: pd.DataFrame, state: pd.DataFrame, ttl_seconds: int) -> pd
     return out
 
 
+def _fold_windows(obs_st: DataFrame, ttl_seconds: int) -> DataFrame:
+    """JVM window-function fold shared by both entry points.
+
+    ``obs_st`` = observations left-joined with the (possibly empty)
+    carried state as ``_st_hash/_st_ts/_st_rev/_st_pts/_st_bytes``.
+    Every emitted quantity is a running per-url aggregate, so the whole
+    fold stays in whole-stage codegen: lag() splices the carried state
+    in as each url's virtual row 0, running sums carry content_rev /
+    cum_bytes. No Arrow hop, no Python workers — the pandas
+    ``_fold_frames`` is retained only as the differential-test
+    reference (tests/test_fold.py::test_jvm_fold_matches_pandas_reference).
+
+    ``bround`` (half-even) on gap_seconds matches numpy's rounding in
+    the reference implementation bit-for-bit; ``expired`` compares the
+    UNROUNDED microsecond gap, as the pandas form compared unrounded
+    float seconds."""
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("url").orderBy("warc_ts")
+    wrun = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = F.row_number().over(wl)
+    prev_hash = F.coalesce(F.lag("text_hash").over(wl), F.col("_st_hash"))
+    prev_us = F.coalesce(
+        F.unix_micros(F.lag("warc_ts").over(wl)), F.unix_micros(F.col("_st_ts"))
+    )
+    base_rev = F.coalesce(F.col("_st_rev"), F.lit(0))
+    base_pts = F.coalesce(F.col("_st_pts"), F.lit(0))
+    base_bytes = F.coalesce(F.col("_st_bytes"), F.lit(0))
+    text_changed = prev_hash.isNotNull() & (prev_hash != F.col("text_hash"))
+    gap_us = F.unix_micros(F.col("warc_ts")) - prev_us
+    return obs_st.select(
+        "url",
+        "warc_ts",
+        "url_hash",
+        "lang",
+        (prev_hash.isNull() & (seq == 1) & (base_pts == F.lit(0))).alias("is_new"),
+        text_changed.alias("text_changed"),
+        (base_rev + F.sum(text_changed.cast("long")).over(wrun)).alias("content_rev"),
+        F.bround(gap_us / 1_000_000.0, 0).cast("long").alias("gap_seconds"),
+        (gap_us.isNotNull() & (gap_us > ttl_seconds * 1_000_000)).alias("expired"),
+        (base_pts + seq).cast("long").alias("cum_points"),
+        (base_bytes + F.sum("html_len").over(wrun)).alias("cum_bytes"),
+        "text_hash",
+        "text_len",
+        "html_len",
+    )
+
+
+def _no_state_cols():
+    # lazy: Column construction needs an active session (module import
+    # must not)
+    return [
+        F.lit(None).cast("long").alias("_st_hash"),
+        F.lit(None).cast("timestamp").alias("_st_ts"),
+        F.lit(None).cast("long").alias("_st_rev"),
+        F.lit(None).cast("long").alias("_st_pts"),
+        F.lit(None).cast("long").alias("_st_bytes"),
+    ]
+
+
 def fold_observations(
     obs: DataFrame, ttl_seconds: int = DEFAULT_TTL_SECONDS
 ) -> DataFrame:
-    """Cold-start fold (no prior state)."""
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _fold_frames(pdf, None, ttl_seconds)
-
-    return obs.groupBy("url_bucket").applyInPandas(fold, schema=FOLD_SCHEMA)
+    """Cold-start fold (no prior state) — one url-keyed window shuffle,
+    all codegen."""
+    return _fold_windows(obs.select("*", *_no_state_cols()), ttl_seconds)
 
 
 def fold_with_state(
     obs: DataFrame, state: DataFrame, ttl_seconds: int = DEFAULT_TTL_SECONDS
 ) -> DataFrame:
-    """Incremental fold: cogroup the new observations with the carried
-    state table on url_bucket (reference J1 state-lookup join)."""
-
-    def fold(obs_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _fold_frames(obs_pdf, state_pdf, ttl_seconds)
-
-    # Cogroup key derived from url_hash on BOTH sides — independent of
-    # whatever n_buckets the observations were prepared with.
-    k = F.pmod(F.col("url_hash"), F.lit(N_URL_BUCKETS)).cast("int").alias("_cg")
-    obs_k = obs.withColumn("_cg", k)
-    state_k = state.withColumn("_cg", k)
-    return (
-        obs_k.groupBy("_cg")
-        .cogroup(state_k.groupBy("_cg"))
-        .applyInPandas(fold, schema=FOLD_SCHEMA)
+    """Incremental fold: the carried state joins on url (reference J1
+    state-lookup join) and rides into each url's window as the virtual
+    row 0. The join's hash partitioning on url satisfies the window's
+    required distribution, so state splice + fold is ONE shuffle
+    family."""
+    # defensive last-wins per url (a duplicate state key would silently
+    # misalign the splice — same guard the pandas reference had)
+    st = state.groupBy("url").agg(
+        F.max_by("last_text_hash", "last_ts").alias("_st_hash"),
+        F.max("last_ts").alias("_st_ts"),
+        F.max_by("content_rev", "last_ts").alias("_st_rev"),
+        F.max_by("cum_points", "last_ts").alias("_st_pts"),
+        F.max_by("cum_bytes", "last_ts").alias("_st_bytes"),
     )
+    return _fold_windows(obs.join(st, "url", "left"), ttl_seconds)
 
 
 def extract_state(fold_out: DataFrame) -> DataFrame:

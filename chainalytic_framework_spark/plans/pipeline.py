@@ -138,82 +138,139 @@ def run_pipeline(
         from pyspark import StorageLevel
 
         obs = obs.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize ONCE before the concurrent chains launch: without
+        # this, the tier chain and the fold chain would race to compute
+        # the same cached partitions and duplicate the raw html scan —
+        # the single most expensive pass of the whole run
+        obs.count()
 
-    t0 = time.perf_counter()
-    m1 = with_layout_columns(rollup_with_spec(obs, ms, finest))
-    # hash clustering, not range: repartitionByRange runs a sampling job
-    # that re-executes the rollup (even off persisted obs it is a second
-    # full aggregation); hash gets bounded files + local url_hash
-    # clustering with ONE shuffle (same switch that bought the fold
-    # commit +25-46% in round 2)
-    m1 = store.cluster_for_write_hash(m1, ["bucket_day"])
-    store.overwrite_partitions(m1, _tier_table(finest, ms.name), ["bucket_day"])
-    wall = time.perf_counter() - t0
-    # one manifest row PER DAY — the resume anti-join's work unit.
-    # n_in (input docs) = Σ point_count of the written 1m rows: free from
-    # this small agg, no second scan of the raw input.
-    day_stats = (
-        store.read(_tier_table(finest, ms.name))
-        .where(F.col("bucket_day").isin(pend))
-        .groupBy("bucket_day")
-        .agg(F.count(F.lit(1)).alias("rows_out"), F.sum("point_count").alias("docs"))
-        .collect()
-    )
-    day_counts = {r["bucket_day"]: r["rows_out"] for r in day_stats}
-    n_in = int(sum(r["docs"] for r in day_stats))
-    for d in pend:
-        entries.append(
-            dict(tier=finest, bucket_range_start=dt.datetime.combine(d, dt.time()),
-                 bucket_range_end=dt.datetime.combine(d, dt.time()) + dt.timedelta(days=1),
-                 input_snapshot_id=input_snapshot_id, rows_in=n_in,
-                 rows_out=int(day_counts.get(d, 0)),
-                 wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
-        )
+    # n_in (input docs) is produced inside the tier chain (Σ point_count
+    # of the written 1m rows — no second raw scan); concurrent chains
+    # stamp a placeholder and the join point below fills it in.
+    n_in = 0
 
-    # ---- cascade: each scheduled coarser tier from its STORED parent ----
-    for child, parent in ms.cascade_pairs():
+    def _cold_chain():
+        ents = []
+        # ---- optional: cold-tier blobs for the coarse tier ----
         t0 = time.perf_counter()
-        parent_df = store.read(_tier_table(parent, ms.name))
-        csecs = SECONDS[child]
-        if csecs > 86400:
-            # child buckets span multiple days: re-derive every child
-            # window covering the pending days — all in UTC epochs
-            # (calendar.timegm), never driver-local time
-            import calendar
+        from ..operators.cold_store import encode_cold
 
-            starts = sorted(
-                {(calendar.timegm(d.timetuple()) // csecs) * csecs for d in pend}
-            )
-            # compare in EPOCH space: a naive-datetime literal is
-            # interpreted in the driver's LOCAL timezone by
-            # TimestampType.toInternal, which on a non-UTC driver shifts
-            # the [lo, hi) window and silently drops edge parent rows.
-            lo_e, hi_e = min(starts), max(starts) + csecs
-            src = parent_df.where(
-                (F.col("bucket_start").cast("long") >= F.lit(lo_e))
-                & (F.col("bucket_start").cast("long") < F.lit(hi_e))
-            )
-        else:
-            src = parent_df.where(F.col("bucket_day").isin(pend))
-        out = with_layout_columns(
-            downsample_with_spec(src.drop("bucket_day", "url_bucket"), ms, child)
-        )
-        out = store.cluster_for_write_hash(out, ["bucket_day"])
-        store.overwrite_partitions(out, _tier_table(child, ms.name), ["bucket_day"])
-        wall = time.perf_counter() - t0
-        entries.append(
-            dict(tier=child, bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
+        cold = encode_cold(store.read(_tier_table(cold_source_tier, ms.name)))
+        store.write(cold, f"cold_{cold_source_tier}")
+        ents.append(
+            dict(tier=f"cold_{cold_source_tier}",
+                 bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
                  bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
-                 input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
-                 wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
+                 input_snapshot_id=input_snapshot_id, rows_in=-1, rows_out=0,
+                 wall_seconds=time.perf_counter() - t0, docs_per_sec=0.0)
         )
 
-    # ---- optional: HLL distinct-url sketch tiers ----
-    # Mergeable partials (operators/sketches.py): the finest sketch tier
-    # reads the persisted obs (urls seen once), coarser tiers union the
-    # stored child sketches — distinct counts at any grain without ever
-    # re-shuffling the url key space.
-    if with_sketches:
+        return ents
+
+    def _cascade_chain():
+        # ---- finest tier + downsample cascade + cold tier ----
+        nonlocal n_in
+        ents = []
+        t0 = time.perf_counter()
+        m1 = with_layout_columns(rollup_with_spec(obs, ms, finest))
+        # hash clustering, not range: repartitionByRange runs a sampling
+        # job that re-executes the rollup (even off persisted obs it is
+        # a second full aggregation); hash gets bounded files + local
+        # url_hash clustering with ONE shuffle (same switch that bought
+        # the fold commit +25-46% in round 2)
+        m1 = store.cluster_for_write_hash(m1, ["bucket_day"])
+        # keep the clustered finest frame for the cascade + day stats:
+        # this run's written pend-day partitions ARE this frame, so
+        # single-day-grain children and the manifest agg read it from
+        # cache instead of re-scanning the just-written parquet (at
+        # scale the persist spills to local disk — same cost as the
+        # read-back it replaces, minus the commit round-trip)
+        from pyspark import StorageLevel
+
+        m1 = m1.persist(StorageLevel.MEMORY_AND_DISK)
+        store.overwrite_partitions(m1, _tier_table(finest, ms.name), ["bucket_day"])
+        wall = time.perf_counter() - t0
+        # one manifest row PER DAY — the resume anti-join's work unit.
+        day_stats = (
+            m1.groupBy("bucket_day")
+            .agg(F.count(F.lit(1)).alias("rows_out"), F.sum("point_count").alias("docs"))
+            .collect()
+        )
+        day_counts = {r["bucket_day"]: r["rows_out"] for r in day_stats}
+        n_in = int(sum(r["docs"] for r in day_stats))
+        for d in pend:
+            ents.append(
+                dict(tier=finest, bucket_range_start=dt.datetime.combine(d, dt.time()),
+                     bucket_range_end=dt.datetime.combine(d, dt.time()) + dt.timedelta(days=1),
+                     input_snapshot_id=input_snapshot_id, rows_in=n_in,
+                     rows_out=int(day_counts.get(d, 0)),
+                     wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
+            )
+
+        # each scheduled coarser tier derives from its parent; a child
+        # whose buckets fit inside single days reads the parent rows this
+        # run just wrote — still cached — while multi-day children
+        # (30d windows reach beyond the pending days) read the STORED
+        # parent table for history outside the run's window
+        mem_parents = {finest: m1}
+        cached = [m1]
+        for child, parent in ms.cascade_pairs():
+            t0 = time.perf_counter()
+            csecs = SECONDS[child]
+            if csecs > 86400:
+                # child buckets span multiple days: re-derive every child
+                # window covering the pending days — all in UTC epochs
+                # (calendar.timegm), never driver-local time
+                import calendar
+
+                starts = sorted(
+                    {(calendar.timegm(d.timetuple()) // csecs) * csecs for d in pend}
+                )
+                # compare in EPOCH space: a naive-datetime literal is
+                # interpreted in the driver's LOCAL timezone by
+                # TimestampType.toInternal, which on a non-UTC driver shifts
+                # the [lo, hi) window and silently drops edge parent rows.
+                lo_e, hi_e = min(starts), max(starts) + csecs
+                src = store.read(_tier_table(parent, ms.name)).where(
+                    (F.col("bucket_start").cast("long") >= F.lit(lo_e))
+                    & (F.col("bucket_start").cast("long") < F.lit(hi_e))
+                )
+            elif parent in mem_parents:
+                src = mem_parents[parent]
+            else:
+                src = store.read(_tier_table(parent, ms.name)).where(
+                    F.col("bucket_day").isin(pend)
+                )
+            out = with_layout_columns(
+                downsample_with_spec(src.drop("bucket_day", "url_bucket"), ms, child)
+            )
+            out = store.cluster_for_write_hash(out, ["bucket_day"])
+            if csecs <= 86400:
+                out = out.persist(StorageLevel.MEMORY_AND_DISK)
+                cached.append(out)
+                mem_parents[child] = out
+            store.overwrite_partitions(out, _tier_table(child, ms.name), ["bucket_day"])
+            wall = time.perf_counter() - t0
+            ents.append(
+                dict(tier=child, bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
+                     bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
+                     input_snapshot_id=input_snapshot_id, rows_in=-1, rows_out=0,
+                     wall_seconds=wall, docs_per_sec=0.0)
+            )
+
+        for df in cached:
+            df.unpersist()
+        if with_cold_tier:
+            ents.extend(_cold_chain())
+        return ents
+
+    def _sketch_chain():
+        ents = []
+        # ---- optional: HLL distinct-url sketch tiers ----
+        # Mergeable partials (operators/sketches.py): the finest sketch tier
+        # reads the persisted obs (urls seen once), coarser tiers union the
+        # stored child sketches — distinct counts at any grain without ever
+        # re-shuffling the url key space.
         from ..operators.sketches import url_sketch_downsample, url_sketch_rollup
 
         t0 = time.perf_counter()
@@ -245,19 +302,22 @@ def run_pipeline(
                 "bucket_day", F.to_date("bucket_start")
             )
             store.overwrite_partitions(out, f"sketch_{child}", ["bucket_day"])
-        entries.append(
+        ents.append(
             dict(tier="sketches", bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
                  bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
-                 input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
+                 input_snapshot_id=input_snapshot_id, rows_in=-1, rows_out=0,
                  wall_seconds=time.perf_counter() - t0, docs_per_sec=0.0)
         )
 
-    # ---- optional: text-length histogram tiers ----
-    # Distribution partials (operators/histogram.py): data-independent
-    # leading-decimal-digit buckets, so coarser tiers merge stored child
-    # counts losslessly — quantile dashboards never touch raw. Same
-    # incremental cascade pruning as the numeric/sketch tiers.
-    if with_histograms:
+        return ents
+
+    def _hist_chain():
+        ents = []
+        # ---- optional: text-length histogram tiers ----
+        # Distribution partials (operators/histogram.py): data-independent
+        # leading-decimal-digit buckets, so coarser tiers merge stored child
+        # counts losslessly — quantile dashboards never touch raw. Same
+        # incremental cascade pruning as the numeric/sketch tiers.
         from ..operators.histogram import histogram_downsample, histogram_rollup
 
         t0 = time.perf_counter()
@@ -287,20 +347,23 @@ def run_pipeline(
                 "bucket_day", F.to_date(F.col("bucket_epoch").cast("timestamp"))
             )
             store.overwrite_partitions(out, f"hist_{child}", ["bucket_day"])
-        entries.append(
+        ents.append(
             dict(tier="histograms",
                  bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
                  bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
-                 input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
+                 input_snapshot_id=input_snapshot_id, rows_in=-1, rows_out=0,
                  wall_seconds=time.perf_counter() - t0, docs_per_sec=0.0)
         )
 
-    # ---- stateful fold: change-event stream + state table ----
-    # The fold runs ONCE: its per-observation change events (is_new /
-    # text_changed / gap / expiry) are committed to FOLD_TABLE first
-    # (idempotent by day), then the state update is derived from the
-    # WRITTEN rows — no recomputation of the pandas stage.
-    if with_fold:
+        return ents
+
+    def _fold_chain():
+        ents = []
+        # ---- stateful fold: change-event stream + state table ----
+        # The fold runs ONCE: its per-observation change events (is_new /
+        # text_changed / gap / expiry) are committed to FOLD_TABLE first
+        # (idempotent by day), then the state update is derived from the
+        # WRITTEN rows — no recomputation of the pandas stage.
         t0 = time.perf_counter()
         state = store.read(STATE_TABLE) if store.exists(STATE_TABLE) else None
         rebuild = False
@@ -345,58 +408,89 @@ def run_pipeline(
                 fold_out = fold_with_state(obs, state)
             else:
                 fold_out = fold_observations(obs)
-            fold_days = fold_out.withColumn("bucket_day", F.to_date("warc_ts"))
+            from pyspark import StorageLevel
+
+            fold_days = store.cluster_for_write_hash(
+                fold_out.withColumn("bucket_day", F.to_date("warc_ts")),
+                ["bucket_day"], secondary="url_hash",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             # hash clustering, NOT range: repartitionByRange's sampling
-            # job would recompute the entire pandas fold a second time
-            store.overwrite_partitions(
-                store.cluster_for_write_hash(fold_days, ["bucket_day"], secondary="url_hash"),
-                FOLD_TABLE, ["bucket_day"],
-            )
-            written = store.read(FOLD_TABLE).where(F.col("bucket_day").isin(pend))
-            delta_state = extract_state(written).withColumn("state_bucket", sb)
+            # job would recompute the entire fold a second time; the
+            # persist lets the state delta derive from the WRITTEN rows
+            # without re-reading the just-committed parquet (same
+            # cached-frame trick as the tier chain)
+            store.overwrite_partitions(fold_days, FOLD_TABLE, ["bucket_day"])
+            delta_state = extract_state(fold_days).withColumn("state_bucket", sb)
             store.merge_upsert(delta_state, STATE_TABLE, key="url",
                                partition_col="state_bucket")
+            fold_days.unpersist()
         wall = time.perf_counter() - t0
-        entries.append(
+        ents.append(
             dict(tier="fold", bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
                  bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
-                 input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
-                 wall_seconds=wall, docs_per_sec=n_in / wall if wall > 0 else 0.0)
+                 input_snapshot_id=input_snapshot_id, rows_in=-1, rows_out=0,
+                 wall_seconds=wall, docs_per_sec=0.0)
         )
 
-    # ---- user metric-set fold (the registry's Transform hook) ----
-    # Contract: ms.fold(obs) returns a DataFrame carrying warc_ts; the
-    # pipeline derives bucket_day and commits it with the same
-    # idempotent dynamic-partition-overwrite as the built-in fold.
-    if ms.fold is not None:
+        return ents
+
+    def _user_fold_chain():
+        ents = []
+        # ---- user metric-set fold (the registry's Transform hook) ----
+        # Contract: ms.fold(obs) returns a DataFrame carrying warc_ts; the
+        # pipeline derives bucket_day and commits it with the same
+        # idempotent dynamic-partition-overwrite as the built-in fold.
         t0 = time.perf_counter()
         user_out = ms.fold(obs).withColumn("bucket_day", F.to_date("warc_ts"))
         store.overwrite_partitions(
             store.cluster_for_write_hash(user_out, ["bucket_day"]),
             f"fold_{ms.name}", ["bucket_day"],
         )
-        entries.append(
+        ents.append(
             dict(tier=f"fold_{ms.name}",
                  bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
                  bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
-                 input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
+                 input_snapshot_id=input_snapshot_id, rows_in=-1, rows_out=0,
                  wall_seconds=time.perf_counter() - t0, docs_per_sec=0.0)
         )
 
-    # ---- optional: cold-tier blobs for the coarse tier ----
-    if with_cold_tier:
-        t0 = time.perf_counter()
-        from ..operators.cold_store import encode_cold
+        return ents
 
-        cold = encode_cold(store.read(_tier_table(cold_source_tier, ms.name)))
-        store.write(cold, f"cold_{cold_source_tier}")
-        entries.append(
-            dict(tier=f"cold_{cold_source_tier}",
-                 bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
-                 bucket_range_end=dt.datetime.combine(pend[-1], dt.time()) + dt.timedelta(days=1),
-                 input_snapshot_id=input_snapshot_id, rows_in=n_in, rows_out=0,
-                 wall_seconds=time.perf_counter() - t0, docs_per_sec=0.0)
-        )
+    # ---- independent chains run CONCURRENTLY ----
+    # After the finest tier commits, the numeric cascade (+cold tier),
+    # sketch, histogram, and fold chains share no tables, so their jobs
+    # are submitted from separate driver threads and the Spark scheduler
+    # overlaps them — none of these stages saturates the executors on
+    # its own, so pipeline wall drops from sum-of-chains toward
+    # max-of-chains. Within a chain, commit order (and therefore resume
+    # semantics) is unchanged; parquet dynamic overwrite uses per-write
+    # options, so threads share no session conf.
+    chains = [_cascade_chain]
+    if with_sketches:
+        chains.append(_sketch_chain)
+    if with_histograms:
+        chains.append(_hist_chain)
+    if with_fold:
+        chains.append(_fold_chain)
+    if ms.fold is not None:
+        chains.append(_user_fold_chain)
+    if len(chains) == 1:
+        entries.extend(chains[0]())
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(chains)) as ex:
+            for fut in [ex.submit(c) for c in chains]:
+                entries.extend(fut.result())  # re-raises chain errors
+
+    # chains that ran concurrently with the tier chain stamped a
+    # placeholder for the input-doc count; fill it now that the tier
+    # chain's day_stats committed n_in
+    for e in entries:
+        if e["rows_in"] == -1:
+            e["rows_in"] = n_in
+            w = e["wall_seconds"]
+            e["docs_per_sec"] = n_in / w if w > 0 else 0.0
 
     # ---- optional: retention enforcement (after coarser covers commit) ----
     if enforce_retention_now is not None:

@@ -134,3 +134,65 @@ def test_split_run_equals_full_run_any_split(spark, obs):
         a, b = r3.select(*cols), full_p3.select(*cols)
         assert a.exceptAll(b).count() == 0, (q1, q2)
         assert b.exceptAll(a).count() == 0, (q1, q2)
+
+
+def test_jvm_fold_matches_pandas_reference(spark):
+    """The codegen window fold must match the retained pandas reference
+    (_fold_frames) exactly — randomized urls/timestamps/hashes, both
+    cold-start and state-spliced."""
+    import random
+
+    from chainalytic_framework_spark.operators.fold import _fold_frames
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        u = f"http://s{rng.randint(0, 20)}.test/p{rng.randint(0, 5)}"
+        ts = 1_700_000_000 + rng.randint(0, 10 * 86400)
+        rows.append((u, ts, hash(u) & ((1 << 62) - 1), "en",
+                     rng.randint(-5, 5), rng.randint(10, 500),
+                     rng.randint(100, 9000)))
+    # dedupe (url, ts): duplicate timestamps make row order ambiguous in
+    # BOTH implementations — not a semantics difference
+    seen, uniq = set(), []
+    for r in rows:
+        if (r[0], r[1]) not in seen:
+            seen.add((r[0], r[1])); uniq.append(r)
+    pdf = pd.DataFrame(uniq, columns=["url", "_ts", "url_hash", "lang",
+                                      "text_hash", "text_len", "html_len"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["_ts"], unit="s")
+    pdf = pdf.drop(columns=["_ts"])
+
+    sdf = spark.createDataFrame(
+        pdf, "url string, url_hash long, lang string, text_hash long, "
+             "text_len long, html_len long, warc_ts timestamp")
+    cut = pd.Timestamp(1_700_000_000 + 5 * 86400, unit="s")
+    p1, p2 = sdf.where(F.col("warc_ts") < F.lit(cut)), sdf.where(F.col("warc_ts") >= F.lit(cut))
+
+    cols = ["url", "warc_ts", "is_new", "text_changed", "content_rev",
+            "gap_seconds", "expired", "cum_points", "cum_bytes"]
+
+    def canon(df):
+        return [tuple(r) for r in
+                df.select(cols).orderBy("url", "warc_ts").collect()]
+
+    # cold start
+    exp_cold = _fold_frames(pdf.copy(), None, TTL)
+    got_cold = canon(fold_observations(sdf, ttl_seconds=TTL))
+    exp_rows = [tuple(r) for _, r in
+                exp_cold.sort_values(["url", "warc_ts"])[cols].iterrows()]
+    assert len(got_cold) == len(exp_rows)
+    for g, e in zip(got_cold, exp_rows):
+        for gv, ev in zip(g, e):
+            assert (pd.isna(ev) and gv is None) or gv == ev, (g, e)
+
+    # state-spliced second run equals the pandas reference fed the same state
+    st = extract_state(fold_observations(p1, ttl_seconds=TTL))
+    got_inc = canon(fold_with_state(p2, st, ttl_seconds=TTL))
+    exp_inc = _fold_frames(p2.toPandas(), st.toPandas(), TTL)
+    exp_rows2 = [tuple(r) for _, r in
+                 exp_inc.sort_values(["url", "warc_ts"])[cols].iterrows()]
+    assert len(got_inc) == len(exp_rows2) and len(got_inc) > 0
+    for g, e in zip(got_inc, exp_rows2):
+        for gv, ev in zip(g, e):
+            assert (pd.isna(ev) and gv is None) or gv == ev, (g, e)
