@@ -3391,3 +3391,31 @@ def contamination_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return contamination_span_positions(
         d.where(F.col("doc_id") >= 50), d.where(F.col("doc_id") < 50), w=8
     ).select("doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+@q(
+    "ngram_counts_documents",
+    """
+    WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    u AS (
+      SELECT lang, toks, unnest(range(1, len(toks))) AS i
+      FROM t WHERE len(toks) >= 2
+    ),
+    g AS (SELECT lang, array_to_string(toks[i:i+1], ' ') AS ngram FROM u),
+    c AS (SELECT lang, ngram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+    r AS (SELECT lang, ngram, c,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, ngram) AS rn
+          FROM c)
+    SELECT lang, ngram, c FROM r WHERE rn <= 20
+    """,
+)
+def ngram_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram table, top-20 per lang (functions/text.py::
+    ngram_counts) — the Google-Books-style n-gram asset an LM-training
+    pipeline tabulates; single agg shuffle, window only on aggregated
+    rows. Total deterministic order (count desc, gram) makes the top-k
+    hash-stable cross-engine."""
+    from .functions.text import ngram_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_counts(d, n=2, group_cols=("lang",), top_k=20)

@@ -279,3 +279,37 @@ def unigram_surprisal(
             .alias("surprisal_x1e4"),
         )
     )
+
+
+def ngram_counts(docs: DataFrame, n: int, text_col: str = "text",
+                 group_cols: tuple[str, ...] = (),
+                 top_k: int | None = None) -> DataFrame:
+    """Corpus n-gram count table — the classic LM-training asset
+    (Google-Books-style n-gram tables; also the base for KenLM-ish
+    smoothed models). One explode + ONE groupBy; map-side partial
+    aggregation collapses frequent n-grams before the shuffle, so the
+    Zipf head never skews a task the way a per-gram window would.
+
+    Returns (group_cols..., ngram, c) — all occurrences counted
+    (multiset, not per-doc distinct). ``top_k`` bounds output per group
+    with a total deterministic order (c DESC, ngram) via one group-keyed
+    window on the AGGREGATED rows (bounded input, no raw-scan window).
+    Reference analogue: the reference tabulates per-entity event counts
+    (aggregator transforms); this is the text-corpus counterpart."""
+    toks = F.split(F.col(text_col), " ", -1)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    counts = (
+        docs.select(*group_cols, F.explode(grams).alias("ngram"))
+        .groupBy(*group_cols, "ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if top_k is None:
+        return counts
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1)))
+    rn = F.row_number().over(w.orderBy(F.desc("c"), F.asc("ngram")))
+    return counts.withColumn("_rn", rn).where(F.col("_rn") <= top_k).drop("_rn")

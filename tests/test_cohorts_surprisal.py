@@ -98,3 +98,23 @@ def test_cohort_matrix_from_fold_windowed_activity_keeps_true_cohort(spark):
     }
     # u1's activity at p=5 lands in cohort 0 at age 5, not a new cohort
     assert out == {(0, 5): 1, (5, 0): 1}
+
+
+def test_ngram_counts_hand_case(spark):
+    """Multiset bigram counts, per-group top-k with total order."""
+    from chainalytic_framework_spark.functions.text import ngram_counts
+
+    docs = spark.createDataFrame(
+        [("en", "a b a b c"), ("en", "a b x"), ("fr", "z z z"), ("fr", "q")],
+        "lang string, text string",
+    )
+    got = {(r["lang"], r["ngram"]): r["c"]
+           for r in ngram_counts(docs, n=2, group_cols=("lang",)).collect()}
+    assert got == {("en", "a b"): 3, ("en", "b a"): 1, ("en", "b c"): 1,
+                   ("en", "b x"): 1, ("fr", "z z"): 2}
+
+    top = [(r["lang"], r["ngram"], r["c"])
+           for r in ngram_counts(docs, n=2, group_cols=("lang",), top_k=2)
+           .orderBy("lang", F.desc("c"), "ngram").collect()]
+    # ties broken by gram text ascending -> deterministic
+    assert top == [("en", "a b", 3), ("en", "b a", 1), ("fr", "z z", 2)]

@@ -51,6 +51,9 @@ def main() -> int:
     spark = build_session(master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     pages = generate_pages(spark, 20000)
+    from chainalytic_framework_spark.operators.cascade import build_all_tiers
+
+    build_all_tiers_cache = build_all_tiers(pages, grain="lang")
 
     ok = True
     ok &= audit("filter_project (P1): pushdown into scan",
@@ -209,6 +212,25 @@ def main() -> int:
     ok &= audit("contamination: broadcast-eligible benchmark probe",
                 contract.contamination_documents(spark, sf),
                 {"max_exchanges": 5})
+
+    # round-4 additions
+    ok &= audit("strip segments: pre-agg + doc-keyed islands, no hash window",
+                contract.strip_dup_spans_segments_documents(spark, sf),
+                {"max_exchanges": 8, "no_window": False})
+    ok &= audit("contamination spans: semi-join probe, keyed only",
+                contract.contamination_spans_documents(spark, sf),
+                {"max_exchanges": 5})
+    ok &= audit("ngram counts: ONE agg shuffle + window on aggregated rows",
+                contract.ngram_counts_documents(spark, sf),
+                {"max_exchanges": 3})
+    # routed series: per-tier pruned scans unioned, one grain agg
+    from chainalytic_framework_spark.operators.router import read_routed_series
+
+    tier_dfs = {t: build_all_tiers_cache[t] for t in build_all_tiers_cache}
+    ok &= audit("routed series: pruned per-tier branches + one grain agg",
+                read_routed_series(tier_dfs, 1704067200, 1704240000, "1h",
+                                   keys=("lang",)),
+                {"max_exchanges": 4})
 
     # z-order write key must be pure codegen (no UDF, no exchange of its own)
     from chainalytic_framework_spark.operators.zorder import zorder_key
