@@ -3419,3 +3419,27 @@ def ngram_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return ngram_counts(d, n=2, group_cols=("lang",), top_k=20)
+
+
+@q(
+    "split_assign_documents",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_KEYHASH_PPM_SQL.format(x='doc_id', seed=11)} < 10000 THEN 'test'
+                WHEN {_KEYHASH_PPM_SQL.format(x='doc_id', seed=11)} < 30000 THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-way train/val/test assignment
+    (operators/sampling.py::split_assign): content-hash cumulative
+    bands, sorted-name order (test 1%%, train 2%%... the gate checks the
+    BAND MATH, not realistic fractions: tiny bands make every branch of
+    the CASE exercise at sf0.01), reproducible cross-engine via the md5
+    ppm hash. Scan-side projection — no shuffle, stable on any cluster
+    size."""
+    d = _t(spark, sf_dir, "documents")
+    return _samp.split_assign(
+        d, {"test": 0.01, "train": 0.02, "val": 0.97}, key="doc_id", seed=11
+    ).select("doc_id", "split")

@@ -103,3 +103,29 @@ def reservoir_per_group(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def split_assign(df: DataFrame, splits: dict[str, float], key: str,
+                 seed: int = 0, split_col: str = "split") -> DataFrame:
+    """N-way deterministic split LABEL (train/val/test): cumulative
+    thresholds over the same content-hash ppm, so every row carries one
+    stable assignment forever — new data joining later lands in the
+    split it would always have had, and the label is reproducible in
+    any engine that can md5 (oracle-paired). Fractions must sum to 1.
+
+    Splits are assigned in sorted-name order for determinism; the last
+    band absorbs rounding residue so the cover is exhaustive."""
+    names = sorted(splits)
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, need 1.0")
+    h = _ppm(key, seed)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        thr = F.lit(int(round(acc * _HASH_MOD)))
+        expr = (F.when(h < thr, F.lit(name)) if expr is None
+                else expr.when(h < thr, F.lit(name)))
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, label)

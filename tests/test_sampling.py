@@ -72,3 +72,32 @@ def test_reservoir_sizes_and_determinism(spark):
     # identical pick under a different partitioning
     r2 = reservoir_per_group(d.repartition(13), ["lang"], 7, key="doc_id", seed=5)
     assert {tuple(x) for x in r.collect()} == {tuple(x) for x in r2.collect()}
+
+
+def test_split_assign_exhaustive_disjoint_stable(spark):
+    """Every row gets exactly one label; fractions land near targets;
+    assignment is stable under repartitioning and incremental arrival."""
+    import pytest
+
+    from chainalytic_framework_spark.operators.sampling import split_assign
+
+    df = spark.range(20_000).withColumnRenamed("id", "k")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(df, splits, key="k", seed=3)
+    counts = {r["split"]: r["c"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sum(counts.values()) == 20_000
+    for name, frac in splits.items():
+        assert abs(counts[name] / 20_000 - frac) < 0.02, (name, counts)
+
+    # partition-layout independence + incremental stability
+    a = {r["k"]: r["split"] for r in out.collect()}
+    b = {r["k"]: r["split"]
+         for r in split_assign(df.repartition(17), splits, "k", seed=3).collect()}
+    assert a == b
+    late = {r["k"]: r["split"]
+            for r in split_assign(df.where(F.col("k") >= 15_000), splits, "k", seed=3).collect()}
+    assert all(a[k] == v for k, v in late.items())
+
+    with pytest.raises(ValueError, match="sum"):
+        split_assign(df, {"a": 0.5, "b": 0.4}, key="k")
