@@ -62,6 +62,10 @@ HEADLINE = [
     "routed_p90_events",
     "dup_span_stats_documents",
     "pack_chunks_documents",
+    # round-4 additions: corpus n-gram tables and the split-label scan
+    # (both pure agg/scan shapes new to the list)
+    "ngram_counts_documents",
+    "split_assign_documents",
 ]
 
 
