@@ -106,6 +106,13 @@ def _cmd_serve_range(args: argparse.Namespace) -> None:
     store = TableStore(spark, args.warehouse)
     tiers = {t: store.read(f"tier_{t}") for t in ("1m", "1h", "1d", "30d")
              if store.exists(f"tier_{t}")}
+    # a live streaming edge rides in as part of the finest tier
+    # (per-bucket batch-wins — serve_quantile does the same via
+    # serve_distribution)
+    if store.exists("tier_1m_stream"):
+        from .streaming.stream import serve_tier
+
+        tiers["1m"] = serve_tier(store, "1m")
     # validate the cover against the retention policy so a range whose
     # fine-tier segments were already expired fails loudly instead of
     # silently undercounting (ADVICE r2)

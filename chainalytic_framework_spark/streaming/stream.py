@@ -357,6 +357,36 @@ def serve_distribution(store: TableStore, series_cols=("lang",)) -> DataFrame:
     return batch.unionByName(edge)
 
 
+def serve_tier(store: TableStore, tier: str = "1m") -> DataFrame:
+    """Seamless history+edge NUMERIC tier read — the tier-table twin of
+    ``serve_distribution``: the batch ``tier_<t>`` table is
+    authoritative for every bucket it covers (a batch run re-derives a
+    covered bucket in full), and the streaming log serves every other
+    bucket via a broadcast anti-join on the batch's distinct bucket set
+    (per-bucket batch-wins: ingest gaps below the batch high-water
+    serve from the stream, an empty batch table serves the whole edge —
+    the serve_distribution ADVICE-r3 semantics from day one).
+
+    Stream rows are watermark-finalized windows, so replay duplicates
+    after a crash are byte-identical — ``distinct`` makes the read
+    replay-safe (same argument as ``compact_stream_into_batch``).
+    Output schema = the batch tier's columns; feed it to ``read_routed``
+    as the finest tier for a history+edge routed range."""
+    name, sname = f"tier_{tier}", f"tier_{tier}_stream"
+    have_b, have_s = store.exists(name), store.exists(sname)
+    if not have_b and not have_s:
+        raise ValueError(f"no {name} or {sname} in store")
+    if have_b and not have_s:
+        return store.read(name)
+    stream = store.read(sname).distinct()
+    if not have_b:
+        return stream
+    batch = store.read(name)
+    covered = batch.select("bucket_start").distinct()
+    edge = stream.join(F.broadcast(covered), "bucket_start", "left_anti")
+    return batch.unionByName(edge.select(batch.columns))
+
+
 def compact_stream_into_batch(store: TableStore, closed_before=None) -> list:
     """Fold the streaming edge into the batch history: move the stream
     table's CLOSED days into ``tier_1m`` (idempotent dynamic partition

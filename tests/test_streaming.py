@@ -453,3 +453,55 @@ def test_serve_distribution_ingest_gap_and_empty_batch(spark, tmp_path):
     got2 = {(r["bucket_epoch"], r["hb_count"])
             for r in serve_distribution(store2).collect()}
     assert got2 == {(120, 3), (240, 4), (180, 999)}
+
+
+def test_serve_tier_history_plus_edge(spark, tmp_path):
+    """Numeric-tier twin of serve_distribution: batch days + stream edge
+    merge into the full-corpus 1m rollup over the finalized region, with
+    per-bucket batch-wins (no double count, ingest gaps covered)."""
+    import datetime as dt
+
+    from chainalytic_framework_spark.plans.pipeline import run_pipeline
+    from chainalytic_framework_spark.streaming.stream import (
+        serve_tier,
+        start_stream_to_store,
+    )
+
+    pages = generate_pages(spark, 3000).cache()
+    split_day = pages.agg(F.max(F.to_date("warc_ts"))).first()[0]
+    hist_part = pages.where(F.to_date("warc_ts") < F.lit(split_day))
+    edge_part = pages.where(F.to_date("warc_ts") >= F.lit(split_day))
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, hist_part, store, with_fold=False)
+    src = str(tmp_path / "edge_src")
+    edge_part.write.mode("overwrite").parquet(src)
+    q = start_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+
+    horizon = int(
+        (pages.agg(F.max("warc_ts")).first()[0] - dt.timedelta(minutes=11)).timestamp()
+    )
+    got = (
+        serve_tier(store, "1m")
+        .where(F.col("bucket_start").cast("long") < horizon)
+        .groupBy("url", "bucket_start")
+        .agg(F.sum("point_count").alias("pc"), F.sum("byte_size").alias("bs"))
+    )
+    exp = (
+        pages.where(F.col("warc_ts").cast("long") < horizon + 60)
+        .groupBy(
+            "url",
+            ((F.col("warc_ts").cast("long") / 60).cast("long") * 60)
+            .cast("timestamp").alias("bucket_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("pc"),
+             F.sum(F.octet_length("html")).alias("bs"))
+        .where(F.col("bucket_start").cast("long") < horizon)
+    )
+    cols = ["url", "bucket_start", "pc", "bs"]
+    assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
+    assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
