@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .bucketing import N_URL_BUCKETS, url_bucket
 from .codec import decode_series_many, encode_series_many
@@ -109,3 +110,80 @@ def decode_cold(cold_df: DataFrame) -> DataFrame:
 
     grouped = cold_df.withColumn("_b", url_bucket("url"))
     return grouped.groupBy("_b").applyInPandas(dec, schema=POINTS_SCHEMA)
+
+
+def enforce_cold_policy(store, tier: str = "1d", colder_than_epoch: int = 0,
+                        measures: list[str] | None = None) -> int:
+    """Compress-after-age policy (TimescaleDB's compress_chunk /
+    InfluxDB shard-cold analogue): move hot tier DAYS whose buckets are
+    all fully closed before ``colder_than_epoch`` into the Gorilla blob
+    table ``cold_<tier>``, then drop those hot partitions. Idempotent
+    and crash-safe by construction:
+
+    - append-then-delete: a crash between the blob append and the hot
+      partition delete leaves BOTH copies; :func:`read_tier_with_cold`
+      gives hot per-bucket precedence, so reads never double-count;
+    - a policy re-run after such a crash re-encodes the still-hot days
+      into byte-identical blobs (deterministic encode), and the cold
+      read dedupes identical blob rows — the same replay argument the
+      streaming partial logs use.
+
+    Only whole days move (bucket_day is the partition axis), and only
+    days whose LAST bucket closes before the cutoff. Returns days moved.
+    """
+    name, cold_name = f"tier_{tier}", f"cold_{tier}"
+    if not store.exists(name):
+        return 0
+    from .bucketing import SECONDS
+
+    hot = store.read(name)
+    closed = (
+        hot.groupBy("bucket_day")
+        .agg(F.max(F.col("bucket_start").cast("long")).alias("_last"))
+        .where(F.col("_last") + SECONDS[tier] <= colder_than_epoch)
+    )
+    days = [r["bucket_day"] for r in closed.select("bucket_day").collect()]
+    if not days:
+        return 0
+    old = hot.where(F.col("bucket_day").isin(days))
+    store.append(encode_cold(old, measures), cold_name)
+    store.delete_where_partition(name, "bucket_day", [str(d) for d in days])
+    return len(days)
+
+
+def read_tier_with_cold(store, tier: str = "1d",
+                        measures: list[str] | None = None) -> DataFrame:
+    """Transparent hot ∪ cold tier read: hot rows win per (url, bucket)
+    — the crash-window belt for :func:`enforce_cold_policy` — and cold
+    blobs decode + pivot back to the wide tier shape for every bucket
+    hot no longer holds. Cold keeps only the policy's measures (the
+    standard cold-path tradeoff); callers needing full hot columns
+    (lang, min/max) query inside the hot horizon.
+
+    Scale shape: the cold side is only expired buckets, the precedence
+    anti-join is keyed on (url, bucket_start) — an ordinary shuffled
+    join pruned by whatever time predicate the caller pushes down; blob
+    decode parallelism is per url_bucket group as in
+    :func:`decode_cold`."""
+    measures = measures or ["point_count", "byte_size", "text_len_sum"]
+    name, cold_name = f"tier_{tier}", f"cold_{tier}"
+    cols = ["url", "url_hash", "bucket_start", *measures]
+    have_hot, have_cold = store.exists(name), store.exists(cold_name)
+    if not have_cold and not have_hot:
+        raise ValueError(f"no {name} or {cold_name} in store")
+    hot = store.read(name).select(*cols) if have_hot else None
+    if not have_cold:
+        return hot
+    pts = decode_cold(store.read(cold_name).distinct())
+    wide = (
+        pts.groupBy("url", "url_hash", "bucket_start")
+        .pivot("measure", measures)
+        .agg(F.first("value"))
+    )
+    if hot is None:
+        return wide.select(*cols)
+    cold_only = wide.join(
+        hot.select("url", "bucket_start").distinct(),
+        ["url", "bucket_start"], "left_anti",
+    )
+    return hot.unionByName(cold_only.select(*cols))

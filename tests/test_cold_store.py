@@ -72,3 +72,47 @@ def test_series_points_unified_hot_cold(spark, pages):
     b = series_points(hot_recent, cold, measure="byte_size", url=u, t0=t0)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_cold_policy_roundtrip_and_crash_safety(spark, tmp_path):
+    """enforce_cold_policy moves fully-closed days into blobs and drops
+    the hot partitions; read_tier_with_cold reproduces the original
+    tier exactly — including after a simulated crash (double blob
+    append) and a policy re-run."""
+    from chainalytic_framework_spark.operators.cold_store import (
+        encode_cold,
+        enforce_cold_policy,
+        read_tier_with_cold,
+    )
+    from chainalytic_framework_spark.plans.pipeline import run_pipeline
+    from chainalytic_framework_spark.synth import generate_pages
+    from chainalytic_framework_spark.tables import TableStore
+
+    pages = generate_pages(spark, 4000)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, pages, store, with_fold=False)
+
+    measures = ["point_count", "byte_size", "text_len_sum"]
+    cols = ["url", "url_hash", "bucket_start", *measures]
+    original = store.read("tier_1d").select(*cols).collect()
+    days = sorted(r["bucket_day"] for r in
+                  store.read("tier_1d").select("bucket_day").distinct().collect())
+    import calendar
+    cutoff = calendar.timegm(days[len(days) // 2].timetuple()) + 86400
+
+    moved = enforce_cold_policy(store, "1d", colder_than_epoch=cutoff)
+    assert moved > 0
+    remaining = {r["bucket_day"] for r in
+                 store.read("tier_1d").select("bucket_day").distinct().collect()}
+    assert all(calendar.timegm(d.timetuple()) + 86400 > cutoff for d in remaining)
+
+    got = sorted(map(tuple, read_tier_with_cold(store, "1d").select(*cols).collect()))
+    assert got == sorted(map(tuple, original))
+
+    # idempotent re-run: nothing else moves, read unchanged
+    assert enforce_cold_policy(store, "1d", colder_than_epoch=cutoff) == 0
+    # crash simulation: the blob append happened twice -> distinct saves it
+    # re-append the EXISTING blobs verbatim (worst-case replay)
+    store.append(store.read("cold_1d"), "cold_1d")
+    got2 = sorted(map(tuple, read_tier_with_cold(store, "1d").select(*cols).collect()))
+    assert got2 == sorted(map(tuple, original))
