@@ -313,6 +313,24 @@ def _cmd_serve_forecast(args: argparse.Namespace) -> None:
                       "rows": [r.asDict() for r in rows]}, default=str))
 
 
+def _cmd_cold(args: argparse.Namespace) -> None:
+    """Compress-after-age policy: move fully-closed tier days older than
+    --before into Gorilla blob cold storage; `serve-range`-style reads
+    keep working transparently via read_tier_with_cold."""
+    from .operators.cold_store import enforce_cold_policy
+    from .operators.retention import _to_epoch
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-cold")
+    store = TableStore(spark, args.warehouse)
+    moved = enforce_cold_policy(
+        store, args.tier, colder_than_epoch=_to_epoch(dt.datetime.fromisoformat(args.before))
+    )
+    print(json.dumps({"tier": args.tier, "before": args.before,
+                      "days_moved": moved}))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="chainalytic_framework_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -421,6 +439,14 @@ def main(argv: list[str] | None = None) -> None:
     sfc.add_argument("--zero-fill", action="store_true")
     sfc.add_argument("--limit", type=int, default=50)
     sfc.set_defaults(fn=_cmd_serve_forecast)
+
+    cd = sub.add_parser("cold", help="compress-after-age: move closed tier "
+                                     "days into Gorilla blob cold storage")
+    cd.add_argument("--warehouse", required=True)
+    cd.add_argument("--tier", default="1d")
+    cd.add_argument("--before", required=True,
+                    help="ISO datetime; days fully closed before this move")
+    cd.set_defaults(fn=_cmd_cold)
 
     args = p.parse_args(argv)
     args.fn(args)
