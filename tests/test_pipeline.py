@@ -274,6 +274,18 @@ def test_cli_run_idempotent(spark, tmp_path):
     assert out["grain"] == "1h" and len(out["rows"]) > 0
     assert {r["step"] for r in out["rows"] if r["lang"] == out["rows"][0]["lang"]} == {1, 2, 3, 4}
 
+    # cold: move all fully-closed 1d days into blob storage
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["cold", "--warehouse", wh, "--tier", "1d",
+              "--before", "2030-01-01T00:00:00"])
+    cold_out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert cold_out["days_moved"] > 0
+    from chainalytic_framework_spark.operators.cold_store import read_tier_with_cold
+
+    assert read_tier_with_cold(store, "1d").count() > 0
+    assert not store.exists("tier_1d") or store.read("tier_1d").isEmpty()
+
 
 def test_histogram_tiers_incremental_equals_direct(spark, tmp_path):
     """with_histograms: the pipeline's incrementally-maintained hist_1d
