@@ -185,6 +185,43 @@ def read_routed_series(
     )
 
 
+def read_routed_distinct(
+    sketch_dfs: dict[str, DataFrame],
+    e0: int,
+    e1: int,
+    keys: tuple[str, ...] = ("lang",),
+    retention_horizons: dict[str, int | None] | None = None,
+    now_epoch: int | None = None,
+) -> DataFrame:
+    """Per-key DISTINCT-count estimate over [e0, e1) from the stored HLL
+    sketch tiers — the non-algebraic metric the router exists for: an
+    exact COUNT(DISTINCT) over two years would re-shuffle the whole key
+    space; here each routed segment contributes its stored partials and
+    one ``hll_union_agg`` merges them (register-exact union, so the
+    answer equals a single sketch built over the whole range — tested
+    within HLL error vs exact distinct). Same segment plan as
+    ``read_routed``; output (keys..., distinct_est long)."""
+    segs = route_range(e0, e1, [t for t in TIER_ORDER if t in sketch_dfs])
+    if retention_horizons is not None:
+        if now_epoch is None:
+            raise ValueError("now_epoch required with retention_horizons")
+        check_routable(segs, retention_horizons, now_epoch)
+    parts = []
+    for tier, lo, hi in segs:
+        b = F.col("bucket_start").cast("long")
+        parts.append(
+            sketch_dfs[tier].where((b >= lo) & (b < hi)).select(*keys, "url_sketch")
+        )
+    if not parts:
+        raise ValueError("empty range")
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        allp.groupBy(*keys)
+        .agg(F.hll_union_agg("url_sketch").alias("_sk"))
+        .select(*keys, F.hll_sketch_estimate("_sk").alias("distinct_est"))
+    )
+
+
 def read_routed_quantile(
     hist_dfs: dict[str, DataFrame],
     e0: int,

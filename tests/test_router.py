@@ -267,3 +267,40 @@ def test_read_routed_series_rejects_coarse_grain_misalignment():
         read_routed_series({"1m": None}, 30, 7200, "1h")
     with _p.raises(ValueError, match="no stored tier"):
         read_routed_series({"1d": None}, 0, 7200, "1h")
+
+
+def test_read_routed_distinct_matches_exact_within_error(tiers, spark, pages):
+    """Routed HLL union across tiers must estimate the exact per-lang
+    distinct-url count within the sketch's error bound, and equal the
+    single whole-range union exactly (register-exact merge)."""
+    from chainalytic_framework_spark.operators.router import read_routed_distinct
+    from chainalytic_framework_spark.operators.sketches import (
+        url_sketch_downsample,
+        url_sketch_rollup,
+    )
+
+    obs = pages.select("url", "warc_ts", "lang")
+    sk = {"1m": url_sketch_rollup(obs, "1m").cache()}
+    for child, parent in (("1h", "1m"), ("1d", "1h"), ("30d", "1d")):
+        sk[child] = url_sketch_downsample(sk[parent], child).cache()
+
+    lo = sk["1m"].agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = sk["1m"].agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    est = {r["lang"]: r["distinct_est"]
+           for r in read_routed_distinct(sk, lo, hi).collect()}
+    exact = {r["lang"]: r["d"]
+             for r in pages.where((F.col("warc_ts").cast("long") >= lo)
+                                  & (F.col("warc_ts").cast("long") < hi))
+             .groupBy("lang").agg(F.countDistinct("url").alias("d")).collect()}
+    assert set(est) == set(exact)
+    for lang, d in exact.items():
+        assert abs(est[lang] - d) / max(d, 1) < 0.06, (lang, est[lang], d)
+
+    # register-exact: routed union == one union over the finest tier
+    one = {r["lang"]: r["distinct_est"] for r in
+           sk["1m"].where((F.col("bucket_start").cast("long") >= lo)
+                          & (F.col("bucket_start").cast("long") < hi))
+           .groupBy("lang").agg(F.hll_union_agg("url_sketch").alias("_s"))
+           .select("lang", F.hll_sketch_estimate("_s").alias("distinct_est"))
+           .collect()}
+    assert est == one
