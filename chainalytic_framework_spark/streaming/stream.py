@@ -357,6 +357,44 @@ def serve_distribution(store: TableStore, series_cols=("lang",)) -> DataFrame:
     return batch.unionByName(edge)
 
 
+def serve_distinct(store: TableStore) -> DataFrame:
+    """Seamless history+edge DISTINCT-count read — the sketch twin of
+    ``serve_distribution``/``serve_tier``: the batch ``sketch_1m`` tier
+    is authoritative for buckets it covers; the streaming sketch
+    partial log serves the rest (per-bucket batch-wins anti-join).
+    Output: (bucket_start, lang, url_sketch, distinct_urls_est) —
+    partials stay MERGEABLE, so callers can keep unioning upward
+    (``read_routed_distinct``) before estimating.
+
+    The stream side unions its per-micro-batch partials per bucket
+    first (hll_union_agg is idempotent over replayed byte-identical
+    partials — stronger than the count logs, no distinct needed)."""
+    have_b, have_s = store.exists("sketch_1m"), store.exists("sketch_1m_stream")
+    if not have_b and not have_s:
+        raise ValueError("no sketch_1m or sketch_1m_stream in store")
+    cols = ["bucket_start", "lang", "url_sketch"]
+    batch = store.read("sketch_1m").select(*cols) if have_b else None
+    if not have_s:
+        merged = batch
+    else:
+        edge = (
+            store.read("sketch_1m_stream")
+            .groupBy("bucket_start", "lang")
+            .agg(F.hll_union_agg("url_sketch").alias("url_sketch"))
+            .select(*cols)
+        )
+        if batch is None:
+            merged = edge
+        else:
+            covered = batch.select("bucket_start").distinct()
+            merged = batch.unionByName(
+                edge.join(F.broadcast(covered), "bucket_start", "left_anti")
+            )
+    return merged.withColumn(
+        "distinct_urls_est", F.hll_sketch_estimate("url_sketch")
+    )
+
+
 def serve_tier(store: TableStore, tier: str = "1m") -> DataFrame:
     """Seamless history+edge NUMERIC tier read — the tier-table twin of
     ``serve_distribution``: the batch ``tier_<t>`` table is

@@ -505,3 +505,47 @@ def test_serve_tier_history_plus_edge(spark, tmp_path):
     cols = ["url", "bucket_start", "pc", "bs"]
     assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
     assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_serve_distinct_history_plus_edge(spark, tmp_path):
+    """Sketch twin of serve_tier: batch sketch days + streaming sketch
+    edge estimate the full-corpus per-bucket distinct urls within HLL
+    error, with per-bucket batch-wins."""
+    import datetime as dt
+
+    from chainalytic_framework_spark.plans.pipeline import run_pipeline
+    from chainalytic_framework_spark.streaming.stream import (
+        serve_distinct,
+        start_stream_to_store,
+    )
+
+    pages = generate_pages(spark, 3000).cache()
+    split_day = pages.agg(F.max(F.to_date("warc_ts"))).first()[0]
+    hist_part = pages.where(F.to_date("warc_ts") < F.lit(split_day))
+    edge_part = pages.where(F.to_date("warc_ts") >= F.lit(split_day))
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, hist_part, store, with_fold=False, with_sketches=True)
+    src = str(tmp_path / "edge_src")
+    edge_part.write.mode("overwrite").parquet(src)
+    q = start_stream_to_store(
+        spark, src, store, checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True, with_sketches=True,
+    )
+    q.awaitTermination(300)
+
+    horizon = int(
+        (pages.agg(F.max("warc_ts")).first()[0] - dt.timedelta(minutes=11)).timestamp()
+    )
+    got = {(r["bucket_start"], r["lang"]): r["distinct_urls_est"]
+           for r in serve_distinct(store)
+           .where(F.col("bucket_start").cast("long") < horizon).collect()}
+    exact = {(r["bucket_start"], r["lang"]): r["d"]
+             for r in pages
+             .groupBy(((F.col("warc_ts").cast("long") / 60).cast("long") * 60)
+                      .cast("timestamp").alias("bucket_start"), "lang")
+             .agg(F.countDistinct("url").alias("d"))
+             .where(F.col("bucket_start").cast("long") < horizon).collect()}
+    assert set(got) == set(exact) and len(got) > 0
+    for k, d in exact.items():
+        assert abs(got[k] - d) / max(d, 1) < 0.06, (k, got[k], d)
