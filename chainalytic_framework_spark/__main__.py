@@ -293,6 +293,12 @@ def _cmd_serve_forecast(args: argparse.Namespace) -> None:
         t: store.read(f"tier_{t}") for t in TIER_ORDER
         if store.exists(f"tier_{t}")
     }
+    # live streaming edge rides in as the finest tier (per-bucket
+    # batch-wins), so the fit extends to the freshest closed buckets
+    if store.exists("tier_1m_stream"):
+        from .streaming.stream import serve_tier
+
+        tier_dfs["1m"] = serve_tier(store, "1m")
     keys = args.keys.split(",")
     series = read_routed_series(
         tier_dfs, args.t0, args.t1, args.grain,
