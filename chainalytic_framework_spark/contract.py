@@ -3443,3 +3443,41 @@ def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.split_assign(
         d, {"test": 0.01, "train": 0.02, "val": 0.97}, key="doc_id", seed=11
     ).select("doc_id", "split")
+
+
+@q(
+    "bigram_surprisal_documents",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      FROM t WHERE len(toks) >= 2
+    ),
+    occ AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg FROM u),
+    bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bi FROM occ GROUP BY 1),
+    sp AS (SELECT bg, c_bi, string_split(bg, ' ')[1] AS w1,
+                  string_split(bg, ' ')[-1] AS w2 FROM bc),
+    ctx AS (SELECT w1, SUM(c_bi) AS c_ctx FROM sp GROUP BY 1),
+    uni AS (SELECT w2, SUM(c_bi) AS c_w2 FROM sp GROUP BY 1),
+    n AS (SELECT SUM(c_bi) AS n_total FROM bc),
+    st AS (
+      SELECT sp.bg,
+             CAST(round(-ln(0.75 * sp.c_bi / ctx.c_ctx
+                            + 0.25 * uni.c_w2 / n.n_total) * 10000)
+                  AS BIGINT) AS surp_x1e4
+      FROM sp JOIN ctx USING (w1) JOIN uni USING (w2) CROSS JOIN n)
+    SELECT occ.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(floor(SUM(st.surp_x1e4) / COUNT(*)) AS BIGINT) AS bi_surprisal_x1e4
+    FROM occ JOIN st USING (bg)
+    GROUP BY occ.doc_id
+    """,
+)
+def bigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer bigram LM surprisal per doc (functions/text.py::
+    bigram_surprisal, λ=0.75) — the corpus-as-LM perplexity filter one
+    step up from ``unigram_surprisal_documents``. Per-bigram-TYPE x1e4
+    log rounding keeps the per-doc rollup integer-exact cross-engine."""
+    from .functions.text import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))

@@ -313,3 +313,68 @@ def ngram_counts(docs: DataFrame, n: int, text_col: str = "text",
     w = (Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1)))
     rn = F.row_number().over(w.orderBy(F.desc("c"), F.asc("ngram")))
     return counts.withColumn("_rn", rn).where(F.col("_rn") <= top_k).drop("_rn")
+
+
+def bigram_surprisal(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", lam_x100: int = 75) -> DataFrame:
+    """Per-document mean BIGRAM surprisal under a Jelinek-Mercer
+    interpolated corpus LM — one modeling step up from
+    :func:`unigram_surprisal` toward the KenLM perplexity filter of
+    CCNet/LLM curation pipelines (no model artifacts in the container;
+    the corpus itself is the LM):
+
+        p(w2|w1) = λ·c(w1 w2)/c(w1·) + (1-λ)·c(w2)/N
+        surp(w1 w2) = round(-ln p · 1e4)          [per bigram TYPE]
+        score(doc) = floor(Σ_occurrences surp / n_bigrams(doc))
+
+    Per-TYPE rounding to integer 1e-4 nats before the per-doc sum makes
+    everything downstream exact integer arithmetic — hash-stable
+    cross-engine (the idf_x1e4 convention; libm ulp differences vanish
+    in the rounding). c(w1·) counts bigram CONTEXTS (= occurrences of
+    w1 as a left token), so p sums to 1 over the vocabulary per context
+    up to the unigram back-off mass.
+
+    Plan: one bigram explode (corpus-dominant stage) → bigram-type
+    aggregate (vocab-bounded) + two broadcastable unigram aggregates →
+    join back per type → per-doc rollup. Docs with < 2 tokens emit
+    nothing. Returns (id_col, n_bigrams, bi_surprisal_x1e4)."""
+    lam = F.lit(lam_x100 / 100.0)
+    toks = F.split(F.col(text_col), " ", -1)
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bi = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    occ = docs.select(F.col(id_col), F.explode(bi).alias("bg"))
+    bi_counts = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bi"))
+    w1 = F.split(F.col("bg"), " ", -1)[0]
+    w2 = F.element_at(F.split(F.col("bg"), " ", -1), -1)
+    ctx_counts = (
+        bi_counts.groupBy(w1.alias("w1")).agg(F.sum("c_bi").alias("c_ctx"))
+    )
+    uni_counts = bi_counts.groupBy(w2.alias("w2")).agg(F.sum("c_bi").alias("c_w2"))
+    n_total = bi_counts.agg(F.sum("c_bi").alias("n_total"))
+    stats = (
+        bi_counts.withColumn("w1", w1).withColumn("w2", w2)
+        .join(ctx_counts, "w1")
+        .join(uni_counts, "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "bg",
+            F.round(
+                -F.log(lam * F.col("c_bi") / F.col("c_ctx")
+                       + (F.lit(1.0) - lam) * F.col("c_w2") / F.col("n_total"))
+                * 10000, 0
+            ).cast("long").alias("surp_x1e4"),
+        )
+    )
+    return (
+        occ.join(stats, "bg")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("surp_x1e4").alias("_s"))
+        .select(
+            id_col, "n_bigrams",
+            F.floor(F.col("_s") / F.col("n_bigrams")).cast("long")
+            .alias("bi_surprisal_x1e4"),
+        )
+    )

@@ -118,3 +118,38 @@ def test_ngram_counts_hand_case(spark):
            .orderBy("lang", F.desc("c"), "ngram").collect()]
     # ties broken by gram text ascending -> deterministic
     assert top == [("en", "a b", 3), ("en", "b a", 1), ("fr", "z z", 2)]
+
+
+def test_bigram_surprisal_hand_case(spark):
+    """Interpolated bigram surprisal vs a direct python computation."""
+    import math
+
+    from chainalytic_framework_spark.functions.text import bigram_surprisal
+
+    docs = [(1, "a b a b"), (2, "a b c"), (3, "x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["bi_surprisal_x1e4"])
+           for r in bigram_surprisal(df).collect()}
+
+    from collections import Counter
+    occ = []
+    for d, t in docs:
+        toks = t.split(" ")
+        occ += [(d, " ".join(toks[i:i + 2])) for i in range(len(toks) - 1)]
+    c_bi = Counter(bg for _, bg in occ)
+    c_ctx = Counter()
+    c_w2 = Counter()
+    for bg, n in c_bi.items():
+        w1, w2 = bg.split(" ")[0], bg.split(" ")[-1]
+        c_ctx[w1] += n
+        c_w2[w2] += n
+    N = sum(c_bi.values())
+    surp = {bg: round(-math.log(0.75 * n / c_ctx[bg.split(" ")[0]]
+                                + 0.25 * c_w2[bg.split(" ")[-1]] / N) * 10000)
+            for bg, n in c_bi.items()}
+    exp = {}
+    for d, _ in docs:
+        mine = [surp[bg] for dd, bg in occ if dd == d]
+        if mine:
+            exp[d] = (len(mine), math.floor(sum(mine) / len(mine)))
+    assert got == exp and 3 not in got
