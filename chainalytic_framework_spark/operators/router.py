@@ -222,6 +222,46 @@ def read_routed_distinct(
     )
 
 
+def read_routed_kll(
+    sketch_dfs: dict[str, DataFrame],
+    e0: int,
+    e1: int,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    keys: tuple[str, ...] = ("lang",),
+    retention_horizons: dict[str, int | None] | None = None,
+    now_epoch: int | None = None,
+) -> DataFrame:
+    """Per-key QUANTILE estimates over [e0, e1) from the stored KLL
+    sketch tiers — the rank twin of ``read_routed_distinct`` (and the
+    sketch alternative to the histogram-based ``read_routed_quantile``):
+    each routed segment contributes stored partials, one
+    ``kll_merge_agg_bigint`` merges them, quantiles come off the merged
+    sketch. Merge is lossless over sketch state, so the routed answer
+    equals a single whole-range merge (tested); rank error stays the
+    per-sketch KLL bound. Output: (keys..., q50, q95, ... per qs)."""
+    segs = route_range(e0, e1, [t for t in TIER_ORDER if t in sketch_dfs])
+    if retention_horizons is not None:
+        if now_epoch is None:
+            raise ValueError("now_epoch required with retention_horizons")
+        check_routable(segs, retention_horizons, now_epoch)
+    parts = []
+    for tier, lo, hi in segs:
+        b = F.col("bucket_start").cast("long")
+        parts.append(
+            sketch_dfs[tier].where((b >= lo) & (b < hi)).select(*keys, "kll")
+        )
+    if not parts:
+        raise ValueError("empty range")
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    out = allp.groupBy(*keys).agg(F.kll_merge_agg_bigint("kll").alias("_kll"))
+    for q in qs:
+        out = out.withColumn(
+            f"q{int(q * 100)}",
+            F.kll_sketch_get_quantile_bigint("_kll", F.lit(float(q))),
+        )
+    return out.drop("_kll")
+
+
 def read_routed_quantile(
     hist_dfs: dict[str, DataFrame],
     e0: int,

@@ -304,3 +304,36 @@ def test_read_routed_distinct_matches_exact_within_error(tiers, spark, pages):
            .select("lang", F.hll_sketch_estimate("_s").alias("distinct_est"))
            .collect()}
     assert est == one
+
+
+def test_read_routed_kll_equals_whole_range_merge(spark, pages):
+    """Routed KLL merge across tiers == one whole-range merge (lossless
+    sketch-state union), and the p50 estimate sits within the KLL rank
+    bound of the exact median."""
+    from chainalytic_framework_spark.operators.router import read_routed_kll
+    from chainalytic_framework_spark.operators.sketches import (
+        quantile_sketch_downsample,
+        quantile_sketch_rollup,
+    )
+
+    obs = pages.select("warc_ts", "lang", F.length("text").alias("text_len"))
+    sk = {"1m": quantile_sketch_rollup(obs, "1m").cache()}
+    for child, parent in (("1h", "1m"), ("1d", "1h"), ("30d", "1d")):
+        sk[child] = quantile_sketch_downsample(sk[parent], child).cache()
+
+    lo = sk["1m"].agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = sk["1m"].agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    routed = {r["lang"]: (r["q50"], r["q95"])
+              for r in read_routed_kll(sk, lo, hi).collect()}
+    assert len(routed) > 0
+    # KLL merge state is order-dependent (unlike HLL registers) — the
+    # guarantee that survives routing is the RANK bound, per quantile
+    for lang, (q50, q95) in routed.items():
+        sub = obs.where(F.col("lang") == lang)
+        n = sub.count()
+        for q, est in ((0.5, q50), (0.95, q95)):
+            # integer values tie heavily: the CDF jumps at est, so the
+            # bound brackets the jump (below-rank < q+eps, at-rank > q-eps)
+            below = sub.where(F.col("text_len") < est).count() / n
+            at = sub.where(F.col("text_len") <= est).count() / n
+            assert below < q + 0.03 and at > q - 0.03, (lang, q, est, below, at)
