@@ -337,6 +337,29 @@ def _cmd_cold(args: argparse.Namespace) -> None:
                       "days_moved": moved}))
 
 
+def _cmd_serve_distinct(args: argparse.Namespace) -> None:
+    """Routed distinct-count estimates from the stored HLL sketch tiers
+    (history + streaming sketch edge as the finest tier when present)."""
+    from .operators.bucketing import TIER_ORDER
+    from .operators.router import read_routed_distinct
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-serve-d")
+    store = TableStore(spark, args.warehouse)
+    sk = {t: store.read(f"sketch_{t}") for t in TIER_ORDER
+          if store.exists(f"sketch_{t}")}
+    if store.exists("sketch_1m_stream"):
+        from .streaming.stream import serve_distinct
+
+        sk["1m"] = serve_distinct(store).select("bucket_start", "lang", "url_sketch")
+    df = read_routed_distinct(sk, args.t0, args.t1,
+                              keys=tuple(args.keys.split(",")))
+    rows = df.limit(args.limit).collect()
+    print(json.dumps({"t0": args.t0, "t1": args.t1,
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="chainalytic_framework_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -453,6 +476,16 @@ def main(argv: list[str] | None = None) -> None:
     cd.add_argument("--before", required=True,
                     help="ISO datetime; days fully closed before this move")
     cd.set_defaults(fn=_cmd_cold)
+
+    sd = sub.add_parser("serve-distinct",
+                        help="routed distinct-count estimates from the HLL "
+                             "sketch tiers (history+edge)")
+    sd.add_argument("--warehouse", required=True)
+    sd.add_argument("--t0", type=int, required=True)
+    sd.add_argument("--t1", type=int, required=True)
+    sd.add_argument("--keys", default="lang")
+    sd.add_argument("--limit", type=int, default=100)
+    sd.set_defaults(fn=_cmd_serve_distinct)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -286,6 +286,16 @@ def test_cli_run_idempotent(spark, tmp_path):
     assert read_tier_with_cold(store, "1d").count() > 0
     assert not store.exists("tier_1d") or store.read("tier_1d").isEmpty()
 
+    # serve-distinct over the sketch tiers written by run --with-sketches
+    main(["run", "--input", pages_out, "--warehouse", wh,
+          "--snapshot-id", "s2", "--with-sketches"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-distinct", "--warehouse", wh, "--t0", str(a), "--t1", str(b)])
+    d_out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert len(d_out["rows"]) > 0
+    assert all(r["distinct_est"] > 0 for r in d_out["rows"])
+
 
 def test_histogram_tiers_incremental_equals_direct(spark, tmp_path):
     """with_histograms: the pipeline's incrementally-maintained hist_1d
