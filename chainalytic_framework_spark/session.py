@@ -46,6 +46,13 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # FAIR job scheduling: the pipeline submits independent chains
+        # (cascade, fold, sketches, histograms) from concurrent driver
+        # threads; FIFO gives the first job's stages strict priority and
+        # makes the overlap depend on submission luck (measured 12.8-16.7s
+        # spread at sf0.1), FAIR round-robins tasks across the chains
+        # (12.3-13.2s, stable). Same reasoning on a multi-tenant cluster.
+        .config("spark.scheduler.mode", "FAIR")
         # Arrow for all pandas UDF traffic; modest batch size keeps peak
         # Python-worker memory bounded when html blobs ride along.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -80,7 +87,12 @@ def build_session(
         # arbitrary queries — verified by bisection; bloom injection
         # alone is the scan-side win and is stable.)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # in local mode the "driver" heap holds executors + persisted
+        # frames (obs/tier/fold caches of the concurrent chains); 8g
+        # showed major-GC outliers (12.8-16.7s pipeline spread at sf0.1,
+        # stable ~12.5s at 24g). On a cluster this is driver-only and the
+        # env override applies.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Shuffle/spill scratch on tmpfs when available: local-mode
         # shuffles are disk-bound otherwise (a cluster has per-node
         # disks; one sandbox disk serializes them).
