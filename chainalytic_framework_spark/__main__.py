@@ -96,6 +96,20 @@ def _cmd_query(args: argparse.Namespace) -> None:
                          default=str))
 
 
+def _retention_check_args(args: argparse.Namespace):
+    """(horizons, now_epoch) for the routed-read retention validation —
+    shared by ALL serve commands so none can silently read a range whose
+    fine-tier segments were already expired (ADVICE r2/r4): serve-range
+    and serve-quantile fail loudly, and serve-forecast must too, else
+    expired buckets enter the Holt fit as zeros and skew the forecast
+    with no error."""
+    if not args.retention_now:
+        return None, None
+    from .operators.retention import DEFAULT_HORIZONS, _to_epoch
+
+    return DEFAULT_HORIZONS, _to_epoch(dt.datetime.fromisoformat(args.retention_now))
+
+
 def _cmd_serve_range(args: argparse.Namespace) -> None:
     """Tier-routed range read over a warehouse written by `run`."""
     from .operators.router import read_routed
@@ -116,12 +130,7 @@ def _cmd_serve_range(args: argparse.Namespace) -> None:
     # validate the cover against the retention policy so a range whose
     # fine-tier segments were already expired fails loudly instead of
     # silently undercounting (ADVICE r2)
-    horizons = now_epoch = None
-    if args.retention_now:
-        from .operators.retention import DEFAULT_HORIZONS, _to_epoch
-
-        horizons = DEFAULT_HORIZONS
-        now_epoch = _to_epoch(dt.datetime.fromisoformat(args.retention_now))
+    horizons, now_epoch = _retention_check_args(args)
     df = read_routed(tiers, args.t0, args.t1, measure=args.measure,
                      keys=tuple(args.keys.split(",")),
                      retention_horizons=horizons, now_epoch=now_epoch)
@@ -151,12 +160,7 @@ def _cmd_serve_quantile(args: argparse.Namespace) -> None:
         print(json.dumps({"error": "no hist_* tiers in warehouse "
                                    "(run with --with-histograms)"}))
         raise SystemExit(2)
-    horizons = now_epoch = None
-    if args.retention_now:
-        from .operators.retention import DEFAULT_HORIZONS, _to_epoch
-
-        horizons = DEFAULT_HORIZONS
-        now_epoch = _to_epoch(dt.datetime.fromisoformat(args.retention_now))
+    horizons, now_epoch = _retention_check_args(args)
     df = read_routed_quantile(
         hists, args.t0, args.t1, series_cols=tuple(args.keys.split(",")),
         q_x100=args.q, out_col="q_lo",
@@ -300,9 +304,11 @@ def _cmd_serve_forecast(args: argparse.Namespace) -> None:
 
         tier_dfs["1m"] = serve_tier(store, "1m")
     keys = args.keys.split(",")
+    horizons, now_epoch = _retention_check_args(args)
     series = read_routed_series(
         tier_dfs, args.t0, args.t1, args.grain,
         measure=args.measure, keys=tuple(keys),
+        retention_horizons=horizons, now_epoch=now_epoch,
     )
     # routed series collapse to the requested key grain already (tier
     # tables are url grain -> aggregate over urls happened in the router)
@@ -353,8 +359,11 @@ def _cmd_serve_distinct(args: argparse.Namespace) -> None:
         from .streaming.stream import serve_distinct
 
         sk["1m"] = serve_distinct(store).select("bucket_start", "lang", "url_sketch")
+    horizons, now_epoch = _retention_check_args(args)
     df = read_routed_distinct(sk, args.t0, args.t1,
-                              keys=tuple(args.keys.split(",")))
+                              keys=tuple(args.keys.split(",")),
+                              retention_horizons=horizons,
+                              now_epoch=now_epoch)
     rows = df.limit(args.limit).collect()
     print(json.dumps({"t0": args.t0, "t1": args.t1,
                       "rows": [r.asDict() for r in rows]}, default=str))
@@ -466,6 +475,9 @@ def main(argv: list[str] | None = None) -> None:
     sfc.add_argument("--gamma", type=float, default=None)
     sfc.add_argument("--period", type=int, default=None)
     sfc.add_argument("--zero-fill", action="store_true")
+    sfc.add_argument("--retention-now", default=None,
+                     help="ISO datetime; fail loudly if the routed cover "
+                          "needs expired fine-tier segments")
     sfc.add_argument("--limit", type=int, default=50)
     sfc.set_defaults(fn=_cmd_serve_forecast)
 
@@ -484,6 +496,9 @@ def main(argv: list[str] | None = None) -> None:
     sd.add_argument("--t0", type=int, required=True)
     sd.add_argument("--t1", type=int, required=True)
     sd.add_argument("--keys", default="lang")
+    sd.add_argument("--retention-now", default=None,
+                    help="ISO datetime; fail loudly if the routed cover "
+                         "needs expired fine-tier segments")
     sd.add_argument("--limit", type=int, default=100)
     sd.set_defaults(fn=_cmd_serve_distinct)
 

@@ -45,64 +45,68 @@ def q(name: str, sql: str | None):
 
 # The driver's correctness gate snapshots exactly the FIRST 50 entries of
 # queries() in dict order.  Rounds 1-3 certified the first 50 registrations;
-# round 4 rotates the 39 never-gated queries into the snapshot window,
-# keeping one core representative per operator family (rollup, cascade,
-# distinct-count, topk, gapfill, join, fold/asof, TPC-H, exact dedup,
-# LSH-verified dedup, ANN) for cross-round continuity.  Registration order
-# in this file is unchanged; only the exported dict order differs.
+# round 4 rotated the 39 then-never-gated queries in; round 5 rotates
+# (a) the 6 queries with no driver row yet (5 added late in round 4 +
+# lttb, which now HAS a recursive-CTE oracle), (b) the new round-5
+# serving-layer queries, and (c) the 39 queries whose newest certification
+# is round 3 — re-certifying the oldest rows so a silent regression there
+# can't hide behind a stale green. Registration order in this file is
+# unchanged; only the exported dict order differs.
 _GATE_PRIORITY = [
-    # 11 core representatives already certified in r01-r03
-    "rollup_1m_events",
-    "rollup_1h_cascade_events",
-    "distinct_users_daily_events",
-    "topk_users_events",
-    "gapfill_locf_events",
-    "join_revenue_by_nation",
-    "asof_join_events",
-    "tpch_q1_lineitem",
-    "dedup_exact_documents",
-    "lsh_verified_pairs_documents",
-    "knn_bruteforce_embeddings",
-    # 39 queries green locally every round but never in the driver snapshot
-    "dedup_survivors_documents",
-    "hash_sample_documents",
-    "stratified_sample_documents",
-    "reservoir_per_group_documents",
-    "tfidf_top_terms_documents",
-    "incremental_lsh_pairs_documents",
-    "curation_pipeline_documents",
-    "gapfill_interp_events",
-    "counter_increase_events",
-    "time_weighted_avg_events",
+    # 6 queries with no driver-certified row (CORRECTNESS_r04: absent or
+    # err=no_oracle)
     "lttb_downsample_events",
-    "moving_window_events",
-    "zscore_anomaly_events",
-    "seasonal_profile_events",
-    "snapshot_diff_events",
-    "repetition_documents",
-    "histogram_1h_events",
-    "histogram_p90_daily_events",
-    "cusum_drift_events",
-    "ewma_1h_events",
-    "heavy_hitters_daily_events",
-    "term_stats_documents",
-    "term_search_documents",
-    "url_canonicalize_documents",
-    "cohort_retention_events",
-    "unigram_surprisal_documents",
-    "routed_range_events",
-    "correlation_pairs_events",
-    "path_prefix_rollup_documents",
-    "rollup_grouping_sets_documents",
-    "html_extract_documents",
-    "curation_score_documents",
-    "routed_p90_events",
-    "dup_span_stats_documents",
-    "bpe_word_freq_documents",
-    "pack_chunks_documents",
-    "contamination_documents",
-    "strip_dup_spans_documents",
-    "embedding_dedup_groups",
+    "bigram_surprisal_documents",
+    "contamination_spans_documents",
+    "ngram_counts_documents",
+    "split_assign_documents",
+    "strip_dup_spans_segments_documents",
+    # new round-5 queries (registered below; must sit inside the window)
+    "serve_tier_merge_events",
+    "routed_series_events",
+    "serve_distinct_merge_events",
+    "cold_read_union_events",
+    "idf_shift_documents",
+    # 39 queries whose newest driver certification is round 3
+    "rollup_1d_salted_events",
+    "cumulative_daily_events",
+    "grouped_last_events",
+    "point_lookup_events",
+    "last_bucket_events",
+    "recent_active_users_events",
+    "threshold_scan_events",
+    "transition_counts_events",
+    "filter_project_events",
+    "json_extract_events",
+    "semi_anti_join_orders",
+    "text_stats_lang_documents",
+    "token_count_documents",
+    "quality_score_documents",
+    "fingerprint_documents",
+    "minhash_signatures_documents",
+    "lsh_candidate_pairs_documents",
+    "simhash_documents",
+    "ngram_jaccard_pairs_documents",
+    "lsh_buckets_embeddings",
+    "embedding_neardup_pairs",
+    "seed_union_events",
+    "schema_version_dispatch_events",
+    "text_quality_full_documents",
+    "lang_id_documents",
+    "cube_lang_source_documents",
+    "last_wins_dedupe_events",
+    "sessionize_events",
+    "percentiles_by_type_events",
+    "funnel_range_join_events",
+    "topk_per_group_events",
+    "registry_rollup_1h_events",
+    "simhash64_documents",
+    "simhash_hamming_pairs_documents",
+    "prefix_scan_events",
+    "ivf_topk_embeddings",
+    "retained_users_daily_events",
+    "churned_users_daily_events",
+    "dedup_groups_documents",
 ]
 
 
@@ -2112,27 +2116,100 @@ def time_weighted_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "lttb_downsample_events",
-    None,  # sequential per-series selection is not SQL-expressible;
-           # correctness is property-tested (tests/test_lttb.py):
-           # endpoint retention, spike retention, partitioning invariance
+    # The sequential selection IS SQL-expressible: a recursive CTE
+    # replays the bucket-by-bucket argmax because the exact-integer
+    # variant (operators/lttb.py::lttb_downsample_exact) makes every
+    # triangle area a pure int64 expression — no float accumulation to
+    # diverge between engines. Buckets/edges are precomputed (they
+    # depend only on n, not on the selection); the recursion carries
+    # (user, step, previous pick) and each step resolves the next pick
+    # with a correlated ORDER-BY-LIMIT-1 over its bucket's candidates.
+    """
+    WITH RECURSIVE src AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tr,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vr
+      FROM events WHERE user_id < 20
+      GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+    ),
+    base AS (
+      SELECT user_id, tr, vr,
+             tr - MIN(tr) OVER (PARTITION BY user_id) AS t,
+             vr - MIN(vr) OVER (PARTITION BY user_id) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tr) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM src
+    ),
+    big AS (SELECT * FROM base WHERE n > 50),
+    ukeys AS (SELECT DISTINCT user_id, n FROM big),
+    edges AS (
+      SELECT u.user_id, g.i,
+             CASE WHEN g.i = 48 THEN u.n - 1
+                  ELSE CAST(floor(CAST(g.i AS DOUBLE)
+                                  * ((CAST(u.n AS DOUBLE) - 2) / 48.0)
+                                  + 1.0) AS BIGINT)
+             END AS pos
+      FROM ukeys u CROSS JOIN (SELECT UNNEST(generate_series(0, 48)) AS i) g
+    ),
+    bkt AS (
+      SELECT e.user_id, e.i AS b, COUNT(*) AS cnt,
+             SUM(p.t) AS sum_t, SUM(p.v) AS sum_v
+      FROM edges e
+      JOIN edges e2 ON e2.user_id = e.user_id AND e2.i = e.i + 1
+      JOIN big p ON p.user_id = e.user_id AND p.rn >= e.pos AND p.rn < e2.pos
+      GROUP BY e.user_id, e.i
+      UNION ALL
+      SELECT user_id, 48, 1, t, v FROM big WHERE rn = n - 1
+    ),
+    sel AS (
+      SELECT user_id, -1 AS i, CAST(0 AS BIGINT) AS a FROM ukeys
+      UNION ALL
+      SELECT s.user_id, s.i + 1,
+        (SELECT c.rn
+         FROM big c
+         JOIN edges lo ON lo.user_id = s.user_id AND lo.i = s.i + 1
+         JOIN edges hi ON hi.user_id = s.user_id AND hi.i = s.i + 2
+         JOIN big pa ON pa.user_id = s.user_id AND pa.rn = s.a
+         JOIN bkt nb ON nb.user_id = s.user_id AND nb.b = s.i + 2
+         WHERE c.user_id = s.user_id AND c.rn >= lo.pos AND c.rn < hi.pos
+         ORDER BY abs((pa.t * nb.cnt - nb.sum_t) * (c.v - pa.v)
+                    - (pa.t - c.t) * (nb.sum_v - pa.v * nb.cnt)) DESC,
+                  c.rn ASC
+         LIMIT 1) AS a
+      FROM sel s WHERE s.i < 47
+    ),
+    picks AS (
+      SELECT user_id, a AS rn FROM sel WHERE i >= 0
+      UNION ALL SELECT user_id, 0 FROM ukeys
+      UNION ALL SELECT user_id, n - 1 FROM ukeys
+    )
+    SELECT b.user_id, b.tr AS t_epoch, b.vr AS v_cents
+    FROM big b JOIN picks k ON k.user_id = b.user_id AND k.rn = b.rn
+    UNION ALL
+    SELECT user_id, tr AS t_epoch, vr AS v_cents FROM base WHERE n <= 50
+    """,
 )
 def lttb_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets decimation of each user's value
-    series to 50 shape-preserving points (operators/lttb.py) — the
-    chart-serving path over tier tables."""
-    from .operators.lttb import lttb_downsample
+    series to 50 shape-preserving points — the chart-serving path over
+    tier tables. Uses the exact-integer variant
+    (operators/lttb.py::lttb_downsample_exact) so the DuckDB recursive
+    CTE oracle replays the selection bit-for-bit; the float variant
+    (same module) keeps its property tests (tests/test_lttb.py)."""
+    from .operators.lttb import lttb_downsample_exact
 
     ev = _t(spark, sf_dir, "events")
-    series = ev.where(F.col("user_id") < 20).select(
-        "user_id",
-        _epoch("ts").cast("double").alias("t"),
-        F.col("value").cast("double").alias("v"),
+    series = (
+        ev.where(F.col("user_id") < 20)
+        .select("user_id", _epoch("ts").alias("t"), _cents().alias("_c"))
+        .groupBy("user_id", "t")
+        .agg(F.sum("_c").alias("v"))
     )
-    out = lttb_downsample(series, ["user_id"], "t", "v", 50)
+    out = lttb_downsample_exact(series, ["user_id"], "t", "v", 50)
     return out.select(
         "user_id",
-        F.col("t").cast("long").alias("t_epoch"),
-        F.round(F.col("v") * 100).cast("long").alias("v_cents"),
+        F.col("t").alias("t_epoch"),
+        F.col("v").alias("v_cents"),
     )
 
 
@@ -3481,3 +3558,289 @@ def bigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import bigram_surprisal
 
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Serving-layer read paths (streaming/stream.py, operators/router.py,
+# operators/cold_store.py) — VERDICT r4 item 7: the history+edge merge,
+# the routed forecast series, and the hot∪cold tier read were
+# pytest-verified but had no oracle rows; these certify them directly.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "serve_tier_merge_events",
+    f"""
+    WITH h AS (
+      SELECT {_bucket_epoch_sql('ts', 3600)} AS bucket_epoch,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS point_count,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT CAST(floor(epoch(MIN(ts)) / 86400) AS BIGINT) * 86400 + 1296000
+               AS cut
+      FROM events),
+    batch AS (SELECT h.* FROM h, c WHERE bucket_epoch < cut),
+    edge AS (
+      SELECT bucket_epoch, event_type,
+             point_count + 1000000 AS point_count, value_cents
+      FROM h)
+    SELECT * FROM batch
+    UNION ALL
+    SELECT e.* FROM edge e
+    WHERE e.bucket_epoch NOT IN (SELECT bucket_epoch FROM batch)
+    """,
+)
+def serve_tier_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History+edge tier serving (streaming/stream.py::merge_batch_edge,
+    the primitive under ``serve_tier`` / ``serve_distribution`` /
+    ``serve_distinct``): the batch tier covers the first 15 days; the
+    streaming edge covers everything but carries replay DUPLICATES
+    (unioned with itself — deduped by the same ``.distinct()`` the
+    serve_tier read applies, streaming partial rows being deterministic
+    re-derivations) and a +1,000,000 count perturbation. The merged
+    read must take batch values on every covered bucket (perturbation
+    invisible there) and edge values beyond — exactly the oracle's
+    anti-join union."""
+    from .streaming.stream import merge_batch_edge
+
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.select(_bucket_epoch("ts", 3600), "event_type", _cents().alias("_c"))
+        .groupBy("bucket_epoch", "event_type")
+        .agg(F.count(F.lit(1)).alias("point_count"),
+             F.sum("_c").alias("value_cents"))
+    )
+    day0 = ev.agg(
+        ((F.min(_epoch("ts")) / 86400).cast("long") * 86400).alias("d0")
+    ).first()["d0"]
+    cut = int(day0) + 15 * 86400
+    batch = h.where(F.col("bucket_epoch") < cut)
+    edge_once = h.select(
+        "bucket_epoch", "event_type",
+        (F.col("point_count") + 1000000).alias("point_count"), "value_cents",
+    )
+    edge = edge_once.unionAll(edge_once).distinct()
+    return merge_batch_edge(batch, edge, "bucket_epoch")
+
+
+@q(
+    "routed_series_events",
+    """
+    WITH b AS (
+      SELECT CAST(floor(epoch(MIN(ts)) / 86400) AS BIGINT) * 86400 + 172800
+               AS lo,
+             CAST(floor(epoch(MAX(ts)) / 86400) AS BIGINT) * 86400 - 86400
+               AS hi
+      FROM events)
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS bucket_epoch,
+           CAST(COUNT(*) AS BIGINT) AS point_count
+    FROM events, b
+    WHERE epoch(ts) >= lo AND epoch(ts) < hi
+    GROUP BY 1, 2
+    """,
+)
+def routed_series_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed regular series at a grain COARSER than any stored tier
+    (operators/router.py::read_routed_series — the ``serve-forecast``
+    input path): a warehouse holding only 1m+1h tiers answers a
+    1d-grain series by routing the window over the 1h tier and
+    rebucketing UP, with the retention-validation plumbing engaged
+    (infinite horizons here; the expired case raises and is
+    pytest-covered). Oracle = the same daily rollup straight off the
+    raw rows — equality proves the cascade + rebucket-up is lossless,
+    i.e. the routed forecast history is exact, never approximated."""
+    from .operators.router import read_routed_series
+
+    ev = _t(spark, sf_dir, "events")
+    r = ev.agg(
+        ((F.min(_epoch("ts")) / 86400).cast("long") * 86400 + 172800).alias("lo"),
+        ((F.max(_epoch("ts")) / 86400).cast("long") * 86400 - 86400).alias("hi"),
+    ).first()
+    lo, hi = int(r["lo"]), int(r["hi"])
+
+    base = ev.select("event_type", _bucket_epoch("ts", 60).alias("bucket_start"))
+    t1m = base.groupBy("bucket_start", "event_type").agg(
+        F.count(F.lit(1)).alias("point_count")
+    )
+    t1h = (
+        t1m.select(
+            ((F.col("bucket_start") / 3600).cast("long") * 3600)
+            .alias("bucket_start"),
+            "event_type", "point_count",
+        )
+        .groupBy("bucket_start", "event_type")
+        .agg(F.sum("point_count").alias("point_count"))
+    )
+    out = read_routed_series(
+        {"1m": t1m, "1h": t1h}, lo, hi, "1d",
+        measure="point_count", keys=("event_type",),
+        retention_horizons={"1m": None, "1h": None}, now_epoch=hi,
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket_start").cast("long").alias("bucket_epoch"),
+        F.col("point_count").cast("long").alias("point_count"),
+    )
+
+
+@q(
+    "serve_distinct_merge_events",
+    f"""
+    WITH base AS (
+      SELECT {_bucket_epoch_sql('ts', 86400)} AS bucket_epoch,
+             event_type, user_id
+      FROM events),
+    c AS (
+      SELECT CAST(floor(epoch(MIN(ts)) / 86400) AS BIGINT) * 86400 + 1296000
+               AS cut
+      FROM events),
+    batch AS (
+      SELECT bucket_epoch, event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+      FROM base, c WHERE bucket_epoch < cut GROUP BY 1, 2),
+    edge AS (
+      SELECT bucket_epoch, event_type,
+             CAST(COUNT(DISTINCT user_id % 47) AS BIGINT) AS distinct_users
+      FROM base GROUP BY 1, 2)
+    SELECT * FROM batch
+    UNION ALL
+    SELECT e.* FROM edge e
+    WHERE e.bucket_epoch NOT IN (SELECT bucket_epoch FROM batch)
+    """,
+)
+def serve_distinct_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count serving merge (streaming/stream.py::serve_distinct
+    routing logic, certified on EXACT counts because a sketch estimate
+    has no cross-engine oracle): the batch side carries the
+    authoritative per-(day, type) distinct-user counts for its covered
+    days; the edge side deliberately computes a DIFFERENT statistic
+    (distinct of user_id mod 47 — standing in for the HLL estimate).
+    The merged result shows edge numbers only past batch coverage —
+    the per-bucket batch-wins rule ``serve_distinct`` relies on, here
+    observable because the two sides genuinely disagree."""
+    from .streaming.stream import merge_batch_edge
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        _bucket_epoch("ts", 86400), "event_type", F.col("user_id")
+    )
+    day0 = ev.agg(
+        ((F.min(_epoch("ts")) / 86400).cast("long") * 86400).alias("d0")
+    ).first()["d0"]
+    cut = int(day0) + 15 * 86400
+    batch = (
+        base.where(F.col("bucket_epoch") < cut)
+        .groupBy("bucket_epoch", "event_type")
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+    )
+    edge = base.groupBy("bucket_epoch", "event_type").agg(
+        F.countDistinct(F.col("user_id") % 47).alias("distinct_users")
+    )
+    return merge_batch_edge(batch, edge, "bucket_epoch")
+
+
+@q(
+    "cold_read_union_events",
+    """
+    SELECT 'https://e.example/u' || CAST(user_id % 40 AS VARCHAR) AS url,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS bucket_epoch,
+           CAST(COUNT(*) AS BIGINT) AS point_count,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS byte_size,
+           CAST(SUM(length(event_type)) AS BIGINT) AS text_len_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def cold_read_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot∪cold tier read through the REAL Gorilla path
+    (operators/cold_store.py::merge_hot_cold, the core of
+    ``read_tier_with_cold``): a url-grain 1d tier is split at day 15 —
+    the old half is Gorilla-ENCODED into day-keyed blobs and read back
+    through the transposed batch DECODER + pivot; the hot half stays
+    wide. The overlap day (day 15 lives on both sides) is fed to the
+    encoder with a +7777 perturbation. The oracle is the plain full
+    rollup: hash equality proves (a) the codec round-trip is bit-exact
+    through real encode→decode, and (b) hot strictly wins per (url,
+    bucket) — the crash-window guarantee ``enforce_cold_policy``'s
+    append-then-delete relies on."""
+    from .operators.cold_store import encode_cold, merge_hot_cold
+
+    ev = _t(spark, sf_dir, "events")
+    measures = ["point_count", "byte_size", "text_len_sum"]
+    url = F.concat(F.lit("https://e.example/u"),
+                   (F.col("user_id") % 40).cast("string"))
+    tier = (
+        ev.select(
+            url.alias("url"),
+            ((_epoch("ts") / 86400).cast("long") * 86400).alias("_d"),
+            _cents().alias("_c"),
+            F.length("event_type").alias("_l"),
+        )
+        .groupBy("url", "_d")
+        .agg(F.count(F.lit(1)).alias("point_count"),
+             F.sum("_c").alias("byte_size"),
+             F.sum("_l").cast("long").alias("text_len_sum"))
+        .select(
+            "url", F.xxhash64("url").alias("url_hash"),
+            F.col("_d").cast("timestamp").alias("bucket_start"),
+            *measures,
+        )
+    )
+    day0 = ev.agg(
+        ((F.min(_epoch("ts")) / 86400).cast("long") * 86400).alias("d0")
+    ).first()["d0"]
+    mid = int(day0) + 15 * 86400
+    b = F.col("bucket_start").cast("long")
+    hot = tier.where(b >= mid)
+    perturb = F.when(b == mid, F.lit(7777)).otherwise(F.lit(0))
+    cold_src = tier.where(b <= mid).select(
+        "url", "url_hash", "bucket_start",
+        *[(F.col(m) + perturb).alias(m) for m in measures],
+    )
+    out = merge_hot_cold(hot, encode_cold(cold_src), measures)
+    return out.select(
+        "url",
+        F.col("bucket_start").cast("long").alias("bucket_epoch"),
+        *[F.col(m).cast("long").alias(m) for m in measures],
+    )
+
+
+@q(
+    "idf_shift_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 2 = 1 AS p,
+             unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    dt AS (
+      SELECT DISTINCT p, term, doc_id FROM t WHERE length(term) >= 4),
+    dfs AS (SELECT p, term, COUNT(*) AS df FROM dt GROUP BY 1, 2),
+    n AS (
+      SELECT doc_id % 2 = 1 AS p, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1),
+    idf AS (
+      SELECT dfs.p, term, df,
+             CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df) * 10000) AS BIGINT)
+               AS i
+      FROM dfs JOIN n USING (p))
+    SELECT a.term,
+           a.i AS idf_a_x1e4,
+           b.i AS idf_b_x1e4,
+           b.i - a.i AS shift_x1e4
+    FROM idf a JOIN idf b ON a.term = b.term AND NOT a.p AND b.p
+    WHERE a.df >= 5 AND b.df >= 5
+    """,
+)
+def idf_shift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift IDF shift (functions/text.py::idf_shift) between
+    the even- and odd-doc_id halves of the corpus: per-term integer
+    idf_x1e4 on each side and their difference, for terms with df ≥ 5
+    on both sides — the emerging-boilerplate / dying-vocabulary flag a
+    curation pass runs between crawl snapshots."""
+    from .functions.text import idf_shift
+
+    d = _t(spark, sf_dir, "documents")
+    return idf_shift(d, (F.col("doc_id") % 2) == 1, min_len=4, min_df=5)

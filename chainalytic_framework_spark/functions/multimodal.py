@@ -60,8 +60,9 @@ def repartition_for_blobs(df: DataFrame, target_partition_mb: int = 256,
 def _decode_image_stub(payload: bytes) -> tuple[int, int, int, float, bool]:
     """STUB — deterministic fake decode (no imaging libs in container).
 
-    Real deployment: replace body with PIL.Image.open(BytesIO(payload));
-    signature and batch shape stay identical.
+    Real deployment: pass ``decoder="pil"`` to
+    :func:`extract_image_features` (Pillow path below, import-gated);
+    signature and batch shape are identical.
     """
     if len(payload) < 8:
         return (0, 0, 0, 0.0, False)
@@ -73,16 +74,56 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int, float, bool]:
     return (width, height, channels, mean_luma, True)
 
 
+try:  # real decode path, exercised when the deployment ships Pillow
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:  # sandbox container: stub only
+    _PILImage = None
+    HAVE_PIL = False
+
+
+def _decode_image_pil(payload: bytes) -> tuple[int, int, int, float, bool]:
+    """REAL decode via Pillow — same signature/contract as the stub
+    (width, height, channels, mean_luma, decode_ok); any undecodable
+    blob becomes a decode_ok=False row, never a task failure (one
+    corrupt WARC image must not kill a 100 TB stage)."""
+    from io import BytesIO
+
+    try:
+        with _PILImage.open(BytesIO(payload)) as im:
+            im.load()
+            channels = len(im.getbands())
+            luma = np.asarray(im.convert("L"), dtype=np.float64).mean()
+            return (im.width, im.height, channels, float(luma), True)
+    except Exception:
+        return (0, 0, 0, 0.0, False)
+
+
 def extract_image_features(media: DataFrame, blob_col: str = "payload",
-                           id_col: str = "media_id") -> DataFrame:
+                           id_col: str = "media_id",
+                           decoder: str = "stub") -> DataFrame:
     """mapInPandas decode/feature stage: Arrow batches in, narrow typed
-    features out — the blob never survives past this stage."""
+    features out — the blob never survives past this stage.
+
+    ``decoder``: "stub" (default — deterministic fake, always
+    available) or "pil" (real Pillow decode; raises at plan time if
+    Pillow is absent so the failure is loud on the driver, not inside
+    1000 executors)."""
+    if decoder == "pil":
+        if not HAVE_PIL:
+            raise ImportError("decoder='pil' requires Pillow on driver and executors")
+        decode = _decode_image_pil
+    elif decoder == "stub":
+        decode = _decode_image_stub
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # NULL payloads become decode_ok=false rows, never a crash
             feats = [
-                _decode_image_stub(bytes(p)) if p is not None else (0, 0, 0, 0.0, False)
+                decode(bytes(p)) if p is not None else (0, 0, 0, 0.0, False)
                 for p in pdf[blob_col]
             ]
             w, h, c, luma, ok = (list(t) for t in zip(*feats)) if feats else ([], [], [], [], [])

@@ -310,9 +310,26 @@ def ngram_counts(docs: DataFrame, n: int, text_col: str = "text",
         return counts
     from pyspark.sql import Window
 
+    # Two-phase top-k (ADVICE r4): with no / low-cardinality groups the
+    # final row_number window would sort the WHOLE vocabulary in one
+    # task. Phase 1 prunes per (group, ngram-hash shard): any global
+    # top-k row is necessarily in its own shard's top-k, so keeping k
+    # per shard is lossless and bounds the final window's input to
+    # SHARDS·k rows regardless of vocabulary size.
+    _SHARDS = 64
+    shard = F.pmod(F.xxhash64("ngram"), F.lit(_SHARDS))
+    w1 = Window.partitionBy(*group_cols, "_sh").orderBy(
+        F.desc("c"), F.asc("ngram")
+    )
+    pruned = (
+        counts.withColumn("_sh", shard)
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= top_k)
+        .drop("_sh", "_rn")
+    )
     w = (Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1)))
     rn = F.row_number().over(w.orderBy(F.desc("c"), F.asc("ngram")))
-    return counts.withColumn("_rn", rn).where(F.col("_rn") <= top_k).drop("_rn")
+    return pruned.withColumn("_rn", rn).where(F.col("_rn") <= top_k).drop("_rn")
 
 
 def bigram_surprisal(docs: DataFrame, text_col: str = "text",
@@ -334,18 +351,28 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text",
     w1 as a left token), so p sums to 1 over the vocabulary per context
     up to the unigram back-off mass.
 
-    Plan: one bigram explode (corpus-dominant stage) → bigram-type
-    aggregate (vocab-bounded) + two broadcastable unigram aggregates →
-    join back per type → per-doc rollup. Docs with < 2 tokens emit
-    nothing. Returns (id_col, n_bigrams, bi_surprisal_x1e4)."""
+    Plan (ADVICE r4 skew/width hardening, same shape as the dup-span
+    family): one bigram explode (corpus-dominant stage) → pre-aggregate
+    per (doc, bigram) FIRST — the Zipf-head bigram collapses to ≤1 row
+    per document, so no single join partition owns the head — then the
+    bigram-type aggregate (vocab-bounded) + two broadcastable unigram
+    aggregates hang off that same collapsed frame; the wide join back
+    is keyed on xxhash64(bigram) so the shuffle carries 8-byte keys,
+    never full-corpus strings → per-doc rollup weights each type by its
+    occurrence count. Docs with < 2 tokens emit nothing. Returns
+    (id_col, n_bigrams, bi_surprisal_x1e4)."""
     lam = F.lit(lam_x100 / 100.0)
     toks = F.split(F.col(text_col), " ", -1)
     idx = F.when(
         F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
     ).otherwise(F.array().cast("array<int>"))
     bi = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    occ = docs.select(F.col(id_col), F.explode(bi).alias("bg"))
-    bi_counts = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bi"))
+    occ_doc = (
+        docs.select(F.col(id_col), F.explode(bi).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    bi_counts = occ_doc.groupBy("bg").agg(F.sum("n_occ").alias("c_bi"))
     w1 = F.split(F.col("bg"), " ", -1)[0]
     w2 = F.element_at(F.split(F.col("bg"), " ", -1), -1)
     ctx_counts = (
@@ -359,7 +386,7 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text",
         .join(uni_counts, "w2")
         .crossJoin(F.broadcast(n_total))
         .select(
-            "bg",
+            F.xxhash64("bg").alias("bgh"),
             F.round(
                 -F.log(lam * F.col("c_bi") / F.col("c_ctx")
                        + (F.lit(1.0) - lam) * F.col("c_w2") / F.col("n_total"))
@@ -368,13 +395,67 @@ def bigram_surprisal(docs: DataFrame, text_col: str = "text",
         )
     )
     return (
-        occ.join(stats, "bg")
+        occ_doc.select(id_col, F.xxhash64("bg").alias("bgh"), "n_occ")
+        .join(stats, "bgh")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             F.sum("surp_x1e4").alias("_s"))
+        .agg(F.sum("n_occ").alias("n_bigrams"),
+             F.sum(F.col("n_occ") * F.col("surp_x1e4")).alias("_s"))
         .select(
             id_col, "n_bigrams",
             F.floor(F.col("_s") / F.col("n_bigrams")).cast("long")
             .alias("bi_surprisal_x1e4"),
+        )
+    )
+
+
+def idf_shift(docs: DataFrame, part_col: Column, text_col: str = "text",
+              id_col: str = "doc_id", min_len: int = 4,
+              min_df: int = 5) -> DataFrame:
+    """Corpus-drift detector: per-term IDF in two corpus partitions
+    (``part_col`` boolean — crawl snapshots, sources, time halves) and
+    the shift between them. Terms whose IDF *drops* sharply in the new
+    partition are the emerging boilerplate / template vocabulary a
+    training-data curation pass wants flagged before it floods the mix;
+    rises are vocabulary going extinct. The reference's per-zone stat
+    deltas (``storage.py:143-154`` serves per-height snapshots whose
+    diffs play this role) motivate the shape.
+
+    Integer-exact cross-engine via the idf_x1e4 convention: per-side
+    ``round(ln(n_docs/df)·1e4)`` then an int subtraction. ``min_df``
+    (per side, on distinct-doc df) bounds the output to stable terms.
+
+    Scale shape: one explode → (doc, term, side) distinct-collapse with
+    map-side combine → vocab-bounded per-side aggregate → self-join on
+    term (vocab-sized, hash join) → filter. The two 1-row n_docs aggs
+    ride in broadcast. No window, no skew key (terms at Zipf head are
+    one row per side after the aggregate)."""
+    toks = F.split(F.lower(F.col(text_col)), " ", -1)
+    sided = docs.select(
+        F.col(id_col), part_col.alias("_p"), F.explode(toks).alias("term")
+    ).where(F.length("term") >= min_len)
+    df_side = (
+        sided.groupBy("_p", "term", id_col).agg(F.lit(1).alias("_one"))
+        .groupBy("_p", "term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_side = docs.groupBy(part_col.alias("_p")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = df_side.join(F.broadcast(n_side), "_p").select(
+        "_p", "term", "df",
+        F.round(F.log(F.col("n_docs") / F.col("df")) * 10000)
+        .cast("long").alias("idf_x1e4"),
+    )
+    a = idf.where(~F.col("_p")).select(
+        "term", F.col("df").alias("df_a"), F.col("idf_x1e4").alias("idf_a_x1e4")
+    )
+    b = idf.where(F.col("_p")).select(
+        "term", F.col("df").alias("df_b"), F.col("idf_x1e4").alias("idf_b_x1e4")
+    )
+    return (
+        a.join(b, "term")
+        .where((F.col("df_a") >= min_df) & (F.col("df_b") >= min_df))
+        .select(
+            "term", "idf_a_x1e4", "idf_b_x1e4",
+            (F.col("idf_b_x1e4") - F.col("idf_a_x1e4")).alias("shift_x1e4"),
         )
     )

@@ -24,7 +24,7 @@ from .bucketing import N_URL_BUCKETS, url_bucket
 from .codec import decode_series_many, encode_series_many
 
 COLD_SCHEMA = (
-    "url string, url_hash long, measure string, n_points int, "
+    "url string, url_hash long, measure string, bucket_day date, n_points int, "
     "t0 long, t1 long, raw_bytes long, blob_bytes long, blob binary"
 )
 
@@ -33,7 +33,15 @@ POINTS_SCHEMA = "url string, url_hash long, measure string, bucket_start timesta
 
 def encode_cold(tier_df: DataFrame, measures: list[str] | None = None,
                 n_buckets: int = N_URL_BUCKETS) -> DataFrame:
-    """Pack a url-grain tier table into per-(url, measure) Gorilla blobs."""
+    """Pack a url-grain tier table into per-(url, measure, DAY) Gorilla
+    blobs. Day-keyed blobs (ADVICE r4) make the cold table
+    partition-deletable on ``bucket_day`` exactly like the hot tiers —
+    ``enforce_cold_policy`` clears a day's prior blob generation with a
+    metadata-only delete before appending the re-encoded one, so a day
+    that went cold → was re-delivered hot → went cold again can never
+    leave two conflicting generations behind. A 1m-tier day is ≤1440
+    points per blob, ample for the delta-of-delta window; the day axis
+    is the same Iceberg partition axis the hot tiers use."""
     measures = measures or ["point_count", "byte_size", "text_len_sum"]
     cols = ["url", "url_hash", "bucket_start", *measures]
     src = tier_df.select(*cols).withColumn("_b", url_bucket("url", n_buckets))
@@ -45,18 +53,21 @@ def encode_cold(tier_df: DataFrame, measures: list[str] | None = None,
         of short series; the batch path is ~5× on that shape)."""
         pdf = pdf.sort_values(["url", "bucket_start"], kind="mergesort")
         ts_all = (pdf["bucket_start"].astype("int64") // 1_000_000_000).to_numpy()
+        day_all = ts_all // 86400
         url_arr = pdf["url"].to_numpy()
         if len(url_arr) == 0:
             return pd.DataFrame(
-                columns=["url", "url_hash", "measure", "n_points", "t0", "t1",
-                         "raw_bytes", "blob_bytes", "blob"],
+                columns=["url", "url_hash", "measure", "bucket_day", "n_points",
+                         "t0", "t1", "raw_bytes", "blob_bytes", "blob"],
             )
-        first = np.flatnonzero(
-            np.concatenate([[True], url_arr[1:] != url_arr[:-1]])
-        )
+        first = np.flatnonzero(np.concatenate([
+            [True],
+            (url_arr[1:] != url_arr[:-1]) | (day_all[1:] != day_all[:-1]),
+        ]))
         ns = np.diff(np.concatenate([first, [len(url_arr)]]))
         urls = url_arr[first]
         uh = pdf["url_hash"].to_numpy()[first]
+        days = pd.to_datetime(day_all[first] * 86400, unit="s").date
         t0s, t1s = ts_all[first], ts_all[first + ns - 1]
         frames = []
         for m in measures:
@@ -64,7 +75,7 @@ def encode_cold(tier_df: DataFrame, measures: list[str] | None = None,
                 ts_all, pdf[m].to_numpy(dtype=np.int64), ns
             )
             frames.append(pd.DataFrame(
-                {"url": urls, "url_hash": uh, "measure": m,
+                {"url": urls, "url_hash": uh, "measure": m, "bucket_day": days,
                  "n_points": ns.astype("int64"), "t0": t0s, "t1": t1s,
                  "raw_bytes": (16 * ns).astype("int64"),
                  "blob_bytes": np.array([len(b) for b in blobs], dtype="int64"),
@@ -115,38 +126,48 @@ def decode_cold(cold_df: DataFrame) -> DataFrame:
 def enforce_cold_policy(store, tier: str = "1d", colder_than_epoch: int = 0,
                         measures: list[str] | None = None) -> int:
     """Compress-after-age policy (TimescaleDB's compress_chunk /
-    InfluxDB shard-cold analogue): move hot tier DAYS whose buckets are
-    all fully closed before ``colder_than_epoch`` into the Gorilla blob
-    table ``cold_<tier>``, then drop those hot partitions. Idempotent
-    and crash-safe by construction:
+    InfluxDB shard-cold analogue): move hot tier DAYS that are fully
+    over before ``colder_than_epoch`` into the Gorilla blob table
+    ``cold_<tier>``, then drop those hot partitions. Idempotent and
+    crash-safe by construction (ADVICE r4 hardening):
 
-    - append-then-delete: a crash between the blob append and the hot
-      partition delete leaves BOTH copies; :func:`read_tier_with_cold`
-      gives hot per-bucket precedence, so reads never double-count;
-    - a policy re-run after such a crash re-encodes the still-hot days
-      into byte-identical blobs (deterministic encode), and the cold
-      read dedupes identical blob rows — the same replay argument the
-      streaming partial logs use.
+    - a day closes only when ``day_start + 86400 <= cutoff`` — the
+      calendar day is OVER, never "the sparse trailing buckets we
+      happen to have seen so far", so a sub-day tier's late-arriving
+      buckets can't be stranded behind an early move;
+    - delete-cold → append-cold → delete-hot: stale blob generations
+      for the moved days (a day that went cold, was re-delivered hot
+      under a new input snapshot via pending_days, and is now moving
+      again) are cleared FIRST with a partition-level delete (blobs are
+      day-keyed), so ``cold_<tier>`` holds at most one generation per
+      (url, measure, day);
+    - every crash window is safe: after delete-cold the hot copy still
+      serves; after append both copies exist and
+      :func:`read_tier_with_cold` gives hot per-bucket precedence; a
+      re-run repeats the delete+append with identical results.
 
-    Only whole days move (bucket_day is the partition axis), and only
-    days whose LAST bucket closes before the cutoff. Returns days moved.
+    Only whole days move (bucket_day is the partition axis on BOTH
+    sides). Returns days moved.
     """
     name, cold_name = f"tier_{tier}", f"cold_{tier}"
     if not store.exists(name):
         return 0
-    from .bucketing import SECONDS
-
     hot = store.read(name)
     closed = (
-        hot.groupBy("bucket_day")
-        .agg(F.max(F.col("bucket_start").cast("long")).alias("_last"))
-        .where(F.col("_last") + SECONDS[tier] <= colder_than_epoch)
+        hot.select("bucket_day").distinct()
+        .where(
+            F.col("bucket_day").cast("timestamp").cast("long") + 86400
+            <= F.lit(colder_than_epoch)
+        )
     )
-    days = [r["bucket_day"] for r in closed.select("bucket_day").collect()]
+    days = [r["bucket_day"] for r in closed.collect()]
     if not days:
         return 0
     old = hot.where(F.col("bucket_day").isin(days))
-    store.append(encode_cold(old, measures), cold_name)
+    if store.exists(cold_name):
+        store.delete_where_partition(cold_name, "bucket_day", [str(d) for d in days])
+    store.append(encode_cold(old, measures), cold_name,
+                 partition_by=["bucket_day"])
     store.delete_where_partition(name, "bucket_day", [str(d) for d in days])
     return len(days)
 
@@ -167,14 +188,27 @@ def read_tier_with_cold(store, tier: str = "1d",
     :func:`decode_cold`."""
     measures = measures or ["point_count", "byte_size", "text_len_sum"]
     name, cold_name = f"tier_{tier}", f"cold_{tier}"
-    cols = ["url", "url_hash", "bucket_start", *measures]
     have_hot, have_cold = store.exists(name), store.exists(cold_name)
     if not have_cold and not have_hot:
         raise ValueError(f"no {name} or {cold_name} in store")
+    cols = ["url", "url_hash", "bucket_start", *measures]
     hot = store.read(name).select(*cols) if have_hot else None
-    if not have_cold:
+    cold = store.read(cold_name) if have_cold else None
+    return merge_hot_cold(hot, cold, measures)
+
+
+def merge_hot_cold(hot: DataFrame | None, cold_blobs: DataFrame | None,
+                   measures: list[str]) -> DataFrame:
+    """The hot-wins ∪-merge at the heart of :func:`read_tier_with_cold`,
+    factored out so the driver's contract gate can certify it directly
+    against a SQL oracle (``cold_read_union_events``): decode the blob
+    side, pivot it back to the wide tier shape, and union in only the
+    (url, bucket) rows hot does not hold. Either side may be ``None``
+    (pass at least one)."""
+    if cold_blobs is None:
         return hot
-    pts = decode_cold(store.read(cold_name).distinct())
+    cols = ["url", "url_hash", "bucket_start", *measures]
+    pts = decode_cold(cold_blobs.distinct())
     wide = (
         pts.groupBy("url", "url_hash", "bucket_start")
         .pivot("measure", measures)

@@ -73,3 +73,90 @@ def lttb_downsample(
         return pdf.loc[keep, [*keys, t_col, v_col]]
 
     return series.select(*keys, t_col, v_col).groupBy(*keys).applyInPandas(_one, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer variant (cross-engine oracle parity)
+# ---------------------------------------------------------------------------
+
+def _lttb_indices_exact(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
+    """LTTB selection over INT64 (t, v) with pure integer triangle
+    areas — bit-identical across engines and accumulation orders, so a
+    SQL engine can replay the selection (the DuckDB recursive-CTE
+    oracle in contract.py does exactly that).
+
+    Differences from the float path, all exactness-motivated:
+
+    - the series is rebased (``t - t[0]``, ``v - v.min()``) — LTTB is
+      translation-invariant (areas use only differences), and rebasing
+      bounds every intermediate product well inside int64 for epoch
+      seconds × cent-scale values (|Δt|·cnt·|Δv| ≲ 1e7·1e4·1e6 per
+      term only for pathological series; typical tier series are ≪);
+    - the next-bucket "average" is replaced by its (sum, count) pair
+      and the area is multiplied through by ``cnt`` (positive, so the
+      argmax is unchanged) — no division, no float;
+    - bucket edges use the same ``floor(i*step + 1)`` float64 formula
+      as ``np.linspace`` (multiply-then-add, IEEE-identical to the SQL
+      ``CAST(floor(i*step + 1.0) AS BIGINT)``), last edge pinned to
+      ``n-1`` exactly as linspace pins its endpoint.
+
+    Ties in area break to the lowest index, matching the float path.
+    """
+    n = len(t)
+    if n_out >= n or n_out < 3:
+        return np.arange(n)
+    t = t - t[0]
+    v = v - v.min()
+    step = (n - 2) / (n_out - 2)
+    edges = np.floor(np.arange(n_out - 1) * step + 1.0).astype(np.int64)
+    edges[-1] = n - 1
+    idx = np.empty(n_out, dtype=np.int64)
+    idx[0] = 0
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = edges[i], edges[i + 1]
+        if i + 2 < n_out - 1:
+            nlo, nhi = hi, edges[i + 2]
+        else:
+            nlo, nhi = hi, n
+        cnt = int(nhi - nlo)
+        sum_t = int(t[nlo:nhi].sum())
+        sum_v = int(v[nlo:nhi].sum())
+        ta, va = int(t[a]), int(v[a])
+        tt, vv = t[lo:hi], v[lo:hi]
+        # |cnt·area|: (ta·cnt − Σt)(v−va) − (ta−t)(Σv − va·cnt)
+        area = np.abs(
+            (ta * cnt - sum_t) * (vv - va) - (ta - tt) * (sum_v - va * cnt)
+        )
+        a = lo + int(area.argmax())
+        idx[i + 1] = a
+    idx[-1] = n - 1
+    return idx
+
+
+def lttb_downsample_exact(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    v_col: str,
+    n_out: int,
+) -> DataFrame:
+    """Integer-exact LTTB: same plan shape as :func:`lttb_downsample`
+    (one shuffle on the series key, whole-series pandas group), but
+    ``t_col``/``v_col`` must be int64 and ``t_col`` unique per key
+    (pre-aggregate ties upstream) — selection is then a deterministic
+    pure-integer function replayable by the SQL oracle."""
+    keys = list(key_cols)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in series.select(*keys, t_col, v_col).schema.fields
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort").reset_index(drop=True)
+        t = pdf[t_col].to_numpy(dtype="int64")
+        v = pdf[v_col].to_numpy(dtype="int64")
+        keep = _lttb_indices_exact(t, v, n_out)
+        return pdf.loc[keep, [*keys, t_col, v_col]]
+
+    return series.select(*keys, t_col, v_col).groupBy(*keys).applyInPandas(_one, schema=schema)

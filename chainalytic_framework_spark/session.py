@@ -46,12 +46,15 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # FAIR job scheduling: the pipeline submits independent chains
-        # (cascade, fold, sketches, histograms) from concurrent driver
-        # threads; FIFO gives the first job's stages strict priority and
-        # makes the overlap depend on submission luck (measured 12.8-16.7s
-        # spread at sf0.1), FAIR round-robins tasks across the chains
-        # (12.3-13.2s, stable). Same reasoning on a multi-tenant cluster.
+        # FAIR job scheduling ACROSS POOLS: the pipeline submits
+        # independent chains (cascade, fold, sketches, histograms) from
+        # concurrent driver threads, and each chain thread names its own
+        # pool via setLocalProperty (plans/pipeline.py) — unconfigured
+        # pools get weight 1, so the FAIR root shares task slots evenly
+        # across chains instead of FIFO's submission-order luck. NOTE
+        # (ADVICE r4): this conf alone does nothing — jobs without a
+        # named pool all land in the single 'default' pool, which is
+        # internally FIFO; the per-thread pool tag is the active half.
         .config("spark.scheduler.mode", "FAIR")
         # Arrow for all pandas UDF traffic; modest batch size keeps peak
         # Python-worker memory bounded when html blobs ride along.

@@ -324,6 +324,21 @@ def compact_hist_stream_into_batch(store: TableStore, closed_before=None) -> lis
     return days
 
 
+def merge_batch_edge(batch: DataFrame, edge: DataFrame, bucket_col: str) -> DataFrame:
+    """Per-bucket batch-wins union — THE history+edge serving primitive
+    shared by ``serve_tier`` / ``serve_distribution`` / ``serve_distinct``
+    (and driver-certified directly by the ``serve_*_merge_events``
+    contract queries): the batch side is authoritative for every bucket
+    value it covers (a batch run re-derives a covered bucket in FULL),
+    the edge serves every other bucket. The covered set is one row per
+    closed bucket inside the fine tier's retention horizon (~0.5M
+    rows/year) — broadcastable, so the fact-sized edge never shuffles."""
+    covered = batch.select(bucket_col).distinct()
+    return batch.unionByName(
+        edge.join(F.broadcast(covered), bucket_col, "left_anti").select(batch.columns)
+    )
+
+
 def serve_distribution(store: TableStore, series_cols=("lang",)) -> DataFrame:
     """Seamless history+edge distribution read: the stored batch
     ``hist_1m`` tier is authoritative for every bucket it COVERS (batch
@@ -352,9 +367,7 @@ def serve_distribution(store: TableStore, series_cols=("lang",)) -> DataFrame:
     if not have_batch:
         return stream_part
     batch = store.read("hist_1m").select(*cols)
-    covered = batch.select("bucket_epoch").distinct()
-    edge = stream_part.join(F.broadcast(covered), "bucket_epoch", "left_anti")
-    return batch.unionByName(edge)
+    return merge_batch_edge(batch, stream_part, "bucket_epoch")
 
 
 def serve_distinct(store: TableStore) -> DataFrame:
@@ -386,10 +399,7 @@ def serve_distinct(store: TableStore) -> DataFrame:
         if batch is None:
             merged = edge
         else:
-            covered = batch.select("bucket_start").distinct()
-            merged = batch.unionByName(
-                edge.join(F.broadcast(covered), "bucket_start", "left_anti")
-            )
+            merged = merge_batch_edge(batch, edge, "bucket_start")
     return merged.withColumn(
         "distinct_urls_est", F.hll_sketch_estimate("url_sketch")
     )
@@ -419,10 +429,7 @@ def serve_tier(store: TableStore, tier: str = "1m") -> DataFrame:
     stream = store.read(sname).distinct()
     if not have_b:
         return stream
-    batch = store.read(name)
-    covered = batch.select("bucket_start").distinct()
-    edge = stream.join(F.broadcast(covered), "bucket_start", "left_anti")
-    return batch.unionByName(edge.select(batch.columns))
+    return merge_batch_edge(store.read(name), stream, "bucket_start")
 
 
 def compact_stream_into_batch(store: TableStore, closed_before=None) -> list:

@@ -241,6 +241,37 @@ def main() -> int:
     z_ok = "Exchange" not in zplan and "BatchEvalPython" not in zplan
     print(("OK " if z_ok else "BAD") + " zorder key: codegen expressions, zero shuffles")
     ok &= z_ok
+
+    # round-5 additions
+    # 4 exchanges: batch agg + edge agg + the edge fixture's replay-dedup
+    # distinct (part of the TEST construction) + final union alignment;
+    # the merge itself adds only the broadcast of the covered-bucket set
+    ok &= audit("serve merge (history+edge): covered set broadcast, edge never shuffles",
+                contract.serve_tier_merge_events(spark, sf),
+                {"broadcast": True, "max_exchanges": 4})
+    ok &= audit("idf shift: vocab-keyed self-join, broadcast n_docs, no window",
+                contract.idf_shift_documents(spark, sf),
+                {"broadcast": True, "no_window": True})
+    # ngram top-k is TWO windows now (per-shard prune -> bounded final):
+    # the final window's input is <= SHARDS*k rows, never the vocabulary
+    ok &= audit("ngram counts two-phase topk: sharded prune bounds final window",
+                contract.ngram_counts_documents(spark, sf),
+                {"max_exchanges": 4})
+    # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
+    # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
+    # both the corpus-count branch and the probe branch hang off ONE
+    # exchange, so the span explode is computed once. (With AQE on, the
+    # runtime stage cache achieves the same; measured sf0.1: persisting
+    # the pre-agg is ~0.4s SLOWER than relying on reuse.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    dplan = (contract.dup_span_stats_documents(spark, sf)
+             ._jdf.queryExecution().executedPlan().toString())
+    d_ok = dplan.count("ReusedExchange") >= 1 and dplan.count("Generate explode") == 1
+    print(("OK " if d_ok else "BAD")
+          + f" dup spans reuse: ReusedExchange={dplan.count('ReusedExchange')} "
+            f"explodes={dplan.count('Generate explode')}")
+    ok &= d_ok
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
