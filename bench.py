@@ -132,7 +132,7 @@ def main() -> None:
     cold_best = None
     for attempt in range(n_rep):
         t0 = time.perf_counter()
-        store.write(encode_cold(store.read("tier_1d")), "cold_1d")
+        store.write(encode_cold(store.read("tier_1d"), day_keyed=False), "cold_1d")
         _force(decode_cold(store.read("cold_1d")))
         sec = time.perf_counter() - t0
         cold_best = sec if cold_best is None else min(cold_best, sec)

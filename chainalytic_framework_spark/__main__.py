@@ -131,7 +131,10 @@ def _cmd_serve_range(args: argparse.Namespace) -> None:
     # fine-tier segments were already expired fails loudly instead of
     # silently undercounting (ADVICE r2)
     horizons, now_epoch = _retention_check_args(args)
-    df = read_routed(tiers, args.t0, args.t1, measure=args.measure,
+    # comma-separated measures read every tier segment ONCE
+    measures = tuple(args.measure.split(","))
+    df = read_routed(tiers, args.t0, args.t1,
+                     measure=measures[0] if len(measures) == 1 else measures,
                      keys=tuple(args.keys.split(",")),
                      retention_horizons=horizons, now_epoch=now_epoch)
     rows = df.limit(args.limit).collect()

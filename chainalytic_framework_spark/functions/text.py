@@ -308,9 +308,14 @@ def ngram_counts(docs: DataFrame, n: int, text_col: str = "text",
     )
     if top_k is None:
         return counts
+    if not group_cols:
+        # global top-k: orderBy+limit plans as TakeOrderedAndProject —
+        # per-partition heaps + driver merge of k rows, never a sort of
+        # the vocabulary table
+        return counts.orderBy(F.desc("c"), F.asc("ngram")).limit(top_k)
     from pyspark.sql import Window
 
-    # Two-phase top-k (ADVICE r4): with no / low-cardinality groups the
+    # Two-phase top-k (ADVICE r4): with low-cardinality groups the
     # final row_number window would sort the WHOLE vocabulary in one
     # task. Phase 1 prunes per (group, ngram-hash shard): any global
     # top-k row is necessarily in its own shard's top-k, so keeping k
@@ -327,7 +332,7 @@ def ngram_counts(docs: DataFrame, n: int, text_col: str = "text",
         .where(F.col("_rn") <= top_k)
         .drop("_sh", "_rn")
     )
-    w = (Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1)))
+    w = Window.partitionBy(*group_cols)
     rn = F.row_number().over(w.orderBy(F.desc("c"), F.asc("ngram")))
     return pruned.withColumn("_rn", rn).where(F.col("_rn") <= top_k).drop("_rn")
 

@@ -32,16 +32,25 @@ POINTS_SCHEMA = "url string, url_hash long, measure string, bucket_start timesta
 
 
 def encode_cold(tier_df: DataFrame, measures: list[str] | None = None,
-                n_buckets: int = N_URL_BUCKETS) -> DataFrame:
-    """Pack a url-grain tier table into per-(url, measure, DAY) Gorilla
-    blobs. Day-keyed blobs (ADVICE r4) make the cold table
-    partition-deletable on ``bucket_day`` exactly like the hot tiers —
-    ``enforce_cold_policy`` clears a day's prior blob generation with a
-    metadata-only delete before appending the re-encoded one, so a day
-    that went cold → was re-delivered hot → went cold again can never
-    leave two conflicting generations behind. A 1m-tier day is ≤1440
-    points per blob, ample for the delta-of-delta window; the day axis
-    is the same Iceberg partition axis the hot tiers use."""
+                n_buckets: int = N_URL_BUCKETS,
+                day_keyed: bool = True) -> DataFrame:
+    """Pack a url-grain tier table into per-(url, measure[, DAY])
+    Gorilla blobs. Day-keyed blobs (ADVICE r4, the default) make the
+    cold table partition-deletable on ``bucket_day`` exactly like the
+    hot tiers — ``enforce_cold_policy`` clears a day's prior blob
+    generation with a metadata-only delete before appending the
+    re-encoded one, so a day that went cold → was re-delivered hot →
+    went cold again can never leave two conflicting generations behind.
+    A 1m-tier day is ≤1440 points per blob, ample for the
+    delta-of-delta window; the day axis is the same Iceberg partition
+    axis the hot tiers use.
+
+    ``day_keyed=False`` packs one blob per (url, measure) across the
+    whole input — the bulk-export / archive shape (maximum codec
+    window, fewest rows; for a 1d tier, day-keyed blobs would hold ONE
+    point each). Use it when the output is immutable, i.e. nothing
+    will ever need a per-day generation replacement; ``bucket_day``
+    then records the blob's FIRST day and is not a delete axis."""
     measures = measures or ["point_count", "byte_size", "text_len_sum"]
     cols = ["url", "url_hash", "bucket_start", *measures]
     src = tier_df.select(*cols).withColumn("_b", url_bucket("url", n_buckets))
@@ -60,10 +69,10 @@ def encode_cold(tier_df: DataFrame, measures: list[str] | None = None,
                 columns=["url", "url_hash", "measure", "bucket_day", "n_points",
                          "t0", "t1", "raw_bytes", "blob_bytes", "blob"],
             )
-        first = np.flatnonzero(np.concatenate([
-            [True],
-            (url_arr[1:] != url_arr[:-1]) | (day_all[1:] != day_all[:-1]),
-        ]))
+        new_series = url_arr[1:] != url_arr[:-1]
+        if day_keyed:
+            new_series = new_series | (day_all[1:] != day_all[:-1])
+        first = np.flatnonzero(np.concatenate([[True], new_series]))
         ns = np.diff(np.concatenate([first, [len(url_arr)]]))
         urls = url_arr[first]
         uh = pdf["url_hash"].to_numpy()[first]

@@ -93,19 +93,23 @@ def read_routed(
     tier_dfs: dict[str, DataFrame],
     e0: int,
     e1: int,
-    measure: str = "point_count",
+    measure: str | tuple[str, ...] = "point_count",
     keys: tuple[str, ...] = ("url",),
     retention_horizons: dict[str, int | None] | None = None,
     now_epoch: int | None = None,
 ) -> DataFrame:
-    """Per-key totals of an additive measure over [e0, e1), scanning
-    each routed segment from its own tier table. One union plan; each
-    branch is a range-pruned scan + nothing else; the final groupBy is
-    the only shuffle.
+    """Per-key totals of one or more additive measures over [e0, e1),
+    scanning each routed segment from its own tier table. One union
+    plan; each branch is a range-pruned scan + nothing else; the final
+    groupBy is the only shuffle. ``measure`` may be a tuple — a
+    dashboard asking for (point_count, byte_size) together reads each
+    tier segment ONCE, not once per measure (the scan is the expensive
+    part; extra sum columns ride in the same shuffle for free).
 
     Pass ``retention_horizons`` (+ ``now_epoch``) to validate every
     segment against the retention policy before reading — a partial sum
     over expired partitions raises instead of returning silently."""
+    measures = (measure,) if isinstance(measure, str) else tuple(measure)
     segs = route_range(e0, e1, [t for t in TIER_ORDER if t in tier_dfs])
     if retention_horizons is not None:
         if now_epoch is None:
@@ -119,13 +123,17 @@ def read_routed(
         b = F.col("bucket_start").cast("long")
         parts.append(
             df.where((b >= lo) & (b < hi)).select(
-                *keys, F.col(measure).cast("long").alias("_v")
+                *keys,
+                *[F.col(m).cast("long").alias(f"_v{i}")
+                  for i, m in enumerate(measures)],
             )
         )
     if not parts:
         raise ValueError("empty range")
     allp = reduce(lambda a, b: a.unionByName(b), parts)
-    return allp.groupBy(*keys).agg(F.sum("_v").alias(measure))
+    return allp.groupBy(*keys).agg(
+        *[F.sum(f"_v{i}").alias(m) for i, m in enumerate(measures)]
+    )
 
 
 def read_routed_series(

@@ -496,7 +496,11 @@ def run_pipeline(
         # chains overlap only in each other's shuffle gaps, which is
         # the narrow side's best case.
         sc = spark.sparkContext
-        use_pools = sc.defaultParallelism >= 16
+        import os as _os
+
+        _pool_env = _os.environ.get("SPARK_GRAFT_CHAIN_POOLS")
+        use_pools = (sc.defaultParallelism >= 16 if _pool_env is None
+                     else _pool_env == "1")
 
         def _in_pool(fn):
             def run():

@@ -116,3 +116,85 @@ def test_cold_policy_roundtrip_and_crash_safety(spark, tmp_path):
     store.append(store.read("cold_1d"), "cold_1d")
     got2 = sorted(map(tuple, read_tier_with_cold(store, "1d").select(*cols).collect()))
     assert got2 == sorted(map(tuple, original))
+
+
+def test_cold_policy_rederivation_single_generation(spark, tmp_path):
+    """ADVICE r4 (medium): a day that went cold, was re-delivered HOT
+    with different values (new input snapshot via pending_days), and
+    then re-moved must leave exactly ONE blob generation — the policy
+    deletes the stale day-keyed cold rows before appending — and the
+    unified read must serve the NEW values, deterministically."""
+    import calendar
+
+    from chainalytic_framework_spark.operators.cold_store import (
+        decode_cold,
+        enforce_cold_policy,
+        read_tier_with_cold,
+    )
+    from chainalytic_framework_spark.plans.pipeline import run_pipeline
+    from chainalytic_framework_spark.synth import generate_pages
+    from chainalytic_framework_spark.tables import TableStore
+    from pyspark.sql import functions as F
+
+    measures = ["point_count", "byte_size", "text_len_sum"]
+    pages = generate_pages(spark, 4000)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    run_pipeline(spark, pages, store, with_fold=False)
+
+    days = sorted(r["bucket_day"] for r in
+                  store.read("tier_1d").select("bucket_day").distinct().collect())
+    victim = days[0]
+    cutoff = calendar.timegm(days[len(days) // 2].timetuple()) + 86400
+    # materialize the victim day BEFORE the policy deletes its hot copy
+    tier_schema = store.read("tier_1d").schema
+    victim_rows = store.read("tier_1d").where(
+        F.col("bucket_day") == victim
+    ).collect()
+    assert enforce_cold_policy(store, "1d", colder_than_epoch=cutoff) > 0
+
+    # re-deliver the victim day hot, re-derived under a "new snapshot":
+    # every measure shifted by +5 (values differ from the cold blobs)
+    redelivered = spark.createDataFrame(victim_rows, tier_schema)
+    for m in measures:
+        redelivered = redelivered.withColumn(m, F.col(m) + F.lit(5))
+    store.append(redelivered, "tier_1d", partition_by=["bucket_day"])
+
+    # second policy run: the victim day is again fully closed -> moves
+    # again; stale generation must be replaced, not joined
+    assert enforce_cold_policy(store, "1d", colder_than_epoch=cutoff) >= 1
+
+    # exactly one generation per (url, measure) for the victim day
+    blobs = store.read("cold_1d").where(F.col("bucket_day") == victim)
+    per_key = blobs.groupBy("url", "measure").count()
+    assert per_key.where(F.col("count") > 1).count() == 0
+
+    # the unified read serves the re-derived (+5) values for the day
+    got = {
+        (r["url"],): r["point_count"]
+        for r in read_tier_with_cold(store, "1d")
+        .where(F.col("bucket_start").cast("date") == victim)
+        .collect()
+    }
+    want = {(r["url"],): r["point_count"] + 5 for r in victim_rows}
+    assert got == want
+
+    # and the decoded cold points agree (no conflicting blob survived)
+    dec = decode_cold(blobs).where(F.col("measure") == "point_count")
+    dec_vals = {(r["url"],): r["value"] for r in dec.collect()}
+    assert dec_vals == want
+
+
+def test_cold_encode_bulk_vs_day_keyed_same_points(spark, pages):
+    """day_keyed=False (bulk-export shape: one blob per url×measure)
+    decodes to exactly the same point set as the day-keyed policy
+    shape — the key granularity changes the blob layout, never the
+    data; bulk blobs must also be strictly fewer rows."""
+    tier = rollup_pages(pages, "1h", grain="url").cache()
+    day = encode_cold(tier, MEASURES, n_buckets=16).cache()
+    bulk = encode_cold(tier, MEASURES, n_buckets=16, day_keyed=False).cache()
+    assert bulk.count() < day.count()
+    cols = ["url", "url_hash", "measure", "bucket_start", "value"]
+    a = decode_cold(day).select(*cols)
+    b = decode_cold(bulk).select(*cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

@@ -337,3 +337,23 @@ def test_read_routed_kll_equals_whole_range_merge(spark, pages):
             below = sub.where(F.col("text_len") < est).count() / n
             at = sub.where(F.col("text_len") <= est).count() / n
             assert below < q + 0.03 and at > q - 0.03, (lang, q, est, below, at)
+
+
+def test_read_routed_multi_measure_single_plan(tiers):
+    """A measure TUPLE returns the same numbers as per-measure calls,
+    from one unioned plan (each tier segment scanned once — the extra
+    sum column rides the same shuffle)."""
+    lo = tiers["1m"].agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = tiers["1m"].agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    a, b = lo + 5 * 60, hi - 7 * 60
+    multi = {
+        r["lang"]: (r["point_count"], r["byte_size"])
+        for r in read_routed(
+            tiers, a, b, ("point_count", "byte_size"), keys=("lang",)
+        ).collect()
+    }
+    pc = {r["lang"]: r["point_count"]
+          for r in read_routed(tiers, a, b, "point_count", keys=("lang",)).collect()}
+    bs = {r["lang"]: r["byte_size"]
+          for r in read_routed(tiers, a, b, "byte_size", keys=("lang",)).collect()}
+    assert multi == {k: (pc[k], bs[k]) for k in pc}

@@ -169,3 +169,21 @@ def test_pil_decode_path_when_available(spark):
         assert out[i]["decode_ok"] and out[i]["width"] == 32 + i
         assert out[i]["height"] == 16 + i and out[i]["channels"] == 3
     assert not out[99]["decode_ok"]  # corrupt blob -> row, not task failure
+
+
+def test_ngram_counts_ungrouped_topk_take_ordered(spark):
+    """Ungrouped top-k plans as TakeOrderedAndProject (per-partition
+    heaps, never a global sort of the vocabulary) and matches the
+    brute-force answer with the deterministic (c DESC, ngram) order."""
+    df = spark.createDataFrame(
+        [(1, "a b a b c d"), (2, "a b c d c d"), (3, "a b x y")],
+        "doc_id long, text string",
+    )
+    out = tx.ngram_counts(df, n=2, top_k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = [(r["ngram"], r["c"]) for r in out.collect()]
+    full = tx.ngram_counts(df, n=2).collect()
+    want = sorted(((r["ngram"], r["c"]) for r in full),
+                  key=lambda t: (-t[1], t[0]))[:3]
+    assert sorted(rows, key=lambda t: (-t[1], t[0])) == want

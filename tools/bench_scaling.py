@@ -54,7 +54,7 @@ t0 = time.perf_counter()
 r = run_pipeline(spark, pages, store, with_fold=True)
 gapfill_locf(store.read("tier_1h"), "1h",
              range_start=r["pending_range"][0]).write.mode("overwrite").format("noop").save()
-encode_cold(store.read("tier_1d")).write.mode("overwrite").format("noop").save()
+encode_cold(store.read("tier_1d"), day_keyed=False).write.mode("overwrite").format("noop").save()
 wall = time.perf_counter() - t0
 print("RESULT" + json.dumps({{"cores": cores, "wall": round(wall, 3),
                               "docs": r["docs"],
