@@ -346,6 +346,49 @@ def _cmd_cold(args: argparse.Namespace) -> None:
                       "days_moved": moved}))
 
 
+def _cmd_serve_chart(args: argparse.Namespace) -> None:
+    """Chart-serving path: routed regular series over [t0, t1) at the
+    requested grain, then LTTB-decimated to ``--npoints``
+    shape-preserving points per key (operators/lttb.py, exact-integer
+    variant — deterministic across cluster sizes). A 2-year dashboard
+    pane reads coarse tiers for deep history and ships ~npoints rows
+    per series to the client, never 10⁶ buckets."""
+    from pyspark.sql import functions as F
+
+    from .operators.bucketing import TIER_ORDER
+    from .operators.lttb import lttb_downsample_exact
+    from .operators.router import read_routed_series
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-serve-chart")
+    store = TableStore(spark, args.warehouse)
+    tier_dfs = {
+        t: store.read(f"tier_{t}") for t in TIER_ORDER
+        if store.exists(f"tier_{t}")
+    }
+    if store.exists("tier_1m_stream"):
+        from .streaming.stream import serve_tier
+
+        tier_dfs["1m"] = serve_tier(store, "1m")
+    keys = args.keys.split(",")
+    horizons, now_epoch = _retention_check_args(args)
+    series = read_routed_series(
+        tier_dfs, args.t0, args.t1, args.grain,
+        measure=args.measure, keys=tuple(keys),
+        retention_horizons=horizons, now_epoch=now_epoch,
+    ).select(
+        *keys,
+        F.col("bucket_start").cast("long").alias("t"),
+        F.col(args.measure).cast("long").alias("v"),
+    )
+    out = lttb_downsample_exact(series, keys, "t", "v", args.npoints)
+    rows = out.orderBy(*keys, "t").limit(args.limit).collect()
+    print(json.dumps({"grain": args.grain, "measure": args.measure,
+                      "t0": args.t0, "t1": args.t1, "npoints": args.npoints,
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def _cmd_serve_distinct(args: argparse.Namespace) -> None:
     """Routed distinct-count estimates from the stored HLL sketch tiers
     (history + streaming sketch edge as the finest tier when present)."""
@@ -491,6 +534,22 @@ def main(argv: list[str] | None = None) -> None:
     cd.add_argument("--before", required=True,
                     help="ISO datetime; days fully closed before this move")
     cd.set_defaults(fn=_cmd_cold)
+
+    sch = sub.add_parser("serve-chart",
+                         help="routed series decimated to n shape-preserving "
+                              "points per key (LTTB) — the dashboard pane path")
+    sch.add_argument("--warehouse", required=True)
+    sch.add_argument("--t0", type=int, required=True)
+    sch.add_argument("--t1", type=int, required=True)
+    sch.add_argument("--grain", default="1h")
+    sch.add_argument("--measure", default="point_count")
+    sch.add_argument("--keys", default="lang")
+    sch.add_argument("--npoints", type=int, default=200)
+    sch.add_argument("--retention-now", default=None,
+                     help="ISO datetime; fail loudly if the routed cover "
+                          "needs expired fine-tier segments")
+    sch.add_argument("--limit", type=int, default=1000)
+    sch.set_defaults(fn=_cmd_serve_chart)
 
     sd = sub.add_parser("serve-distinct",
                         help="routed distinct-count estimates from the HLL "

@@ -274,6 +274,23 @@ def test_cli_run_idempotent(spark, tmp_path):
     assert out["grain"] == "1h" and len(out["rows"]) > 0
     assert {r["step"] for r in out["rows"] if r["lang"] == out["rows"][0]["lang"]} == {1, 2, 3, 4}
 
+    # serve-chart: routed series decimated to <= npoints per key (LTTB)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-chart", "--warehouse", wh, "--t0", str(a), "--t1", str(b),
+              "--grain", "1h", "--keys", "lang", "--npoints", "10"])
+    ch = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert len(ch["rows"]) > 0
+    by_lang: dict = {}
+    for r in ch["rows"]:
+        by_lang.setdefault(r["lang"], []).append(r["t"])
+    full = {r["lang"]: r["n"] for r in store.read("tier_1h")
+            .groupBy("lang").agg(F.countDistinct("bucket_start").alias("n")).collect()}
+    for lang, ts in by_lang.items():
+        assert len(ts) <= 10
+        if full.get(lang, 0) > 10:  # decimation actually triggered
+            assert len(ts) == 10
+
     # cold: move all fully-closed 1d days into blob storage
     buf = io.StringIO()
     with redirect_stdout(buf):
