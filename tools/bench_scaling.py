@@ -22,6 +22,9 @@ import tempfile
 
 RUN_ONE = r"""
 import json, shutil, sys, time, os
+load_before = round(os.getloadavg()[0], 2)  # external load signal: sampled
+# before this process does ANY work, so 1-min loadavg is the neighbors'
+# (shared host); recorded per run so noisy sessions are auditable
 sys.path.insert(0, {repo!r})
 from chainalytic_framework_spark.session import build_session, prewarm_python_workers
 from chainalytic_framework_spark.synth import generate_pages
@@ -58,6 +61,7 @@ encode_cold(store.read("tier_1d"), day_keyed=False).write.mode("overwrite").form
 wall = time.perf_counter() - t0
 print("RESULT" + json.dumps({{"cores": cores, "wall": round(wall, 3),
                               "docs": r["docs"],
+                              "load_before": load_before,
                               "docs_per_sec": round(r["docs"] / wall, 1)}}))
 spark.stop()
 """
@@ -127,8 +131,11 @@ def main() -> None:
     # tiers_equal stored PER SESSION so the correctness flag always
     # belongs to the same run as its numbers (ADVICE r2: the headline
     # pair and a latest-session flag could previously disagree)
-    sessions.append({"pair": [r8["docs_per_sec"], r32["docs_per_sec"]],
-                     "efficiency": eff, "tiers_equal": tiers_equal})
+    session_entry = {"pair": [r8["docs_per_sec"], r32["docs_per_sec"]],
+                     "efficiency": eff, "tiers_equal": tiers_equal}
+    if "load_before" in r8:  # external 1-min loadavg at each level's start
+        session_entry["loads"] = [r8["load_before"], r32["load_before"]]
+    sessions.append(session_entry)
     best = max(sessions, key=lambda s: s["efficiency"])
     if eff >= best["efficiency"] or "local_n" not in record:
         record.update({"local_n": r8, "local_4n": r32, "efficiency": eff,
