@@ -66,6 +66,10 @@ HEADLINE = [
     # (both pure agg/scan shapes new to the list)
     "ngram_counts_documents",
     "split_assign_documents",
+    # round-5 additions: candle cascade (min_by/max_by agg-only shape)
+    # and the per-entity lead window (state-duration accounting)
+    "ohlc_1h_events",
+    "state_durations_events",
 ]
 
 

@@ -67,7 +67,16 @@ _GATE_PRIORITY = [
     "serve_distinct_merge_events",
     "cold_read_union_events",
     "idf_shift_documents",
-    # 39 queries whose newest driver certification is round 3
+    # round-5 session-8 additions (never certified — window priority)
+    "ohlc_1h_events",
+    "state_durations_events",
+    "mad_anomaly_events",
+    "survivor_longest_documents",
+    # 39 queries whose newest driver certification is round 3; with the
+    # 4 additions above, the LAST 4 of these fall outside the 50-row
+    # window this round — all four hold round-3 driver certification,
+    # so cumulative coverage is unaffected (never-certified > stale
+    # re-certification, per the round protocol)
     "rollup_1d_salted_events",
     "cumulative_daily_events",
     "grouped_last_events",
@@ -3844,3 +3853,162 @@ def idf_shift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return idf_shift(d, (F.col("doc_id") % 2) == 1, min_len=4, min_df=5)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: OHLC candles, state durations, MAD anomalies,
+# quality-aware dedup survivors
+# ---------------------------------------------------------------------------
+
+_OHLC_1H_SQL = """
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
+             event_type,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             row_number() OVER (
+               PARTITION BY CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600,
+                            event_type
+               ORDER BY ts, event_id) AS ra,
+             row_number() OVER (
+               PARTITION BY CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600,
+                            event_type
+               ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events)
+    SELECT bucket_epoch, event_type,
+           MAX(CASE WHEN ra = 1 THEN c END) AS open_cents,
+           MAX(c) AS high_cents,
+           MIN(c) AS low_cents,
+           MAX(CASE WHEN rd = 1 THEN c END) AS close_cents,
+           COUNT(*) AS point_count
+    FROM b GROUP BY 1, 2
+"""
+
+
+@q("ohlc_1h_events", _OHLC_1H_SQL)
+def ohlc_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup THROUGH THE CASCADE: Spark builds 1m
+    candle partials (operators/ohlc.py::ohlc_partials) and merges them
+    to 1h (ohlc_merge); the oracle computes 1h candles directly from
+    raw rows. Hash equality proves first/last-by-time re-aggregate
+    exactly when the opening/closing order keys ride along — the
+    property that lets candles live in the tier cascade without
+    re-reading raw input. Ordering is (ts, event_id), total, so open
+    and close are deterministic under timestamp ties at any
+    parallelism level."""
+    from .operators.ohlc import ohlc_merge, ohlc_partials
+
+    ev = _t(spark, sf_dir, "events").select(
+        _bucket_epoch("ts", 60), "event_type", "ts", "event_id",
+        _cents().alias("c"),
+    )
+    m1 = ohlc_partials(ev, ["bucket_epoch", "event_type"], "ts", "event_id", "c")
+    h1 = ohlc_merge(
+        m1.withColumn(
+            "bucket_epoch", (F.col("bucket_epoch") / 3600).cast("long") * 3600
+        ),
+        ["bucket_epoch", "event_type"],
+    )
+    return h1.select(
+        "bucket_epoch", "event_type",
+        F.col("open_val").alias("open_cents"),
+        F.col("high_val").alias("high_cents"),
+        F.col("low_val").alias("low_cents"),
+        F.col("close_val").alias("close_cents"),
+        "point_count",
+    )
+
+
+@q(
+    "state_durations_events",
+    """
+    WITH i AS (
+      SELECT event_type,
+             CAST(floor(epoch(lead(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+             - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dur) AS BIGINT) AS total_secs
+    FROM i WHERE dur IS NOT NULL GROUP BY 1
+    """,
+)
+def state_durations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state accounting (operators/states.py): each user's
+    event opens a state that lasts until their next event; totals per
+    state (= event_type) in integer seconds. The last event per user is
+    open-ended and excluded, never fabricated — the TimescaleDB
+    ``state_agg`` analogue over the engine's event stream."""
+    from .operators.states import state_intervals, state_totals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = state_intervals(ev, "user_id", "event_type", "ts", "event_id")
+    return state_totals(iv).select(
+        F.col("state").alias("event_type"), "n_intervals", "total_secs"
+    )
+
+
+@q(
+    "mad_anomaly_events",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    m AS (
+      SELECT event_type, median(CAST(c AS DOUBLE)) AS med FROM v GROUP BY 1),
+    d AS (
+      SELECT v.event_type, c, med,
+             abs(CAST(c AS DOUBLE) - med) AS adev
+      FROM v JOIN m USING (event_type)),
+    md AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
+    SELECT d.event_type,
+           COUNT(*) AS n_points,
+           CAST(round(MIN(d.med) * 2) AS BIGINT) AS med_cents_x2,
+           CAST(round(MIN(md.mad) * 2) AS BIGINT) AS mad_cents_x2,
+           CAST(SUM(CASE WHEN d.adev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies
+    FROM d JOIN md USING (event_type) GROUP BY 1
+    """,
+)
+def mad_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly counts per event_type
+    (operators/rolling.py::mad_anomaly): integer-cents input makes the
+    medians exact half-integers, so counts are bit-identical across
+    engines — the outlier gate z-scores can't provide when the outliers
+    themselves drag the mean."""
+    from .operators.rolling import mad_anomaly
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents().alias("v_cents")
+    )
+    return mad_anomaly(ev, ["event_type"], "v_cents", k=3)
+
+
+@q(
+    "survivor_longest_documents",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTE},
+    m AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS grp
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    k AS (
+      SELECT *, row_number() OVER
+               (PARTITION BY grp ORDER BY n_chars DESC, doc_id) AS rn
+      FROM m)
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM k WHERE rn = 1 GROUP BY lang
+    """,
+)
+def survivor_longest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivors
+    (operators/components.py::dedup_survivors_by): per near-dup group
+    keep the LONGEST member (ties → smallest doc_id) instead of the
+    smallest id — the corpus-quality-preserving selection policy,
+    summarized per lang like dedup_survivors_documents."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _verified_dedup_pairs(spark, sf_dir)
+    kept = _cc.dedup_survivors_by(d, pairs, "doc_id", "n_chars")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )

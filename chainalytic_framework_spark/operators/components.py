@@ -199,3 +199,40 @@ def dedup_survivors(
     g = dedup_groups(docs, pairs, id_col)
     keep = g.where(F.col("is_representative")).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def dedup_survivors_by(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware survivor selection: keep, per near-dup group, the
+    member with the HIGHEST ``score_col`` (ties → smallest id), not the
+    smallest id. Near-dup groups contain non-identical texts, so which
+    member survives matters for corpus quality — longest-text-wins
+    (score = n_chars) is the standard heuristic; any per-doc quality
+    score (functions/text.py gates) plugs in unchanged.
+
+    Plan: components (large-star/small-star) + one hash agg taking the
+    per-group argmax via ``max_by`` over a (score, −id) struct — no
+    window, no sort; then a left-semi join back. At 10^12 docs the agg
+    input is one row per doc with two longs — the cheap side of the
+    dedup pipeline.
+
+    Reference analogue: the reference's snapshots keep the TOP-valued
+    entries per key (``stake_top100.py:46-66``) — argmax-per-group is
+    the same semantics applied to dedup groups; the selection policy is
+    engine-added.
+    """
+    g = dedup_groups(docs, pairs, id_col)
+    scored = docs.select(id_col, score_col).join(
+        g.select(id_col, "group_id"), id_col
+    )
+    rank = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("nid")
+    )
+    keep = scored.groupBy("group_id").agg(
+        F.max_by(F.col(id_col), rank).alias(id_col)
+    )
+    return docs.join(keep.select(id_col), id_col, "left_semi")

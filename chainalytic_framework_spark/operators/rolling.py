@@ -290,3 +290,58 @@ def series_correlation_pairs(
         F.signum(num.cast("double")).cast("int").alias("r_sign"),
         r2.alias("r2"),
     )
+
+
+def mad_anomaly(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cents_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Robust anomaly counting per key: median / MAD (median absolute
+    deviation) instead of mean / stddev, so a handful of extreme values
+    cannot drag the baseline toward themselves (the weakness of the
+    z-score gate in ``rolling_anomaly_flags``-style detectors).
+
+    Input values must be INTEGER cents (or any integer scale): medians
+    of integers are exact half-integers in float64, |int − half-int|
+    is exact, and k·MAD comparison is exact — so the anomaly count is
+    bit-identical across engines and partitionings. A row is anomalous
+    iff |v − median| > k · MAD (strict, so MAD = 0 with identical
+    values flags only true deviants).
+
+    Plan: three hash aggregations and two BROADCAST joins — the per-key
+    stats frames carry one row per key (event_type / series id grain),
+    tiny next to the fact side, so the fact never shuffles. EXACT
+    ``percentile`` is used for oracle parity; at 10^12-row scale per-key
+    exact medians buffer whole groups, so the scale path substitutes
+    the KLL sketch tier (operators/sketches.py, same routed-serving
+    shape as routed_p90) with rank-error-bounded medians — documented
+    trade, same query shape.
+
+    Reference analogue: none (the reference's only outlier handling is
+    top-k truncation, ``stake_top100.py:56-61``); engine-added
+    monitoring analytics (SURVEY §2.11 family).
+    """
+    v = F.col(value_cents_col)
+    med = df.groupBy(*key_cols).agg(
+        F.percentile(v, F.lit(0.5)).alias("_med")
+    )
+    dev = df.join(F.broadcast(med), key_cols).withColumn(
+        "_adev", F.abs(v.cast("double") - F.col("_med"))
+    )
+    mad = dev.groupBy(*key_cols).agg(
+        F.percentile(F.col("_adev"), F.lit(0.5)).alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), key_cols)
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.min("_med") * 2).cast("long").alias("med_cents_x2"),
+            F.round(F.min("_mad") * 2).cast("long").alias("mad_cents_x2"),
+            F.sum(
+                F.when(F.col("_adev") > F.lit(float(k)) * F.col("_mad"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+    )

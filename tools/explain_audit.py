@@ -257,6 +257,22 @@ def main() -> int:
     ok &= audit("ngram counts two-phase topk: sharded prune bounds final window",
                 contract.ngram_counts_documents(spark, sf),
                 {"max_exchanges": 4})
+    # OHLC cascade: two plain hash-agg shuffles (1m partials -> 1h merge),
+    # no window/sort anywhere — min_by/max_by keep ordering inside the agg
+    ok &= audit("ohlc cascade: two agg shuffles, no window, no sort",
+                contract.ohlc_1h_events(spark, sf),
+                {"max_exchanges": 2, "no_window": True})
+    ok &= audit("state durations: one key window shuffle + one agg shuffle",
+                contract.state_durations_events(spark, sf),
+                {"max_exchanges": 2})
+    # MAD: per-key stats frames broadcast back — the fact side never
+    # shuffles for a join. 7 exchanges = 3 hash-agg shuffles carrying
+    # per-key rows (med, mad, final) + broadcast exchanges of the tiny
+    # stats frames (the med subtree is re-planned per reference; each
+    # carries ONE ROW PER KEY, irrelevant at any scale)
+    ok &= audit("mad anomaly: stats broadcast, fact never join-shuffles",
+                contract.mad_anomaly_events(spark, sf),
+                {"max_exchanges": 7, "broadcast": True, "no_window": True})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
