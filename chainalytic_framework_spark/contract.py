@@ -68,6 +68,7 @@ _GATE_PRIORITY = [
     "cold_read_union_events",
     "idf_shift_documents",
     # round-5 session-8 additions (never certified — window priority)
+    "candles_registry_1h_events",
     "ohlc_1h_events",
     "state_durations_events",
     "mad_anomaly_events",
@@ -3914,6 +3915,50 @@ def ohlc_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("high_val").alias("high_cents"),
         F.col("low_val").alias("low_cents"),
         F.col("close_val").alias("close_cents"),
+        "point_count",
+    )
+
+
+@q("candles_registry_1h_events", _OHLC_1H_SQL)
+def candles_registry_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candles through the PIPELINE's metric-set registry
+    (operators/registry.py::candle_specs): open/close live as single
+    struct partials whose lexicographic min/max is both the raw-row agg
+    and the cascade reagg, so run_pipeline(metric_set=...) materializes
+    and cascades candle tiers with zero engine edits. Same oracle as
+    ohlc_1h_events — this row certifies the REGISTRY path (struct
+    partials through rollup_with_spec → downsample_with_spec), the
+    other the standalone operator (ohlc_partials → ohlc_merge)."""
+    from .operators.registry import (
+        MetricSet,
+        MetricSpec,
+        candle_specs,
+        downsample_with_spec,
+        rollup_with_spec,
+    )
+
+    ms = MetricSet(
+        name="contract_candles",
+        metrics=(
+            MetricSpec("point_count", lambda: F.count(F.lit(1)), lambda: F.sum("point_count")),
+        )
+        + candle_specs("ts", "event_id", "c"),
+        tiers=("1m", "1h"),
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("c", _cents())
+    )
+    fine = rollup_with_spec(ev, ms, "1m", time_col="ts", keys=("event_type",))
+    coarse = downsample_with_spec(fine, ms, "1h", keys=("event_type",))
+    return coarse.select(
+        F.col("bucket_start").cast("long").alias("bucket_epoch"),
+        "event_type",
+        F.col("open_k.val").alias("open_cents"),
+        F.col("high").alias("high_cents"),
+        F.col("low").alias("low_cents"),
+        F.col("close_k.val").alias("close_cents"),
         "point_count",
     )
 

@@ -212,3 +212,56 @@ TEXTSTATS_SET = register(
         tiers=("1m", "1d", "30d"),
     )
 )
+
+
+def candle_specs(
+    ts_col: str, tie_col: str, value_col: str, prefix: str = ""
+) -> tuple[MetricSpec, ...]:
+    """OHLC candle measures as registry-compatible MERGEABLE partials
+    (operators/ohlc.py semantics, single-column form).
+
+    open/close are stored as ONE struct partial each — ``(ts, tie,
+    val)`` — whose lexicographic ``min``/``max`` both builds the partial
+    from raw rows and re-aggregates stored partials: ``reagg(agg(A) ∪
+    agg(B)) == agg(A ∪ B)`` holds because struct comparison is total,
+    so the registry's cascade invariant (and its property test) covers
+    candles with no special-casing. Including ``val`` as the last
+    struct field makes the result deterministic at any parallelism even
+    if (ts, tie) ties — ties then break on the value itself.
+
+    Query-time flattening: ``open_k.val`` is the opening value,
+    ``close_k.val`` the closing one. Plan shape: plain two-phase hash
+    agg with map-side combine — no window, no sort, codegen throughout.
+    """
+    p = prefix
+
+    def key() -> Column:
+        return F.struct(
+            F.col(ts_col).cast("timestamp").cast("long").alias("ts"),
+            F.col(tie_col).alias("tie"),
+            F.col(value_col).alias("val"),
+        )
+
+    return (
+        MetricSpec(f"{p}open_k", lambda: F.min(key()), lambda: F.min(f"{p}open_k")),
+        MetricSpec(f"{p}close_k", lambda: F.max(key()), lambda: F.max(f"{p}close_k")),
+        MetricSpec(f"{p}high", lambda: F.max(value_col), lambda: F.max(f"{p}high")),
+        MetricSpec(f"{p}low", lambda: F.min(value_col), lambda: F.min(f"{p}low")),
+    )
+
+
+# Candles as a shipped pipeline metric set: text_len candlesticks per
+# (url, bucket) over the prepared-observation schema (tie = text_hash —
+# deterministic, content-derived; with val in the struct the partial is
+# order-exact even under full (ts, tie) ties). run_pipeline
+# (metric_set="candles") materializes and cascades these tiers with the
+# same one-scan + cached-frame plan as the default set.
+CANDLE_SET = register(
+    MetricSet(
+        name="candles",
+        metrics=(
+            MetricSpec("point_count", lambda: F.count(F.lit(1)), lambda: F.sum("point_count")),
+        )
+        + candle_specs("warc_ts", "text_hash", "text_len", prefix="len_"),
+    )
+)

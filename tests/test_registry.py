@@ -173,3 +173,31 @@ def test_derived_key_set_histogram_tier(spark):
     )
     ref = ref_1h.select("lang", "bucket_epoch", "hb_lo", "hb_count")
     assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
+
+
+def test_candles_pipeline_end_to_end(spark, tmp_path, pages):
+    """The shipped 'candles' set drives run_pipeline: candle tiers are
+    materialized + cascaded, the stored 1d tier equals a direct rollup
+    from raw observations, and the opening value of every day candle is
+    <= its high and >= its low (struct-partial flattening sanity)."""
+    ms = get_metric_set("candles")
+    store = TableStore(spark, str(tmp_path / "wh"))
+    r = run_pipeline(spark, pages, store, metric_set="candles", with_fold=False)
+    assert r["pending_days"] > 0
+
+    t1d = store.read("tier_candles_1d")
+    assert {"len_open_k", "len_close_k", "len_high", "len_low"} <= set(t1d.columns)
+
+    obs = prepare_observations(pages)
+    direct = rollup_with_spec(obs, ms, "1d")
+    stored = t1d.select(direct.columns)
+    assert _df_equal(stored, direct)
+
+    bad = t1d.where(
+        (F.col("len_open_k.val") > F.col("len_high"))
+        | (F.col("len_open_k.val") < F.col("len_low"))
+        | (F.col("len_close_k.val") > F.col("len_high"))
+        | (F.col("len_close_k.val") < F.col("len_low"))
+        | (F.col("len_open_k.ts") > F.col("len_close_k.ts"))
+    )
+    assert bad.isEmpty()

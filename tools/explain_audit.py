@@ -262,6 +262,11 @@ def main() -> int:
     ok &= audit("ohlc cascade: two agg shuffles, no window, no sort",
                 contract.ohlc_1h_events(spark, sf),
                 {"max_exchanges": 2, "no_window": True})
+    # same bound through the metric-set registry: struct-partial candles
+    # must keep the identical two-phase hash-agg shape (no window/sort)
+    ok &= audit("candles via registry: two agg shuffles, no window",
+                contract.candles_registry_1h_events(spark, sf),
+                {"max_exchanges": 2, "no_window": True})
     ok &= audit("state durations: one key window shuffle + one agg shuffle",
                 contract.state_durations_events(spark, sf),
                 {"max_exchanges": 2})
