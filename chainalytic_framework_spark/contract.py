@@ -73,9 +73,13 @@ _GATE_PRIORITY = [
     "state_durations_events",
     "mad_anomaly_events",
     "survivor_longest_documents",
+    # round-5 trend-family additions (never certified — window priority)
+    "trend_slope_events",
+    "acf_daily_events",
+    "changepoint_events",
     # 39 queries whose newest driver certification is round 3; with the
-    # 4 additions above, the LAST 4 of these fall outside the 50-row
-    # window this round — all four hold round-3 driver certification,
+    # additions above, the LAST 8 of these fall outside the 50-row
+    # window this round — all eight hold round-3 driver certification,
     # so cumulative coverage is unaffected (never-certified > stale
     # re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4057,3 +4061,150 @@ def survivor_longest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trend family (operators/trend.py): PromQL increase / TimescaleDB
+# time_weight + stats_agg analogues, all exact-integer cross-engine.
+# ---------------------------------------------------------------------------
+
+
+_SUFFSTAT_TAIL_SQL = """
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM p GROUP BY 1),
+d AS (
+  SELECT event_type, n,
+         n*sxy - sx*sy AS num,
+         n*sxx - sx*sx AS denx,
+         n*syy - sy*sy AS deny
+  FROM s)
+"""
+
+
+@q(
+    "trend_slope_events",
+    f"""
+    WITH p AS (
+      SELECT event_type,
+             CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 60 AS HUGEINT)
+               AS x,
+             CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT) AS y
+      FROM events),
+    {_SUFFSTAT_TAIL_SQL}
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           CAST(CASE WHEN num=0 OR denx=0 THEN 0
+                     ELSE CAST(sign(num) AS HUGEINT)
+                          * ((abs(num)*10000) // denx) END AS BIGINT)
+             AS slope_x1e4,
+           CAST(CASE WHEN num=0 OR denx=0 OR deny=0 THEN 0
+                     ELSE CAST(sign(num) AS HUGEINT)
+                          * ((num*num*10000) // (denx*deny)) END AS BIGINT)
+             AS r2_signed_x1e4
+    FROM d
+    """,
+)
+def trend_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer least-squares fit (trend.py::linfit): does value
+    trend with minute-of-day? Slope (cents/minute × 10⁴) and signed r²
+    from integer sufficient statistics — no float enters any
+    aggregation, so the fit is bit-identical at every parallelism."""
+    from .operators.trend import linfit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((_epoch("ts") % 86400) / 60).cast("long").alias("minute_of_day"),
+        _cents().alias("v_cents"),
+    )
+    return linfit(ev, ["event_type"], "minute_of_day", "v_cents")
+
+
+@q(
+    "acf_daily_events",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS HUGEINT) AS c
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type, a.c AS y, b.c AS x
+      FROM h a JOIN h b ON a.event_type = b.event_type
+           AND b.bucket_epoch = a.bucket_epoch - 86400),
+    {_SUFFSTAT_TAIL_SQL}
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           CAST(CASE WHEN num=0 OR denx=0 THEN 0
+                     ELSE CAST(sign(num) AS HUGEINT)
+                          * ((abs(num)*10000) // denx) END AS BIGINT)
+             AS slope_x1e4,
+           CAST(CASE WHEN num=0 OR denx=0 OR deny=0 THEN 0
+                     ELSE CAST(sign(num) AS HUGEINT)
+                          * ((num*num*10000) // (denx*deny)) END AS BIGINT)
+             AS r2_signed_x1e4
+    FROM d
+    """,
+)
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality autocorrelation (trend.py::acf_lag + linfit):
+    hourly cent-sums joined to the same series 24h earlier on the
+    BUCKET KEY (gap-robust, unlike a row-offset lag), then the exact
+    signed-r² of (v_t, v_{t-24h}). Strong positive ⇒ daily cycle."""
+    from .operators.trend import acf_lag, linfit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _bucket_epoch("ts", 3600), _cents().alias("_c")
+    )
+    hourly = ev.groupBy("event_type", "bucket_epoch").agg(
+        F.sum("_c").alias("c")
+    )
+    pairs = acf_lag(hourly, ["event_type"], "bucket_epoch", "c", 86400)
+    return linfit(pairs, ["event_type"], "_x", "_y")
+
+
+@q(
+    "changepoint_events",
+    """
+    WITH h AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+             SUM(CAST(round(value*100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bucket_epoch, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bucket_epoch) AS s_k,
+             row_number() OVER
+               (PARTITION BY event_type ORDER BY bucket_epoch) AS k,
+             SUM(c) OVER (PARTITION BY event_type) AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM h),
+    dev AS (
+      SELECT event_type, bucket_epoch,
+             abs(CAST(n AS HUGEINT)*CAST(s_k AS HUGEINT)
+                 - CAST(k AS HUGEINT)*CAST(t AS HUGEINT)) AS adev
+      FROM w WHERE k < n),
+    r AS (
+      SELECT event_type, bucket_epoch, adev,
+             row_number() OVER
+               (PARTITION BY event_type ORDER BY adev DESC, bucket_epoch) AS rn
+      FROM dev)
+    SELECT event_type, bucket_epoch AS change_epoch, CAST(adev AS BIGINT)
+             AS abs_dev
+    FROM r WHERE rn = 1
+    """,
+)
+def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CUSUM changepoint (trend.py::changepoint): the bucket
+    maximising |n·S_k − k·T| over each type's hourly series — the
+    cross-multiplied (float-free) cumulative-deviation argmax; ties go
+    to the earliest bucket. Exact across engines and partitionings."""
+    from .operators.trend import changepoint
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _bucket_epoch("ts", 3600), _cents().alias("_c")
+    )
+    hourly = ev.groupBy("event_type", "bucket_epoch").agg(
+        F.sum("_c").alias("c")
+    )
+    return changepoint(hourly, ["event_type"], "bucket_epoch", "c")

@@ -1,0 +1,180 @@
+"""Trend extraction over per-key series: exact-integer linear fits
+(slope + signed r²), lag-k autocorrelation pairs, and batch CUSUM
+changepoint detection.
+
+These are the TimescaleDB ``stats_agg`` (slope/corr) and changepoint
+analogues a monitoring layer runs over the engine's tier tables —
+siblings of the counter semantics in ``operators/counters.py``
+(PromQL increase / time_weight), the pairwise cross-series correlation
+in ``operators/rolling.py::series_correlation_pairs``, and the
+SEQUENTIAL drift detector ``rolling.py::cusum_drift`` (this module's
+:func:`changepoint` is the batch single-split-point argmax instead).
+The reference keeps only cumulative and latest-value aggregates per
+series
+(``/root/reference/zones/public-icon/aggregator/transform_registry/stake_history.py:76-79``);
+trend extraction is engine-added capability (SURVEY §2.11 family).
+
+Cross-engine exactness: every statistic is computed in integer /
+decimal(38,0) arithmetic — sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+Σy²) are exact integers, and derived ratios (slope, signed r²) are
+emitted as ``sign(num) * (|num| * 10⁴) intdiv den`` — truncating
+integer division of exact integers, bit-identical across engines,
+partition counts, and accumulation orders. No float ever enters an
+aggregation, so results are stable at any parallelism level (the
+cross-cluster-size invariant this engine is held to).
+
+Scale notes (10^12 rows):
+- ``linfit`` is a single map-side-combinable hash agg (no window, no
+  sort): the 6 sufficient statistics fold associatively, so Spark's
+  partial aggregation does the heavy lifting before the shuffle.
+- ``changepoint`` runs over TIER tables (one row per key × bucket),
+  orders of magnitude smaller than raw; two same-partitioned windows +
+  one agg = one shuffle total.
+- decimal(38,0) headroom: products like num² × 10⁴ stay within 38
+  digits when |y| ≤ ~10⁶ per point and per-key point counts ≤ ~10⁶
+  (the tier-table regime). For raw-scale fits, rebase x per key (the
+  callers here pass minute-of-day / bucket values, already small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _suffstats(df: DataFrame, key_cols: list[str], x_col: str, y_col: str) -> DataFrame:
+    """Exact integer sufficient statistics per key. Per-row products are
+    computed in BIGINT (callers keep |x|·|y| ≪ 2⁶³) and summed in
+    decimal(38,0); the agg is associative → map-side combinable."""
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    p = df.select(
+        *key_cols,
+        x.alias("_x"),
+        y.alias("_y"),
+        (x * y).alias("_xy"),
+        (x * x).alias("_xx"),
+        (y * y).alias("_yy"),
+    )
+    dec = lambda c: F.sum(F.col(c).cast(_DEC))  # noqa: E731
+    return p.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        dec("_x").alias("sx"),
+        dec("_y").alias("sy"),
+        dec("_xy").alias("sxy"),
+        dec("_xx").alias("sxx"),
+        dec("_yy").alias("syy"),
+    )
+
+
+def linfit(
+    df: DataFrame, key_cols: list[str], x_col: str, y_col: str,
+    r2_col: str = "r2_signed_x1e4",
+) -> DataFrame:
+    """Per-key least-squares slope and signed r², exact.
+
+    ``slope_x1e4`` = sign · (|n·Σxy − Σx·Σy| · 10⁴) intdiv (n·Σx² − Σx²);
+    ``r2_signed_x1e4`` = sign · (num² · 10⁴) intdiv (denx · deny) — the
+    squared Pearson correlation carrying the covariance sign (sqrt-free,
+    so the whole computation stays in integer arithmetic).
+    Degenerate keys (constant x or y, or zero covariance) emit 0.
+    """
+    s = _suffstats(df, key_cols, x_col, y_col)
+    d = s.select(
+        *key_cols,
+        F.col("n").cast("long").alias("n_points"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("_denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("_deny"),
+    )
+    sgn = F.when(F.col("_num") < 0, -1).otherwise(1)
+    zero = (F.col("_num") == 0) | (F.col("_denx") == 0)
+    slope = F.when(zero, F.lit(0)).otherwise(
+        sgn * F.expr("(abs(_num) * 10000) div _denx")
+    )
+    r2 = F.when(zero | (F.col("_deny") == 0), F.lit(0)).otherwise(
+        sgn * F.expr("(_num * _num * 10000) div (_denx * _deny)")
+    )
+    return d.select(
+        *key_cols,
+        "n_points",
+        slope.cast("long").alias("slope_x1e4"),
+        r2.cast("long").alias(r2_col),
+    )
+
+
+def acf_lag(
+    tier: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    lag_secs: int,
+) -> DataFrame:
+    """Lag-k autocorrelation pairs over a bucket series: joins each
+    bucket's value with the same key's value exactly ``lag_secs``
+    earlier (a bucket-key equi-join, NOT a row-offset lag — robust to
+    gaps in the series). Feed the result to :func:`linfit` for the
+    signed-r² autocorrelation (r² of v_t vs v_{t−k} ≈ ACF², seasonality
+    shows as a strong positive at the period).
+
+    One shuffle: both sides hash-partition on (key, bucket-ish); the
+    join key carries the lag on the right side.
+    """
+    left = tier.select(
+        *key_cols, F.col(bucket_col).alias("_b"), F.col(value_col).alias("_y")
+    )
+    right = tier.select(
+        *key_cols,
+        (F.col(bucket_col) + F.lit(lag_secs)).alias("_b"),
+        F.col(value_col).alias("_x"),
+    )
+    return left.join(right, [*key_cols, "_b"]).select(*key_cols, "_x", "_y")
+
+
+def changepoint(
+    tier: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Batch CUSUM changepoint per key: the bucket k maximising
+    |n·S_k − k·T| (S_k = prefix sum, T = total, n = bucket count) — the
+    cross-multiplied, float-free form of "cumulative deviation from the
+    mean", whose argmax is the classic single-changepoint estimate.
+    The last bucket is excluded (its deviation is identically 0).
+
+    Ties break to the earliest bucket. Two windows + one agg, all on the
+    same key partitioning → one shuffle.
+    """
+    wall = Window.partitionBy(*key_cols)
+    v = F.col(value_col).cast(_DEC)
+    d = (
+        tier.select(*key_cols, F.col(bucket_col).alias("bucket_epoch"), v.alias("_c"))
+        .select(
+            *key_cols,
+            "bucket_epoch",
+            F.sum("_c").over(
+                Window.partitionBy(*key_cols).orderBy("bucket_epoch")
+            ).alias("_s"),
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy("bucket_epoch")
+            ).cast(_DEC).alias("_k"),
+            F.sum("_c").over(wall).alias("_t"),
+            F.count(F.lit(1)).over(wall).cast(_DEC).alias("_n"),
+        )
+        .where(F.col("_k") < F.col("_n"))
+        .select(
+            *key_cols,
+            "bucket_epoch",
+            F.abs(F.col("_n") * F.col("_s") - F.col("_k") * F.col("_t")).alias("_adev"),
+        )
+    )
+    best = d.groupBy(*key_cols).agg(
+        F.max(F.struct(F.col("_adev"), (-F.col("bucket_epoch")).alias("_nb"))).alias("_m")
+    )
+    return best.select(
+        *key_cols,
+        (-F.col("_m._nb")).cast("long").alias("change_epoch"),
+        F.col("_m._adev").cast("long").alias("abs_dev"),
+    )

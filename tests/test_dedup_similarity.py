@@ -315,7 +315,6 @@ def test_cosine_pairs_bucket_width_guard(spark):
     configured cap instead of silently going quadratic; under the cap
     results equal the unguarded form."""
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     from chainalytic_framework_spark.operators.similarity import (
         cosine_pairs_over_threshold,
@@ -330,7 +329,10 @@ def test_cosine_pairs_bucket_width_guard(spark):
 
     guarded = cosine_pairs_over_threshold(emb, planes, threshold=0.99,
                                           max_bucket_width=20)
-    with pytest.raises(Py4JJavaError, match="max_bucket_width"):
+    # pyspark wraps the JVM error as Py4JJavaError OR converts it to
+    # SparkRuntimeException depending on the capture path — the contract
+    # is the MESSAGE, not the wrapper class
+    with pytest.raises(Exception, match="max_bucket_width"):
         guarded.collect()
 
     loose = cosine_pairs_over_threshold(emb, planes, threshold=0.99,

@@ -1,0 +1,123 @@
+"""operators/trend.py: exact-integer linear fits, lag-k autocorrelation,
+batch CUSUM changepoint — known-answer and parallelism-invariance tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.operators.trend import (
+    acf_lag,
+    changepoint,
+    linfit,
+)
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_linfit_perfect_line(spark):
+    rows = [("a", x, 3 * x + 7) for x in range(50)]
+    out = linfit(_df(spark, rows, ["k", "x", "y"]), ["k"], "x", "y").collect()[0]
+    assert out.n_points == 50
+    assert out.slope_x1e4 == 30000
+    assert out.r2_signed_x1e4 == 10000
+
+
+def test_linfit_negative_slope_carries_sign(spark):
+    rows = [("a", x, 1000 - 2 * x) for x in range(40)]
+    out = linfit(_df(spark, rows, ["k", "x", "y"]), ["k"], "x", "y").collect()[0]
+    assert out.slope_x1e4 == -20000
+    assert out.r2_signed_x1e4 == -10000
+
+
+def test_linfit_degenerate_emits_zero(spark):
+    rows = [("cx", 5, y) for y in range(10)] + [("cy", x, 3) for x in range(10)]
+    out = {
+        r.k: r
+        for r in linfit(_df(spark, rows, ["k", "x", "y"]), ["k"], "x", "y").collect()
+    }
+    assert out["cx"].slope_x1e4 == 0 and out["cx"].r2_signed_x1e4 == 0
+    assert out["cy"].slope_x1e4 == 0 and out["cy"].r2_signed_x1e4 == 0
+
+
+def test_linfit_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 1440, 500)
+    ys = (5 * xs + rng.integers(-2000, 2000, 500)).astype(int)
+    rows = [("a", int(x), int(y)) for x, y in zip(xs, ys)]
+    out = linfit(_df(spark, rows, ["k", "x", "y"]), ["k"], "x", "y").collect()[0]
+    slope = np.polyfit(xs.astype(float), ys.astype(float), 1)[0]
+    r = np.corrcoef(xs.astype(float), ys.astype(float))[0, 1]
+    assert abs(out.slope_x1e4 / 1e4 - slope) < 1e-3
+    assert abs(out.r2_signed_x1e4 / 1e4 - np.sign(r) * r * r) < 1e-3
+
+
+def test_linfit_partitioning_invariant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"k{i % 3}", int(x), int(y))
+        for i, (x, y) in enumerate(
+            zip(rng.integers(0, 1000, 300), rng.integers(-500, 500, 300))
+        )
+    ]
+    df = _df(spark, rows, ["k", "x", "y"])
+    a = sorted(map(tuple, linfit(df.coalesce(1), ["k"], "x", "y").collect()))
+    b = sorted(map(tuple, linfit(df.repartition(7), ["k"], "x", "y").collect()))
+    assert a == b  # bit-identical at any parallelism — the engine invariant
+
+
+def test_acf_periodic_series_r2_is_one(spark):
+    # period-4 series sampled hourly: v(t) = pattern[t/3600 mod 4]
+    pat = [10, 40, 25, 90]
+    rows = [("a", 3600 * i, pat[i % 4]) for i in range(64)]
+    tier = _df(spark, rows, ["k", "bucket_epoch", "c"])
+    pairs = acf_lag(tier, ["k"], "bucket_epoch", "c", 4 * 3600)
+    out = linfit(pairs, ["k"], "_x", "_y").collect()[0]
+    assert out.n_points == 60  # 64 buckets - 4 lag
+    assert out.r2_signed_x1e4 == 10000
+
+
+def test_acf_join_is_gap_robust(spark):
+    # drop one bucket: a row-offset lag would misalign everything after
+    # the gap; the bucket-key join only loses the pairs touching it
+    pat = [10, 40, 25, 90]
+    rows = [("a", 3600 * i, pat[i % 4]) for i in range(64) if i != 30]
+    tier = _df(spark, rows, ["k", "bucket_epoch", "c"])
+    pairs = acf_lag(tier, ["k"], "bucket_epoch", "c", 4 * 3600)
+    out = linfit(pairs, ["k"], "_x", "_y").collect()[0]
+    assert out.n_points == 58  # lost the pair into AND out of bucket 30
+    assert out.r2_signed_x1e4 == 10000  # alignment survives the gap
+
+
+def test_changepoint_finds_step(spark):
+    # 40 buckets at 10 then 40 at 100: deviation peaks at the last
+    # low-regime bucket (index 39)
+    rows = [("a", 3600 * i, 10 if i < 40 else 100) for i in range(80)]
+    tier = _df(spark, rows, ["k", "bucket_epoch", "c"])
+    out = changepoint(tier, ["k"], "bucket_epoch", "c").collect()[0]
+    assert out.change_epoch == 3600 * 39
+
+
+def test_changepoint_tie_breaks_to_earliest(spark):
+    # constant series: every prefix deviation is 0 — argmax ties on all
+    # buckets, must pick the earliest
+    rows = [("a", 3600 * i, 5) for i in range(10)]
+    tier = _df(spark, rows, ["k", "bucket_epoch", "c"])
+    out = changepoint(tier, ["k"], "bucket_epoch", "c").collect()[0]
+    assert out.change_epoch == 0 and out.abs_dev == 0
+
+
+def test_changepoint_excludes_last_bucket_and_handles_negatives(spark):
+    # two buckets: the only candidate is the first (k<n); negative
+    # values exercise the abs() path
+    rows = [("a", 0, -100), ("a", 3600, 50)]
+    tier = _df(spark, rows, ["k", "bucket_epoch", "c"])
+    out = changepoint(tier, ["k"], "bucket_epoch", "c").collect()
+    assert len(out) == 1
+    # n=2, S_1=-100, T=-50, k=1 → |2·(−100) − 1·(−50)| = 150
+    assert out[0].change_epoch == 0 and out[0].abs_dev == 150

@@ -278,6 +278,21 @@ def main() -> int:
     ok &= audit("mad anomaly: stats broadcast, fact never join-shuffles",
                 contract.mad_anomaly_events(spark, sf),
                 {"max_exchanges": 7, "broadcast": True, "no_window": True})
+    # linfit is ONE map-side-combinable hash agg: no window, no sort,
+    # a single exchange — the sufficient statistics fold associatively
+    ok &= audit("trend linfit: single agg shuffle, no window",
+                contract.trend_slope_events(spark, sf),
+                {"max_exchanges": 1, "no_window": True})
+    # acf = hourly agg + bucket-key self-join + linfit agg; the join
+    # reuses the hourly agg's partitioning where possible — bounded
+    ok &= audit("acf lag join: bounded shuffles, no cartesian, no window",
+                contract.acf_daily_events(spark, sf),
+                {"max_exchanges": 4, "no_window": True})
+    # changepoint: hourly agg shuffle + one key-partitioned window
+    # family + one struct-max agg on the same partitioning
+    ok &= audit("changepoint: agg + same-key window, bounded",
+                contract.changepoint_events(spark, sf),
+                {"max_exchanges": 3})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
