@@ -73,13 +73,18 @@ _GATE_PRIORITY = [
     "state_durations_events",
     "mad_anomaly_events",
     "survivor_longest_documents",
-    # round-5 trend-family additions (never certified — window priority)
+    # round-5 trend/serving-family additions (never certified — window
+    # priority)
     "trend_slope_events",
     "acf_daily_events",
     "changepoint_events",
+    "interp_at_events",
+    "seasonal_backtest_events",
+    "calendar_rollup_events",
+    "gap_stats_events",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 8 of these fall outside the 50-row
-    # window this round — all eight hold round-3 driver certification,
+    # additions above, the LAST 12 of these fall outside the 50-row
+    # window this round — all twelve hold round-3 driver certification,
     # so cumulative coverage is unaffected (never-certified > stale
     # re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4208,3 +4213,190 @@ def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_c").alias("c")
     )
     return changepoint(hourly, ["event_type"], "bucket_epoch", "c")
+
+
+@q(
+    "interp_at_events",
+    """
+    WITH h AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS b,
+             SUM(CAST(round(value*100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, min(b) AS b0, max(b) AS b1 FROM h GROUP BY 1),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(b0 - 9000, b1 + 9000, 9000)) AS t
+      FROM bounds),
+    u AS (
+      SELECT event_type, b AS t, c AS v, 0 AS isq FROM h
+      UNION ALL
+      SELECT event_type, t, NULL, 1 FROM grid),
+    m AS (
+      SELECT event_type, t, isq,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY t, isq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY t, isq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY t, isq
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY t, isq
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1
+      FROM u)
+    SELECT event_type, t AS t_q,
+      CASE WHEN v0 IS NOT NULL AND (t0 = t OR v1 IS NOT NULL) THEN
+        CASE WHEN t0 = t THEN v0*10000
+             ELSE v0*10000 + CAST(floor((v1 - v0) * 10000.0 * (t - t0)
+                                        / (t1 - t0)) AS BIGINT) END
+      END AS v_interp_x1e4,
+      (v0 IS NOT NULL AND (t0 = t OR v1 IS NOT NULL)) AS bracketed
+    FROM m WHERE isq = 1
+    """,
+)
+def interp_at_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time interpolated serving at arbitrary timestamps
+    (operators/gapfill.py::interp_at_points): a 9000-second query grid
+    (one step PAST each series edge, exercising the no-extrapolation
+    NULLs) is linearly interpolated between bracketing hourly
+    observations — integer lerp ×1e4, one window-shuffle family, no
+    per-point probe join."""
+    from .operators.gapfill import interp_at_points
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _bucket_epoch("ts", 3600), _cents().alias("_c")
+    )
+    hourly = ev.groupBy("event_type", "bucket_epoch").agg(F.sum("_c").alias("c"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket_epoch").alias("_b0"), F.max("bucket_epoch").alias("_b1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.col("_b0") - 9000, F.col("_b1") + 9000, F.lit(9000)
+            )
+        ).alias("t_q"),
+    )
+    return interp_at_points(
+        hourly, ["event_type"], "bucket_epoch", "c",
+        grid.withColumnRenamed("t_q", "bucket_epoch"),
+    ).select("event_type", "t_q", F.col("c_interp_x1e4").alias("v_interp_x1e4"),
+             "bracketed")
+
+
+@q(
+    "seasonal_backtest_events",
+    """
+    WITH h AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS b,
+             SUM(CAST(round(value*100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2),
+    j AS (
+      SELECT a.event_type, a.c AS v, n.c AS vn, s.c AS vs
+      FROM h a
+      JOIN h n ON n.event_type = a.event_type AND n.b = a.b - 3600
+      JOIN h s ON s.event_type = a.event_type AND s.b = a.b - 86400)
+    SELECT event_type, COUNT(*) AS n_eval,
+           CAST(SUM(abs(v - vs)) AS BIGINT) AS abs_err_seasonal,
+           CAST(SUM(abs(v - vn)) AS BIGINT) AS abs_err_naive,
+           CASE WHEN SUM(abs(v - vn)) = 0 THEN NULL
+                ELSE CAST((CAST(SUM(abs(v-vs)) AS HUGEINT) * 10000)
+                          // CAST(SUM(abs(v-vn)) AS HUGEINT) AS BIGINT) END
+             AS mase_x1e4
+    FROM j GROUP BY 1
+    """,
+)
+def seasonal_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-skill backtest (trend.py::seasonal_naive_backtest):
+    seasonal-naive (t−24h) vs one-step naive (t−1h) over hourly cent
+    sums, MASE as truncating integer division — the exact go/no-go gate
+    before fitting a model. mase < 10000 ⇔ seasonality is real."""
+    from .operators.trend import seasonal_naive_backtest
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _bucket_epoch("ts", 3600), _cents().alias("_c")
+    )
+    hourly = ev.groupBy("event_type", "bucket_epoch").agg(F.sum("_c").alias("c"))
+    return seasonal_naive_backtest(
+        hourly, ["event_type"], "bucket_epoch", "c", 3600, 86400
+    )
+
+
+@q(
+    "calendar_rollup_events",
+    """
+    SELECT event_type,
+           CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS week_epoch,
+           CAST(floor(epoch(date_trunc('month', date_trunc('week', ts))))
+                AS BIGINT) AS month_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def calendar_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-aligned continuous aggregate
+    (operators/bucketing.py::calendar_bucket): ISO weeks labelled with
+    the month their week START falls in — variable-length buckets the
+    fixed 1m/1h/1d/30d tier widths cannot express (TimescaleDB
+    ``time_bucket('1 month')``). Single hash-agg shuffle."""
+    from .operators.bucketing import calendar_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    wk = calendar_bucket("ts", "week")
+    return (
+        ev.select(
+            "event_type",
+            wk.alias("week_epoch"),
+            calendar_bucket(F.timestamp_seconds(wk), "month").alias("month_epoch"),
+            _cents().alias("_c"),
+        )
+        .groupBy("event_type", "week_epoch", "month_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_c").alias("value_cents"),
+        )
+    )
+
+
+@q(
+    "gap_stats_events",
+    """
+    WITH d AS (
+      SELECT user_id,
+             lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+               (PARTITION BY user_id
+                ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS dt
+      FROM events),
+    g AS (
+      SELECT user_id,
+             CAST(SUM(dt) AS BIGINT) AS span_secs,
+             CAST(SUM(CASE WHEN dt <= 7200 THEN dt ELSE 0 END) AS BIGINT)
+               AS covered_secs,
+             CAST(SUM(CASE WHEN dt > 7200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps,
+             CAST(COALESCE(MAX(CASE WHEN dt > 7200 THEN dt END), 0) AS BIGINT)
+               AS max_gap_secs
+      FROM d WHERE dt IS NOT NULL GROUP BY 1)
+    SELECT user_id, span_secs, covered_secs, n_gaps, max_gap_secs,
+           CASE WHEN span_secs <= 0 THEN 0
+                ELSE CAST((covered_secs * 10000) // span_secs AS BIGINT) END
+             AS uptime_x1e4
+    FROM g
+    """,
+)
+def gap_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat gap / uptime accounting (operators/states.py::gap_stats):
+    per-user inter-event deltas over a 2h outage threshold — span,
+    covered time, gap count, worst outage, uptime ×1e4 — the
+    monitoring-console availability query, integer-exact."""
+    from .operators.states import gap_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_stats(ev, ["user_id"], "ts", "event_id", 7200)

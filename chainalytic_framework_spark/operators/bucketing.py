@@ -96,3 +96,29 @@ def salt_col(url: Column | str, n_salts: int, extra: Column | None = None) -> Co
     c = F.col(url) if isinstance(url, str) else url
     basis = F.xxhash64(c, extra) if extra is not None else F.xxhash64(c, F.lit("salt"))
     return F.pmod(basis, F.lit(n_salts)).cast("int")
+
+
+_CALENDAR_UNITS = ("week", "month", "quarter", "year")
+
+
+def calendar_bucket(ts: Column | str, unit: str) -> Column:
+    """CALENDAR-aligned bucket start (epoch seconds): month/quarter/year
+    buckets are variable-length, so they cannot be expressed as a fixed
+    tumbling width like the 1m/1h/1d/30d tiers — this is the
+    continuous-aggregate grain TimescaleDB calls ``time_bucket('1
+    month', ...)``. Weeks start Monday (ISO), matching DuckDB.
+
+    Session timezone is UTC (session.py pins it), so NTZ→LTZ cast is
+    identity and the truncation is engine-exact.
+    """
+    if unit not in _CALENDAR_UNITS:
+        raise ValueError(f"unknown calendar unit {unit!r}; expected {_CALENDAR_UNITS}")
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.date_trunc(unit, c.cast("timestamp")).cast("long")
+
+
+def calendar_bucket_sql(ts_expr: str, unit: str) -> str:
+    """The same calendar bucket in DuckDB SQL (oracle parity)."""
+    if unit not in _CALENDAR_UNITS:
+        raise ValueError(f"unknown calendar unit {unit!r}; expected {_CALENDAR_UNITS}")
+    return f"CAST(floor(epoch(date_trunc('{unit}', {ts_expr}))) AS BIGINT)"

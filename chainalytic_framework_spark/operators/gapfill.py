@@ -274,3 +274,91 @@ def gapfill_interpolate_epoch(
         .alias(f"{value_col}_x1e4"),
         "gap_filled",
     )
+
+
+def interp_at_points(
+    obs: DataFrame,
+    key_cols: list[str],
+    epoch_col: str,
+    value_col: str,
+    points: DataFrame,
+) -> DataFrame:
+    """Point-in-time interpolated serve at ARBITRARY query timestamps
+    (the serve-path sibling of :func:`gapfill_interpolate_epoch`, which
+    fills a regular spine): for each (key, t_q) in ``points``, linearly
+    interpolate between the key's bracketing observations — exact
+    integer lerp ×1e4 (floor division), bit-identical across engines.
+
+    Query timestamps outside [first, last] observation are emitted with
+    a NULL value and ``bracketed=false`` — never extrapolated (the
+    engine's no-fabrication rule). A query that lands exactly ON an
+    observation returns that value (obs rows sort before query rows at
+    equal epoch, so the backward scan sees them — including the last
+    observation, where no forward bracket exists). ``obs`` must be
+    unique per (key, epoch) — a tier table is.
+
+    Plan: union(obs, points) tagged, ONE window-shuffle family on the
+    key (backward last-ignorenulls + forward first-ignorenulls over the
+    same ordering) — no join, no per-point probe. At 10^12 scale the
+    window partitions by series key; per-key row counts are obs+queries
+    for that key, the same bound as every serve read.
+
+    ``points`` carries ``key_cols`` + ``epoch_col`` (epoch seconds).
+    Output: key cols, ``t_q``, ``{value}_interp_x1e4`` (NULL when not
+    bracketed), ``bracketed``.
+    """
+    from pyspark.sql import Window
+
+    o = obs.select(
+        *key_cols,
+        F.col(epoch_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+        F.lit(0).alias("_isq"),
+    )
+    p = points.select(
+        *key_cols,
+        F.col(epoch_col).cast("long").alias("_t"),
+        F.lit(None).cast("long").alias("_v"),
+        F.lit(1).alias("_isq"),
+    )
+    u = o.unionByName(p)
+    w_back = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_t", "_isq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_t", "_isq")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v, t = F.col("_v"), F.col("_t")
+    obs_t = F.when(v.isNotNull(), t)
+    m = (
+        u.withColumn("_v0", F.last(v, ignorenulls=True).over(w_back))
+        .withColumn("_t0", F.last(obs_t, ignorenulls=True).over(w_back))
+        .withColumn("_v1", F.first(v, ignorenulls=True).over(w_fwd))
+        .withColumn("_t1", F.first(obs_t, ignorenulls=True).over(w_fwd))
+        .where(F.col("_isq") == 1)
+    )
+    # a query landing exactly ON an observation (t0 == t_q) is answered
+    # by that observation even at the series edge where no forward
+    # observation exists; otherwise both brackets are required
+    exact_hit = F.col("_t0") == t
+    bracketed = F.col("_v0").isNotNull() & (exact_hit | F.col("_v1").isNotNull())
+    # in the lerp branch t0 < t_q <= t1, so t1 - t0 > 0
+    interp = F.when(exact_hit, F.col("_v0") * 10000).otherwise(
+        F.col("_v0") * 10000
+        + F.floor(
+            (F.col("_v1") - F.col("_v0"))
+            * 10000
+            * (t - F.col("_t0"))
+            / (F.col("_t1") - F.col("_t0"))
+        ).cast("long")
+    )
+    return m.select(
+        *key_cols,
+        t.alias("t_q"),
+        F.when(bracketed, interp).cast("long").alias(f"{value_col}_interp_x1e4"),
+        bracketed.alias("bracketed"),
+    )

@@ -74,3 +74,61 @@ def state_totals(intervals: DataFrame, by: list[str] | None = None) -> DataFrame
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum("duration_secs").alias("total_secs"),
     )
+
+
+def gap_stats(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tie_col: str,
+    gap_threshold_secs: int,
+) -> DataFrame:
+    """Heartbeat gap / uptime accounting per entity: inter-event
+    deltas above ``gap_threshold_secs`` are outages. Exact integers:
+
+    - ``span_secs``   — last obs − first obs
+    - ``covered_secs``— Σ of deltas ≤ threshold (the "alive" time)
+    - ``n_gaps``      — number of deltas > threshold
+    - ``max_gap_secs``— worst outage (0 if none)
+    - ``uptime_x1e4`` — (covered·10⁴) intdiv span (0 when span is 0)
+
+    The monitoring-console counterpart of :func:`state_intervals` —
+    same one-window-shuffle-plus-agg plan, same open-ended-last-event
+    exclusion (a silent source is indistinguishable from a dead one
+    until its next heartbeat; nothing is fabricated).
+    """
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    d = (
+        events.select(*key_cols, ep.alias("_ep"), F.col(tie_col).alias("_tie"))
+        .withColumn(
+            "_dt",
+            F.lead("_ep").over(
+                Window.partitionBy(*key_cols).orderBy("_ep", "_tie")
+            )
+            - F.col("_ep"),
+        )
+        .where(F.col("_dt").isNotNull())
+    )
+    thr = F.lit(gap_threshold_secs)
+    g = d.groupBy(*key_cols).agg(
+        F.sum("_dt").cast("long").alias("span_secs"),
+        F.sum(F.when(F.col("_dt") <= thr, F.col("_dt")).otherwise(0))
+        .cast("long")
+        .alias("covered_secs"),
+        F.sum(F.when(F.col("_dt") > thr, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gaps"),
+        F.coalesce(
+            F.max(F.when(F.col("_dt") > thr, F.col("_dt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_gap_secs"),
+    )
+    return g.withColumn(
+        "uptime_x1e4",
+        F.when(F.col("span_secs") <= 0, F.lit(0))
+        .otherwise(
+            F.expr("(covered_secs * 10000) div span_secs")
+        )
+        .cast("long"),
+    )

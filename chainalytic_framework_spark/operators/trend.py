@@ -178,3 +178,69 @@ def changepoint(
         (-F.col("_m._nb")).cast("long").alias("change_epoch"),
         F.col("_m._adev").cast("long").alias("abs_dev"),
     )
+
+
+def seasonal_naive_backtest(
+    tier: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    step_secs: int,
+    period_secs: int,
+) -> DataFrame:
+    """Forecast-skill evaluation, exactly: backtest the SEASONAL-NAIVE
+    forecast (v̂(t) = v(t − period)) against the one-step NAIVE baseline
+    (v̂(t) = v(t − step)) over a bucket series. Evaluates only buckets
+    where BOTH forecasts exist (bucket-key alignment — gap-robust like
+    :func:`acf_lag`), so the error sums are directly comparable; the
+    skill ratio is the MASE numerator/denominator in truncating integer
+    division:
+
+        mase_x1e4 = (Σ|v − v(t−period)| · 10⁴) intdiv (Σ|v − v(t−step)|)
+
+    < 10000 ⇒ the seasonal model beats persistence — the go/no-go gate
+    before spending on a fitted model (operators/forecast.py). Values
+    must be integers; everything is BIGINT-exact.
+
+    Plan: NOT self-joins — each input row explodes into its three roles
+    (the value at t; the naive source for t+step; the seasonal source
+    for t+period) and one conditional agg on (key, target-bucket)
+    reassembles the triple. ONE scan of the tier instead of three (a
+    self-join plan re-reads the input per branch — 3× the I/O at
+    10^12 rows), two bounded shuffles, rows only triple on the already
+    tier-sized relation. Requires (key, bucket) unique — a tier is.
+    """
+    v, b = F.col(value_col), F.col(bucket_col)
+    contrib = tier.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                F.struct(b.alias("tb"), F.lit(0).alias("role")),
+                F.struct((b + step_secs).alias("tb"), F.lit(1).alias("role")),
+                F.struct((b + period_secs).alias("tb"), F.lit(2).alias("role")),
+            )
+        ).alias("_e"),
+        v.alias("_val"),
+    )
+    role = F.col("_e.role")
+    triple = contrib.groupBy(*key_cols, F.col("_e.tb").alias("_b")).agg(
+        F.max(F.when(role == 0, F.col("_val"))).alias("_v"),
+        F.max(F.when(role == 1, F.col("_val"))).alias("_vn"),
+        F.max(F.when(role == 2, F.col("_val"))).alias("_vs"),
+    )
+    j = triple.where(
+        F.col("_v").isNotNull()
+        & F.col("_vn").isNotNull()
+        & F.col("_vs").isNotNull()
+    )
+    g = j.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.abs(F.col("_v") - F.col("_vs"))).cast("long").alias("abs_err_seasonal"),
+        F.sum(F.abs(F.col("_v") - F.col("_vn"))).cast("long").alias("abs_err_naive"),
+    )
+    return g.withColumn(
+        "mase_x1e4",
+        F.when(F.col("abs_err_naive") == 0, F.lit(None))
+        .otherwise(F.expr("(abs_err_seasonal * 10000) div abs_err_naive"))
+        .cast("long"),
+    )

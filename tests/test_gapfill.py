@@ -195,3 +195,49 @@ def test_interpolate_no_gaps_is_identity(spark):
     out = gapfill_interpolate_epoch(obs, ["k"], "bucket_epoch", "v", 60).collect()
     assert all(not r["gap_filled"] for r in out)
     assert {r["v_x1e4"] for r in out} == {100_000, 200_000, 150_000}
+
+
+# --------------------------------------------------------------------------
+# interp_at_points: arbitrary-timestamp interpolated serving
+# --------------------------------------------------------------------------
+
+
+def _interp(spark, obs_rows, point_rows):
+    from chainalytic_framework_spark.operators.gapfill import interp_at_points
+
+    obs = spark.createDataFrame(obs_rows, "k string, t long, v long")
+    pts = spark.createDataFrame(point_rows, "k string, t long")
+    out = interp_at_points(obs, ["k"], "t", "v", pts)
+    return {(r.k, r.t_q): (r.v_interp_x1e4, r.bracketed) for r in out.collect()}
+
+
+def test_interp_at_exact_observation_and_midpoint(spark):
+    obs = [("a", 0, 100), ("a", 1000, 300)]
+    got = _interp(spark, obs, [("a", 0), ("a", 500), ("a", 1000)])
+    assert got[("a", 0)] == (100 * 10000, True)
+    assert got[("a", 500)] == (200 * 10000, True)  # exact midpoint
+    assert got[("a", 1000)] == (300 * 10000, True)
+
+
+def test_interp_at_no_extrapolation(spark):
+    obs = [("a", 100, 7), ("a", 200, 9)]
+    got = _interp(spark, obs, [("a", 50), ("a", 250), ("a", 150)])
+    assert got[("a", 50)] == (None, False)
+    assert got[("a", 250)] == (None, False)
+    assert got[("a", 150)] == (8 * 10000, True)
+
+
+def test_interp_at_floor_division_and_negatives(spark):
+    # v drops 100 -> -50 over 3 seconds; at t=1: 100 + floor(-150e4/3) = 50e4
+    obs = [("a", 0, 100), ("a", 3, -50)]
+    got = _interp(spark, obs, [("a", 1), ("a", 2)])
+    assert got[("a", 1)] == (50 * 10000, True)
+    assert got[("a", 2)] == (0, True)
+
+
+def test_interp_at_keys_are_independent(spark):
+    obs = [("a", 0, 10), ("a", 100, 20), ("b", 50, 1000)]
+    got = _interp(spark, obs, [("a", 50), ("b", 50), ("b", 60)])
+    assert got[("a", 50)] == (15 * 10000, True)
+    assert got[("b", 50)] == (1000 * 10000, True)  # on the only obs
+    assert got[("b", 60)] == (None, False)  # beyond single-point series

@@ -121,3 +121,93 @@ def test_changepoint_excludes_last_bucket_and_handles_negatives(spark):
     assert len(out) == 1
     # n=2, S_1=-100, T=-50, k=1 → |2·(−100) − 1·(−50)| = 150
     assert out[0].change_epoch == 0 and out[0].abs_dev == 150
+
+
+# --------------------------------------------------------------------------
+# seasonal_naive_backtest
+# --------------------------------------------------------------------------
+
+
+def _backtest(spark, rows):
+    from chainalytic_framework_spark.operators.trend import seasonal_naive_backtest
+
+    tier = spark.createDataFrame(rows, "k string, b long, v long")
+    return {
+        r.k: r
+        for r in seasonal_naive_backtest(
+            tier, ["k"], "b", "v", 3600, 86400
+        ).collect()
+    }
+
+
+def test_backtest_periodic_series_has_zero_seasonal_error(spark):
+    pat = [10, 40, 25, 90] * 6  # period exactly 24h
+    rows = [("a", 3600 * i, pat[i % 24]) for i in range(72)]
+    out = _backtest(spark, rows)["a"]
+    assert out.n_eval == 48  # 72 buckets - 24 needing both lags
+    assert out.abs_err_seasonal == 0
+    assert out.abs_err_naive > 0
+    assert out.mase_x1e4 == 0
+
+
+def test_backtest_linear_ramp_punishes_seasonal(spark):
+    rows = [("a", 3600 * i, i) for i in range(72)]
+    out = _backtest(spark, rows)["a"]
+    # every step: naive err 1, seasonal err 24 -> mase = 24.0
+    assert out.mase_x1e4 == 240000
+
+
+def test_backtest_constant_series_mase_null(spark):
+    rows = [("a", 3600 * i, 5) for i in range(72)]
+    out = _backtest(spark, rows)["a"]
+    assert out.abs_err_naive == 0 and out.abs_err_seasonal == 0
+    assert out.mase_x1e4 is None
+
+
+def test_backtest_gap_robust(spark):
+    # removing bucket 30 drops evaluations needing it (as v, as naive
+    # source, or as seasonal source) but never misaligns the rest
+    rows = [("a", 3600 * i, i) for i in range(72) if i != 30]
+    out = _backtest(spark, rows)["a"]
+    assert out.n_eval == 45  # 48 - {t=30 eval, t=31 naive, t=54 seasonal}
+    assert out.mase_x1e4 == 240000  # alignment intact
+
+
+# --------------------------------------------------------------------------
+# gap_stats (operators/states.py)
+# --------------------------------------------------------------------------
+
+
+def _gaps(spark, rows, thr):
+    import datetime as dt
+
+    from chainalytic_framework_spark.operators.states import gap_stats
+
+    data = [
+        (k, dt.datetime.fromtimestamp(t, dt.timezone.utc).replace(tzinfo=None), i)
+        for i, (k, t) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(data, "k string, ts timestamp_ntz, eid long")
+    return {r.k: r for r in gap_stats(ev, ["k"], "ts", "eid", thr).collect()}
+
+
+def test_gap_stats_hand_case(spark):
+    rows = [("a", 0), ("a", 100), ("a", 10000), ("a", 10100)]
+    out = _gaps(spark, rows, 1000)["a"]
+    assert out.span_secs == 10100
+    assert out.covered_secs == 200
+    assert out.n_gaps == 1
+    assert out.max_gap_secs == 9900
+    assert out.uptime_x1e4 == 200 * 10000 // 10100
+
+
+def test_gap_stats_no_gaps_full_uptime(spark):
+    rows = [("a", i * 10) for i in range(11)]
+    out = _gaps(spark, rows, 1000)["a"]
+    assert out.n_gaps == 0 and out.max_gap_secs == 0
+    assert out.uptime_x1e4 == 10000
+
+
+def test_gap_stats_single_event_key_excluded(spark):
+    out = _gaps(spark, [("solo", 42), ("b", 0), ("b", 10)], 100)
+    assert "solo" not in out and out["b"].span_secs == 10

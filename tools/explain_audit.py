@@ -293,6 +293,22 @@ def main() -> int:
     ok &= audit("changepoint: agg + same-key window, bounded",
                 contract.changepoint_events(spark, sf),
                 {"max_exchanges": 3})
+    # interp serve: union(obs, grid) through ONE key-window family —
+    # no per-point probe join anywhere in the plan
+    ok &= audit("interp_at: union + one window family, no point joins",
+                contract.interp_at_events(spark, sf),
+                {"max_exchanges": 4, "no_cartesian": True})
+    # explode-into-roles pivot: ONE scan (a self-join shape re-read the
+    # input 3x), two bounded shuffles after the hourly agg
+    ok &= audit("seasonal backtest: single scan, explode pivot, no join",
+                contract.seasonal_backtest_events(spark, sf),
+                {"max_exchanges": 3, "no_window": True})
+    ok &= audit("calendar rollup: single agg shuffle",
+                contract.calendar_rollup_events(spark, sf),
+                {"max_exchanges": 1, "no_window": True})
+    ok &= audit("gap stats: one key window shuffle + one agg",
+                contract.gap_stats_events(spark, sf),
+                {"max_exchanges": 2})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
