@@ -211,3 +211,70 @@ def test_gap_stats_no_gaps_full_uptime(spark):
 def test_gap_stats_single_event_key_excluded(spark):
     out = _gaps(spark, [("solo", 42), ("b", 0), ("b", 10)], 100)
     assert "solo" not in out and out["b"].span_secs == 10
+
+
+# --------------------------------------------------------------------------
+# property tests: exact-fraction references (hypothesis)
+# --------------------------------------------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_pts = st.lists(
+    st.tuples(st.integers(0, 1440), st.integers(-10_000, 10_000)),
+    min_size=3,
+    max_size=60,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_pts)
+def test_linfit_matches_exact_fractions(spark, pts):
+    from fractions import Fraction
+
+    rows = [("a", x, y) for x, y in pts]
+    out = linfit(_df(spark, rows, ["k", "x", "y"]), ["k"], "x", "y").collect()[0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    if num == 0 or denx == 0:
+        assert out.slope_x1e4 == 0
+    else:
+        sgn = -1 if num < 0 else 1
+        assert out.slope_x1e4 == sgn * (abs(num) * 10000 // denx)
+        # and the truncated value brackets the exact slope
+        exact = Fraction(num, denx)
+        assert abs(Fraction(out.slope_x1e4, 10000) - exact) < Fraction(1, 10000)
+    if num == 0 or denx == 0 or deny == 0:
+        assert out.r2_signed_x1e4 == 0
+    else:
+        sgn = -1 if num < 0 else 1
+        assert out.r2_signed_x1e4 == sgn * (num * num * 10000 // (denx * deny))
+        assert -10000 <= out.r2_signed_x1e4 <= 10000
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=2, max_size=40),
+)
+def test_changepoint_matches_bruteforce(spark, vals):
+    rows = [("a", 3600 * i, v) for i, v in enumerate(vals)]
+    out = changepoint(
+        _df(spark, rows, ["k", "bucket_epoch", "c"]), ["k"], "bucket_epoch", "c"
+    ).collect()[0]
+    n, t = len(vals), sum(vals)
+    best = None
+    s = 0
+    for k, v in enumerate(vals[:-1], start=1):
+        s += v
+        adev = abs(n * s - k * t)
+        if best is None or adev > best[0]:
+            best = (adev, 3600 * (k - 1))
+    assert (out.abs_dev, out.change_epoch) == best
