@@ -82,9 +82,10 @@ _GATE_PRIORITY = [
     "seasonal_backtest_events",
     "calendar_rollup_events",
     "gap_stats_events",
+    "psi_drift_events",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 12 of these fall outside the 50-row
-    # window this round — all twelve hold round-3 driver certification,
+    # additions above, the LAST 13 of these fall outside the 50-row
+    # window this round — all thirteen hold round-3 driver certification,
     # so cumulative coverage is unaffected (never-certified > stale
     # re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4400,3 +4401,59 @@ def gap_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return gap_stats(ev, ["user_id"], "ts", "event_id", 7200)
+
+
+@q(
+    "psi_drift_events",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1705363200
+                  THEN 1 ELSE 0 END AS w,
+             CASE WHEN CAST(round(value*100) AS BIGINT) <= 0 THEN 0
+                  ELSE CAST(rpad(
+                         substr(CAST(CAST(round(value*100) AS BIGINT)
+                                     AS VARCHAR), 1, 1),
+                         CAST(length(CAST(CAST(round(value*100) AS BIGINT)
+                                          AS VARCHAR)) AS INTEGER),
+                         '0') AS BIGINT) END AS bin
+      FROM events),
+    pb AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS cb
+      FROM v GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, ca, cb,
+             SUM(ca) OVER (PARTITION BY event_type) AS na,
+             SUM(cb) OVER (PARTITION BY event_type) AS nb
+      FROM pb)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN
+             CAST(round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb)
+                  * ln((CAST(ca AS DOUBLE) * nb) / (CAST(cb AS DOUBLE) * na))
+                  * 100000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS psi_x1e8,
+           CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bins_both,
+           CAST(SUM(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bins_a_only,
+           CAST(SUM(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bins_b_only
+    FROM t GROUP BY 1
+    """,
+)
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between calendar halves of the month
+    (operators/histogram.py::psi_drift): population stability index
+    over decade-digit value bins — Σ per-term-rounded
+    (pₐ−p_b)·ln(pₐ/p_b)·10⁸ on exact integer counts, with
+    appeared/vanished bins REPORTED rather than epsilon-smoothed. The
+    drift alarm mean/percentile tiers can't raise."""
+    from .operators.histogram import decade_digit_bucket, psi_drift
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(_epoch("ts") >= 1705363200, 1).otherwise(0).alias("w"),
+        decade_digit_bucket(_cents()).alias("bin"),
+    )
+    return psi_drift(ev, ["event_type"], "w", "bin")

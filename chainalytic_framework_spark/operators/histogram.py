@@ -132,3 +132,65 @@ def quantile_from_histogram(
         .groupBy(*grp)
         .agg(F.min("hb_lo").alias(out_col))
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    key_cols: list[str],
+    window_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Population-stability-index drift between two observation windows
+    (the monitoring question behind every data-drift alert: "did this
+    metric's DISTRIBUTION move?", which mean/percentile tiers can miss).
+
+    ``window_col`` is 0 (baseline) / 1 (comparison); ``bucket_col`` is a
+    data-independent bin id (use :func:`decade_digit_bucket` — float-free
+    and engine-exact). Per key:
+
+        psi_x1e8    = Σ_bins round((p_a−p_b)·ln(p_a/p_b)·10⁸)
+        n_bins_both — bins populated in both windows (the Σ domain)
+        n_bins_a_only / n_bins_b_only — appeared/vanished bins,
+        reported instead of epsilon-smoothed (no fabricated mass; a
+        vanished bin is itself a drift signal)
+
+    PSI ≥ 0 always; >0.25 (i.e. 25_000_000) is the classic "major
+    shift" threshold. Per-term rounding on ratios of exact integers is
+    the same cross-engine determinism contract as the surprisal/tf-idf
+    family (functions/text.py).
+
+    Plan: ONE scan — conditional agg per (key, bucket), window totals
+    ride a key-partition window, final key agg; three bounded shuffles,
+    rows bounded by keys × bins (bins ≈ 9/decade).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(window_col)
+    per_bin = df.groupBy(*key_cols, bucket_col).agg(
+        F.sum(F.when(w == 0, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(w == 1, 1).otherwise(0)).alias("_cb"),
+    )
+    wk = Window.partitionBy(*key_cols)
+    t = per_bin.select(
+        *key_cols,
+        "_ca",
+        "_cb",
+        F.sum("_ca").over(wk).alias("_na"),
+        F.sum("_cb").over(wk).alias("_nb"),
+    )
+    both = (F.col("_ca") > 0) & (F.col("_cb") > 0)
+    ca, cb = F.col("_ca").cast("double"), F.col("_cb").cast("double")
+    na, nb = F.col("_na"), F.col("_nb")
+    term = F.round(
+        (ca / na - cb / nb) * F.log((ca * nb) / (cb * na)) * 100000000
+    ).cast("long")
+    return t.groupBy(*key_cols).agg(
+        F.sum(F.when(both, term).otherwise(0)).cast("long").alias("psi_x1e8"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_bins_both"),
+        F.sum(F.when((F.col("_ca") > 0) & (F.col("_cb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bins_a_only"),
+        F.sum(F.when((F.col("_ca") == 0) & (F.col("_cb") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bins_b_only"),
+    )

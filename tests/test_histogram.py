@@ -107,3 +107,46 @@ def test_quantile_exact_on_degenerate_buckets(spark):
     h = _rollup(df, 60)
     got = quantile_from_histogram(h, ["k"], 50, out_col="p50").first()
     assert got["p50"] == 5
+
+
+# --------------------------------------------------------------------------
+# psi_drift
+# --------------------------------------------------------------------------
+
+
+def _psi(spark, rows):
+    from chainalytic_framework_spark.operators.histogram import psi_drift
+
+    df = spark.createDataFrame(rows, "k string, w int, bin long")
+    return {r.k: r for r in psi_drift(df, ["k"], "w", "bin").collect()}
+
+
+def test_psi_identical_distributions_zero(spark):
+    rows = [("a", w, b) for w in (0, 1) for b in (10, 20, 30) for _ in range(5)]
+    out = _psi(spark, rows)["a"]
+    assert out.psi_x1e8 == 0
+    assert out.n_bins_both == 3
+    assert out.n_bins_a_only == 0 and out.n_bins_b_only == 0
+
+
+def test_psi_shift_is_positive_and_matches_python(spark):
+    import math
+
+    a = [10] * 8 + [20] * 2
+    b = [10] * 2 + [20] * 8
+    rows = [("a", 0, x) for x in a] + [("a", 1, x) for x in b]
+    out = _psi(spark, rows)["a"]
+    exp = sum(
+        round((ca / 10 - cb / 10) * math.log((ca * 10) / (cb * 10)) * 1e8)
+        for ca, cb in ((8, 2), (2, 8))
+    )
+    assert out.psi_x1e8 == exp > 0
+
+
+def test_psi_appeared_vanished_bins_reported_not_smoothed(spark):
+    rows = [("a", 0, 10), ("a", 0, 20), ("a", 1, 10), ("a", 1, 30)]
+    out = _psi(spark, rows)["a"]
+    assert out.n_bins_both == 1
+    assert out.n_bins_a_only == 1  # bin 20 vanished
+    assert out.n_bins_b_only == 1  # bin 30 appeared
+    assert out.psi_x1e8 == 0  # the shared bin has equal proportions

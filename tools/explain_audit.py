@@ -309,6 +309,11 @@ def main() -> int:
     ok &= audit("gap stats: one key window shuffle + one agg",
                 contract.gap_stats_events(spark, sf),
                 {"max_exchanges": 2})
+    # single scan: conditional (key,bin) agg -> key-window totals ->
+    # final key agg; rows bounded by keys x bins after the first agg
+    ok &= audit("psi drift: one scan, three bounded shuffles",
+                contract.psi_drift_events(spark, sf),
+                {"max_exchanges": 3})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
