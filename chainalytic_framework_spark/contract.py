@@ -83,9 +83,10 @@ _GATE_PRIORITY = [
     "calendar_rollup_events",
     "gap_stats_events",
     "psi_drift_events",
+    "drawdown_events",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 13 of these fall outside the 50-row
-    # window this round — all thirteen hold round-3 driver certification,
+    # additions above, the LAST 14 of these fall outside the 50-row
+    # window this round — all fourteen hold round-3 driver certification,
     # so cumulative coverage is unaffected (never-certified > stale
     # re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4457,3 +4458,51 @@ def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         decade_digit_bucket(_cents()).alias("bin"),
     )
     return psi_drift(ev, ["event_type"], "w", "bin")
+
+
+@q(
+    "drawdown_events",
+    """
+    WITH h AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+             SUM(CAST(round(value*100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bucket_epoch, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bucket_epoch) AS cum
+      FROM h),
+    dd AS (
+      SELECT event_type, bucket_epoch, cum,
+             MAX(cum) OVER (PARTITION BY event_type ORDER BY bucket_epoch)
+               - cum AS d
+      FROM w),
+    r AS (
+      SELECT event_type, bucket_epoch, d, cum,
+             row_number() OVER
+               (PARTITION BY event_type ORDER BY d DESC, bucket_epoch) AS rn,
+             row_number() OVER
+               (PARTITION BY event_type ORDER BY bucket_epoch DESC) AS rl,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dd)
+    SELECT event_type,
+           CAST(MIN(CASE WHEN rn = 1 THEN d END) AS BIGINT) AS max_drawdown,
+           CAST(MIN(CASE WHEN rn = 1 THEN bucket_epoch END) AS BIGINT)
+             AS trough_epoch,
+           CAST(MIN(CASE WHEN rl = 1 THEN cum END) AS BIGINT) AS final_cum,
+           CAST(MIN(n) AS BIGINT) AS n_buckets
+    FROM r GROUP BY 1
+    """,
+)
+def drawdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each type's cumulative hourly cent series
+    (operators/trend.py::max_drawdown): worst peak-to-trough fall vs
+    the running high-water mark, trough tie-broken to the earliest
+    bucket — the running-extremum ordered analytic, integer-exact."""
+    from .operators.trend import max_drawdown
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _bucket_epoch("ts", 3600), _cents().alias("_c")
+    )
+    hourly = ev.groupBy("event_type", "bucket_epoch").agg(F.sum("_c").alias("c"))
+    return max_drawdown(hourly, ["event_type"], "bucket_epoch", "c")

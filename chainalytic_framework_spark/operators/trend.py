@@ -244,3 +244,50 @@ def seasonal_naive_backtest(
         .otherwise(F.expr("(abs_err_seasonal * 10000) div abs_err_naive"))
         .cast("long"),
     )
+
+
+def max_drawdown(
+    tier: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maximum drawdown of a per-key cumulative series: the largest
+    peak-to-trough fall of Σv over the bucket order — the
+    running-extremum ordered analytic (finance's risk metric; for an
+    ops series it answers "worst cumulative shortfall vs the
+    high-water mark"). Exact integers throughout:
+
+        cum_t   = Σ_{s≤t} v_s
+        dd_t    = max_{s≤t}(cum_s) − cum_t   (≥ 0)
+        output  = per key: max_drawdown, trough_epoch (earliest bucket
+                  attaining it), final_cum, n_buckets
+
+    One key-partitioned window family (running sum + running max share
+    the ordering/partitioning) + one struct-max agg on the same
+    partitioning → one shuffle. Per-key cost linear in series length
+    (bounded by the retention horizon on tier tables).
+    """
+    v = F.col(value_col).cast("long")
+    d = (
+        tier.select(*key_cols, F.col(bucket_col).alias("bucket_epoch"), v.alias("_v"))
+        .withColumn("_cum", F.sum("_v").over(
+            Window.partitionBy(*key_cols).orderBy("bucket_epoch")))
+        .withColumn("_peak", F.max("_cum").over(
+            Window.partitionBy(*key_cols).orderBy("bucket_epoch")))
+        .withColumn("_dd", F.col("_peak") - F.col("_cum"))
+    )
+    best = d.groupBy(*key_cols).agg(
+        F.max(
+            F.struct(F.col("_dd"), (-F.col("bucket_epoch")).alias("_nb"))
+        ).alias("_m"),
+        F.max(F.struct(F.col("bucket_epoch"), F.col("_cum"))).alias("_last"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    return best.select(
+        *key_cols,
+        F.col("_m._dd").cast("long").alias("max_drawdown"),
+        (-F.col("_m._nb")).cast("long").alias("trough_epoch"),
+        F.col("_last._cum").cast("long").alias("final_cum"),
+        "n_buckets",
+    )

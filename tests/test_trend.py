@@ -278,3 +278,56 @@ def test_changepoint_matches_bruteforce(spark, vals):
         if best is None or adev > best[0]:
             best = (adev, 3600 * (k - 1))
     assert (out.abs_dev, out.change_epoch) == best
+
+
+# --------------------------------------------------------------------------
+# max_drawdown
+# --------------------------------------------------------------------------
+
+
+def _dd(spark, vals):
+    from chainalytic_framework_spark.operators.trend import max_drawdown
+
+    rows = [("a", 3600 * i, v) for i, v in enumerate(vals)]
+    tier = _df(spark, rows, ["k", "bucket_epoch", "c"])
+    return max_drawdown(tier, ["k"], "bucket_epoch", "c").collect()[0]
+
+
+def test_drawdown_hand_case(spark):
+    # cum: 10, 30, 15, 35, 5 -> peaks 10,30,30,35,35 -> dd 0,0,15,0,30
+    out = _dd(spark, [10, 20, -15, 20, -30])
+    assert out.max_drawdown == 30
+    assert out.trough_epoch == 3600 * 4
+    assert out.final_cum == 5
+    assert out.n_buckets == 5
+
+
+def test_drawdown_monotonic_rise_is_zero(spark):
+    out = _dd(spark, [5, 5, 5])
+    assert out.max_drawdown == 0
+    assert out.trough_epoch == 0  # all-zero dd ties to the earliest bucket
+    assert out.final_cum == 15
+
+
+def test_drawdown_tie_breaks_to_earliest_trough(spark):
+    # cum: 10, 0, 10, 0 -> dd: 0, 10, 0, 10 (tie at buckets 1 and 3)
+    out = _dd(spark, [10, -10, 10, -10])
+    assert out.max_drawdown == 10
+    assert out.trough_epoch == 3600 * 1
+
+
+def test_drawdown_matches_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vals = [int(x) for x in rng.integers(-50, 50, 200)]
+    out = _dd(spark, vals)
+    cum = peak = 0
+    best = (0, 0)
+    for i, v in enumerate(vals):
+        cum += v
+        peak = max(peak, cum) if i else cum
+        d = peak - cum
+        if d > best[0]:
+            best = (d, 3600 * i)
+    assert (out.max_drawdown, out.trough_epoch) == best

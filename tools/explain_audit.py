@@ -314,6 +314,11 @@ def main() -> int:
     ok &= audit("psi drift: one scan, three bounded shuffles",
                 contract.psi_drift_events(spark, sf),
                 {"max_exchanges": 3})
+    # running sum + running max share one window family; struct-max agg
+    # rides the same key partitioning
+    ok &= audit("drawdown: agg + one window family, bounded",
+                contract.drawdown_events(spark, sf),
+                {"max_exchanges": 3})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
