@@ -389,6 +389,57 @@ def _cmd_serve_chart(args: argparse.Namespace) -> None:
                       "rows": [r.asDict() for r in rows]}, default=str))
 
 
+
+def _cmd_serve_trend(args: argparse.Namespace) -> None:
+    """Series-health summary over a routed range: exact-integer linear
+    fit (slope per grain step + signed r²), batch changepoint, and max
+    drawdown per key — the monitoring endpoint's "is this metric
+    trending / when did it turn / how bad was the worst slide" answer,
+    computed from the SAME routed read every other serve command uses
+    (coarse tiers for deep history, fine near the edges). x is the
+    bucket index rebased to t0, so the sufficient-statistic products
+    stay far inside decimal(38,0) at any range length."""
+    from pyspark.sql import functions as F
+
+    from .operators.bucketing import SECONDS, TIER_ORDER
+    from .operators.router import read_routed_series
+    from .operators.trend import changepoint, linfit, max_drawdown
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-serve-trend")
+    store = TableStore(spark, args.warehouse)
+    tier_dfs = {
+        t: store.read(f"tier_{t}") for t in TIER_ORDER
+        if store.exists(f"tier_{t}")
+    }
+    if store.exists("tier_1m_stream"):
+        from .streaming.stream import serve_tier
+
+        tier_dfs["1m"] = serve_tier(store, "1m")
+    keys = args.keys.split(",")
+    horizons, now_epoch = _retention_check_args(args)
+    series = read_routed_series(
+        tier_dfs, args.t0, args.t1, args.grain,
+        measure=args.measure, keys=tuple(keys),
+        retention_horizons=horizons, now_epoch=now_epoch,
+    ).select(
+        *keys,
+        F.col("bucket_start").cast("long").alias("b"),
+        F.col(args.measure).cast("long").alias("v"),
+    )
+    step = SECONDS[args.grain]
+    pts = series.withColumn("x", ((F.col("b") - F.lit(args.t0)) / step).cast("long"))
+    fit = linfit(pts, keys, "x", "v")
+    cp = changepoint(series, keys, "b", "v")
+    dd = max_drawdown(series, keys, "b", "v")
+    out = fit.join(cp, keys).join(dd.drop("n_buckets"), keys)
+    rows = out.orderBy(*keys).limit(args.limit).collect()
+    print(json.dumps({"grain": args.grain, "measure": args.measure,
+                      "t0": args.t0, "t1": args.t1,
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def _cmd_serve_distinct(args: argparse.Namespace) -> None:
     """Routed distinct-count estimates from the stored HLL sketch tiers
     (history + streaming sketch edge as the finest tier when present)."""
@@ -550,6 +601,21 @@ def main(argv: list[str] | None = None) -> None:
                           "needs expired fine-tier segments")
     sch.add_argument("--limit", type=int, default=1000)
     sch.set_defaults(fn=_cmd_serve_chart)
+
+    st_ = sub.add_parser("serve-trend",
+                         help="series health over a routed range: exact "
+                              "slope/r2, changepoint, max drawdown per key")
+    st_.add_argument("--warehouse", required=True)
+    st_.add_argument("--t0", type=int, required=True)
+    st_.add_argument("--t1", type=int, required=True)
+    st_.add_argument("--grain", default="1h")
+    st_.add_argument("--measure", default="point_count")
+    st_.add_argument("--keys", default="lang")
+    st_.add_argument("--retention-now", default=None,
+                     help="ISO datetime; fail loudly if the routed cover "
+                          "needs expired fine-tier segments")
+    st_.add_argument("--limit", type=int, default=100)
+    st_.set_defaults(fn=_cmd_serve_trend)
 
     sd = sub.add_parser("serve-distinct",
                         help="routed distinct-count estimates from the HLL "

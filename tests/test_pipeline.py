@@ -345,3 +345,37 @@ def test_histogram_tiers_incremental_equals_direct(spark, tmp_path):
     ).select("lang", "bucket_epoch", "hb_lo", F.col("hb_count").cast("long"))
     got = got.select("lang", "bucket_epoch", "hb_lo", F.col("hb_count").cast("long"))
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_cli_serve_trend(spark, tmp_path):
+    """serve-trend: routed series -> exact linfit + changepoint +
+    drawdown per key, one JSON line."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.__main__ import main
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
+    store = TableStore(spark, wh)
+    t1m = store.read("tier_1m")
+    lo = t1m.agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = t1m.agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    a, b = -(-lo // 3600) * 3600, (hi // 3600) * 3600
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-trend", "--warehouse", wh, "--t0", str(a), "--t1", str(b),
+              "--grain", "1h", "--keys", "lang"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["rows"], "expected at least one lang row"
+    for r in out["rows"]:
+        assert {"n_points", "slope_x1e4", "r2_signed_x1e4", "change_epoch",
+                "abs_dev", "max_drawdown", "trough_epoch"} <= set(r)
+        assert -10000 <= r["r2_signed_x1e4"] <= 10000
+        assert r["max_drawdown"] >= 0
+        assert a <= r["change_epoch"] < b
