@@ -440,6 +440,41 @@ def _cmd_serve_trend(args: argparse.Namespace) -> None:
                       "rows": [r.asDict() for r in rows]}, default=str))
 
 
+
+def _cmd_serve_drift(args: argparse.Namespace) -> None:
+    """Distribution-drift endpoint: PSI between two routed ranges,
+    answered from the stored hist_* tiers (counts are additive, so no
+    raw scan); streaming histogram edge rides in as the finest tier
+    when present — same composition as serve-quantile."""
+    from .operators.bucketing import TIER_ORDER
+    from .operators.router import read_routed_drift
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-serve-drift")
+    store = TableStore(spark, args.warehouse)
+    hists = {t: store.read(f"hist_{t}") for t in TIER_ORDER
+             if store.exists(f"hist_{t}")}
+    if store.exists("hist_1m_stream"):
+        from .streaming.stream import serve_distribution
+
+        hists["1m"] = serve_distribution(store, series_cols=tuple(args.keys.split(",")))
+    if not hists:
+        print(json.dumps({"error": "no hist_* tiers in warehouse "
+                                   "(run with --with-histograms)"}))
+        raise SystemExit(2)
+    keys = args.keys.split(",")
+    horizons, now_epoch = _retention_check_args(args)
+    out = read_routed_drift(
+        hists, args.a0, args.a1, args.b0, args.b1,
+        series_cols=tuple(keys),
+        retention_horizons=horizons, now_epoch=now_epoch,
+    )
+    rows = out.orderBy(*keys).limit(args.limit).collect()
+    print(json.dumps({"a": [args.a0, args.a1], "b": [args.b0, args.b1],
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def _cmd_serve_distinct(args: argparse.Namespace) -> None:
     """Routed distinct-count estimates from the stored HLL sketch tiers
     (history + streaming sketch edge as the finest tier when present)."""
@@ -616,6 +651,21 @@ def main(argv: list[str] | None = None) -> None:
                           "needs expired fine-tier segments")
     st_.add_argument("--limit", type=int, default=100)
     st_.set_defaults(fn=_cmd_serve_trend)
+
+    sdr = sub.add_parser("serve-drift",
+                         help="PSI distribution drift between two routed "
+                              "ranges, from the stored histogram tiers")
+    sdr.add_argument("--warehouse", required=True)
+    sdr.add_argument("--a0", type=int, required=True)
+    sdr.add_argument("--a1", type=int, required=True)
+    sdr.add_argument("--b0", type=int, required=True)
+    sdr.add_argument("--b1", type=int, required=True)
+    sdr.add_argument("--keys", default="lang")
+    sdr.add_argument("--retention-now", default=None,
+                     help="ISO datetime; fail loudly if either routed cover "
+                          "needs expired fine-tier segments")
+    sdr.add_argument("--limit", type=int, default=100)
+    sdr.set_defaults(fn=_cmd_serve_drift)
 
     sd = sub.add_parser("serve-distinct",
                         help="routed distinct-count estimates from the HLL "

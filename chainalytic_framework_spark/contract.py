@@ -84,9 +84,10 @@ _GATE_PRIORITY = [
     "gap_stats_events",
     "psi_drift_events",
     "drawdown_events",
+    "routed_drift_events",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 14 of these fall outside the 50-row
-    # window this round — all fourteen hold round-3 driver certification,
+    # additions above, the LAST 15 of these fall outside the 50-row
+    # window this round — all fifteen hold round-3 driver certification,
     # so cumulative coverage is unaffected (never-certified > stale
     # re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4506,3 +4507,59 @@ def drawdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = ev.groupBy("event_type", "bucket_epoch").agg(F.sum("_c").alias("c"))
     return max_drawdown(hourly, ["event_type"], "bucket_epoch", "c")
+
+
+@q(
+    "routed_drift_events",
+    f"""
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1705363200
+                  THEN 1 ELSE 0 END AS w,
+             {_HB_EXPR} AS bin
+      FROM events
+      WHERE epoch(ts) >= 1704259800 AND epoch(ts) < 1706384700),
+    pb AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS cb
+      FROM v GROUP BY 1, 2),
+    t AS (
+      SELECT event_type, ca, cb,
+             SUM(ca) OVER (PARTITION BY event_type) AS na,
+             SUM(cb) OVER (PARTITION BY event_type) AS nb
+      FROM pb)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN
+             CAST(round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb)
+                  * ln((CAST(ca AS DOUBLE) * nb) / (CAST(cb AS DOUBLE) * na))
+                  * 100000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS psi_x1e8,
+           CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bins_both,
+           CAST(SUM(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bins_a_only,
+           CAST(SUM(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bins_b_only
+    FROM t GROUP BY 1
+    """,
+)
+def routed_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUTED distribution drift (operators/router.py::read_routed_drift):
+    PSI between [2024-01-03 05:30, 2024-01-16) and [2024-01-16,
+    2024-01-27 19:45) answered from the 1m→1h→1d histogram cascade —
+    ragged minute/hour edges, whole days inside. The oracle recomputes
+    PSI from RAW rows in the same two ranges; hash equality proves the
+    routed per-bin counts merge losslessly across every tier segment
+    (counts additive ⇒ drift needs no raw scan at serve time)."""
+    from .operators.histogram import histogram_downsample, histogram_rollup
+    from .operators.router import read_routed_drift
+
+    ev = _t(spark, sf_dir, "events").withColumn("_c", _cents())
+    h1m = histogram_rollup(ev, _bucket_epoch("ts", 60), ["event_type"], F.col("_c"))
+    h1h = histogram_downsample(h1m, ["event_type"], 3600)
+    h1d = histogram_downsample(h1h, ["event_type"], 86400)
+    return read_routed_drift(
+        {"1m": h1m, "1h": h1h, "1d": h1d},
+        1704259800, 1705363200, 1705363200, 1706384700,
+        series_cols=("event_type",),
+    )

@@ -163,12 +163,31 @@ def psi_drift(
     ride a key-partition window, final key agg; three bounded shuffles,
     rows bounded by keys × bins (bins ≈ 9/decade).
     """
+    return psi_from_counts(
+        df.select(*key_cols, window_col, bucket_col, F.lit(1).alias("_n")),
+        key_cols, window_col, bucket_col, "_n",
+    )
+
+
+def psi_from_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    window_col: str,
+    bucket_col: str,
+    count_col: str,
+) -> DataFrame:
+    """:func:`psi_drift` over PRE-AGGREGATED bucket counts — the form a
+    routed read produces (histogram tier counts are additive, so PSI
+    between two arbitrary time ranges is served from the hist tiers
+    without touching raw; operators/router.py::read_routed_drift).
+    Same output columns and per-term x1e8 determinism contract."""
     from pyspark.sql import Window
 
     w = F.col(window_col)
+    n = F.col(count_col)
     per_bin = df.groupBy(*key_cols, bucket_col).agg(
-        F.sum(F.when(w == 0, 1).otherwise(0)).alias("_ca"),
-        F.sum(F.when(w == 1, 1).otherwise(0)).alias("_cb"),
+        F.sum(F.when(w == 0, n).otherwise(0)).alias("_ca"),
+        F.sum(F.when(w == 1, n).otherwise(0)).alias("_cb"),
     )
     wk = Window.partitionBy(*key_cols)
     t = per_bin.select(

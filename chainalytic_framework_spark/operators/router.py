@@ -332,3 +332,52 @@ def read_routed_quantile(
         .groupBy(*series_cols)
         .agg(F.min("hb_lo").alias(out_col))
     )
+
+
+def read_routed_drift(
+    hist_dfs: dict[str, DataFrame],
+    a0: int,
+    a1: int,
+    b0: int,
+    b1: int,
+    series_cols: tuple[str, ...] = ("lang",),
+    retention_horizons: dict[str, int | None] | None = None,
+    now_epoch: int | None = None,
+) -> DataFrame:
+    """Distribution drift (PSI) between two arbitrary ranges [a0,a1) and
+    [b0,b1), answered entirely from the ROUTED histogram tiers: bucket
+    counts are additive in time, so each range's per-bin counts are the
+    lossless sum of its routed tier segments — "did last week's value
+    distribution shift vs the month before" never touches raw
+    (the drift companion of :func:`read_routed_quantile`; math in
+    operators/histogram.py::psi_from_counts, per-term x1e8 exact).
+
+    Both ranges' covers pass the same retention validation as every
+    routed read. Windows may overlap (a self-comparison degenerates to
+    PSI 0 — a useful smoke invariant).
+    """
+    from .histogram import psi_from_counts
+
+    tiers = [t for t in TIER_ORDER if t in hist_dfs]
+    parts = []
+    for win, (e0, e1) in ((0, (a0, a1)), (1, (b0, b1))):
+        segs = route_range(e0, e1, tiers)
+        if retention_horizons is not None:
+            if now_epoch is None:
+                raise ValueError("now_epoch required with retention_horizons")
+            check_routable(segs, retention_horizons, now_epoch)
+        if not segs:
+            raise ValueError(f"empty range for window {win}")
+        for tier, lo, hi in segs:
+            parts.append(
+                hist_dfs[tier]
+                .where((F.col("bucket_epoch") >= lo) & (F.col("bucket_epoch") < hi))
+                .select(
+                    *series_cols,
+                    F.lit(win).alias("_w"),
+                    "hb_lo",
+                    "hb_count",
+                )
+            )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return psi_from_counts(u, list(series_cols), "_w", "hb_lo", "hb_count")

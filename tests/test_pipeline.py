@@ -379,3 +379,47 @@ def test_cli_serve_trend(spark, tmp_path):
         assert -10000 <= r["r2_signed_x1e4"] <= 10000
         assert r["max_drawdown"] >= 0
         assert a <= r["change_epoch"] < b
+
+
+def test_cli_serve_drift(spark, tmp_path):
+    """serve-drift: PSI between two routed ranges from the stored hist
+    tiers; self-comparison is exactly zero drift."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.__main__ import main
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh,
+          "--snapshot-id", "s1", "--with-histograms"])
+    store = TableStore(spark, wh)
+    h = store.read("hist_1d")
+    lo = h.agg(F.min("bucket_epoch")).first()[0]
+    hi = h.agg(F.max("bucket_epoch")).first()[0] + 86400
+    mid = lo + ((hi - lo) // (2 * 86400)) * 86400
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-drift", "--warehouse", wh,
+              "--a0", str(lo), "--a1", str(mid),
+              "--b0", str(mid), "--b1", str(hi), "--keys", "lang"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["rows"], "expected per-lang drift rows"
+    for r in out["rows"]:
+        assert r["psi_x1e8"] >= 0 and r["n_bins_both"] >= 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-drift", "--warehouse", wh,
+              "--a0", str(lo), "--a1", str(hi),
+              "--b0", str(lo), "--b1", str(hi), "--keys", "lang"])
+    self_cmp = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert self_cmp["rows"]
+    for r in self_cmp["rows"]:
+        assert r["psi_x1e8"] == 0
+        assert r["n_bins_a_only"] == 0 and r["n_bins_b_only"] == 0

@@ -357,3 +357,50 @@ def test_read_routed_multi_measure_single_plan(tiers):
     bs = {r["lang"]: r["byte_size"]
           for r in read_routed(tiers, a, b, "byte_size", keys=("lang",)).collect()}
     assert multi == {k: (pc[k], bs[k]) for k in pc}
+
+
+def test_read_routed_drift_equals_raw_psi_and_self_is_zero(spark):
+    """PSI between two routed ranges == PSI recomputed from raw rows
+    (bucket counts additive across every tier segment); comparing a
+    range against itself is exactly zero drift."""
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.operators.histogram import (
+        decade_digit_bucket,
+        histogram_downsample,
+        histogram_rollup,
+        psi_drift,
+    )
+    from chainalytic_framework_spark.operators.router import read_routed_drift
+
+    ev = spark.createDataFrame(
+        [(i % 7, 3600 * i + 60 * (i % 13), 1 + (i * i) % 997)
+         for i in range(4000)],
+        "k long, epoch long, v long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    h1m = histogram_rollup(
+        ev, ((F.col("epoch") / 60).cast("long") * 60).alias("bucket_epoch"),
+        ["k"], F.col("v"),
+    )
+    h1h = histogram_downsample(h1m, ["k"], 3600)
+    h1d = histogram_downsample(h1h, ["k"], 86400)
+    tiers = {"1m": h1m, "1h": h1h, "1d": h1d}
+
+    a0, a1 = 5 * 3600, 2 * 86400 + 1800  # ragged edges on purpose
+    b0, b1 = 2 * 86400 + 1800, 4000 * 3600 + 3600
+    routed = read_routed_drift(tiers, a0, a1, b0, b1, series_cols=("k",))
+
+    raw = ev.where((F.col("epoch") >= a0) & (F.col("epoch") < b1)).select(
+        "k",
+        F.when(F.col("epoch") >= b0, 1).otherwise(0).alias("w"),
+        decade_digit_bucket(F.col("v")).alias("bin"),
+    )
+    direct = psi_drift(raw, ["k"], "w", "bin")
+    got = sorted(map(tuple, routed.collect()))
+    exp = sorted(map(tuple, direct.collect()))
+    assert got == exp
+
+    self_cmp = read_routed_drift(tiers, a0, a1, a0, a1, series_cols=("k",))
+    for r in self_cmp.collect():
+        assert r.psi_x1e8 == 0
+        assert r.n_bins_a_only == 0 and r.n_bins_b_only == 0

@@ -319,6 +319,15 @@ def main() -> int:
     ok &= audit("drawdown: agg + one window family, bounded",
                 contract.drawdown_events(spark, sf),
                 {"max_exchanges": 3})
+    # routed drift: pruned per-tier hist branches union into the psi
+    # agg — no raw re-scan, no cartesian. 14 exchanges is the
+    # LIVE-COMPOSED fixture (the 1m->1h->1d cascade re-plans inside
+    # each of 2 windows x 3 tier branches, partially deduped by
+    # ReuseExchange); against STORED hist_* tables each branch is one
+    # pruned scan, same as the routed-quantile family
+    ok &= audit("routed drift: per-tier hist branches + psi, bounded",
+                contract.routed_drift_events(spark, sf),
+                {"max_exchanges": 14})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
