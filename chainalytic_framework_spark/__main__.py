@@ -429,12 +429,22 @@ def _cmd_serve_trend(args: argparse.Namespace) -> None:
         F.col(args.measure).cast("long").alias("v"),
     )
     step = SECONDS[args.grain]
-    pts = series.withColumn("x", ((F.col("b") - F.lit(args.t0)) / step).cast("long"))
-    fit = linfit(pts, keys, "x", "v")
-    cp = changepoint(series, keys, "b", "v")
-    dd = max_drawdown(series, keys, "b", "v")
-    out = fit.join(cp, keys).join(dd.drop("n_buckets"), keys)
-    rows = out.orderBy(*keys).limit(args.limit).collect()
+    # one routed read feeds all three aggregates (don't re-scan per stat)
+    series = series.persist()
+    try:
+        pts = series.withColumn(
+            "x", ((F.col("b") - F.lit(args.t0)) / step).cast("long")
+        )
+        fit = linfit(pts, keys, "x", "v")
+        cp = changepoint(series, keys, "b", "v")
+        dd = max_drawdown(series, keys, "b", "v")
+        # LEFT joins: a single-bucket series has a fit row but no
+        # changepoint row (its k<n filter is empty) — the sparse/new
+        # series a monitor most needs must still appear
+        out = fit.join(cp, keys, "left").join(dd.drop("n_buckets"), keys, "left")
+        rows = out.orderBy(*keys).limit(args.limit).collect()
+    finally:
+        series.unpersist()
     print(json.dumps({"grain": args.grain, "measure": args.measure,
                       "t0": args.t0, "t1": args.t1,
                       "rows": [r.asDict() for r in rows]}, default=str))

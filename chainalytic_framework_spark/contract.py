@@ -4407,18 +4407,12 @@ def gap_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "psi_drift_events",
-    """
+    f"""
     WITH v AS (
       SELECT event_type,
              CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1705363200
                   THEN 1 ELSE 0 END AS w,
-             CASE WHEN CAST(round(value*100) AS BIGINT) <= 0 THEN 0
-                  ELSE CAST(rpad(
-                         substr(CAST(CAST(round(value*100) AS BIGINT)
-                                     AS VARCHAR), 1, 1),
-                         CAST(length(CAST(CAST(round(value*100) AS BIGINT)
-                                          AS VARCHAR)) AS INTEGER),
-                         '0') AS BIGINT) END AS bin
+             {_HB_EXPR} AS bin
       FROM events),
     pb AS (
       SELECT event_type, bin,

@@ -291,7 +291,9 @@ def interp_at_points(
 
     Query timestamps outside [first, last] observation are emitted with
     a NULL value and ``bracketed=false`` — never extrapolated (the
-    engine's no-fabrication rule). A query that lands exactly ON an
+    engine's no-fabrication rule). The lerp is bit-identical to the
+    SQL oracle at any magnitude (shared double association) and exact
+    while |Δv|·10⁴·Δt < 2⁵³. A query that lands exactly ON an
     observation returns that value (obs rows sort before query rows at
     equal epoch, so the backward scan sees them — including the last
     observation, where no forward bracket exists). ``obs`` must be
@@ -346,14 +348,19 @@ def interp_at_points(
     # observation exists; otherwise both brackets are required
     exact_hit = F.col("_t0") == t
     bracketed = F.col("_v0").isNotNull() & (exact_hit | F.col("_v1").isNotNull())
-    # in the lerp branch t0 < t_q <= t1, so t1 - t0 > 0
+    # in the lerp branch t0 < t_q <= t1, so t1 - t0 > 0. The numerator
+    # chain is evaluated in DOUBLE with the same left-to-right
+    # association as the oracle SQL ((v1-v0) * 1e4 * (t-t0)): IEEE ops
+    # round identically in both engines at ANY magnitude, where an
+    # int64 chain would silently wrap past 2^63 (and disagree with a
+    # double oracle past 2^53). Exact (integer-valued) below 2^53.
     interp = F.when(exact_hit, F.col("_v0") * 10000).otherwise(
         F.col("_v0") * 10000
         + F.floor(
-            (F.col("_v1") - F.col("_v0"))
-            * 10000
-            * (t - F.col("_t0"))
-            / (F.col("_t1") - F.col("_t0"))
+            (F.col("_v1") - F.col("_v0")).cast("double")
+            * 10000.0
+            * (t - F.col("_t0")).cast("double")
+            / (F.col("_t1") - F.col("_t0")).cast("double")
         ).cast("long")
     )
     return m.select(

@@ -46,9 +46,12 @@ _DEC = "decimal(38,0)"
 
 def _suffstats(df: DataFrame, key_cols: list[str], x_col: str, y_col: str) -> DataFrame:
     """Exact integer sufficient statistics per key. Per-row products are
-    computed in BIGINT (callers keep |x|·|y| ≪ 2⁶³) and summed in
+    computed in decimal(38,0) — NOT int64, whose silent (non-ANSI)
+    wraparound above 2⁶³ would diverge from the oracle's HUGEINT with
+    no error; decimal overflow fails loudly instead — and summed in
     decimal(38,0); the agg is associative → map-side combinable."""
-    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    x = F.col(x_col).cast(_DEC)
+    y = F.col(y_col).cast(_DEC)
     p = df.select(
         *key_cols,
         x.alias("_x"),

@@ -378,7 +378,10 @@ def test_cli_serve_trend(spark, tmp_path):
                 "abs_dev", "max_drawdown", "trough_epoch"} <= set(r)
         assert -10000 <= r["r2_signed_x1e4"] <= 10000
         assert r["max_drawdown"] >= 0
-        assert a <= r["change_epoch"] < b
+        if r["n_points"] > 1:  # 1-bucket series: changepoint is NULL, row kept
+            assert a <= r["change_epoch"] < b
+        else:
+            assert r["change_epoch"] is None
 
 
 def test_cli_serve_drift(spark, tmp_path):

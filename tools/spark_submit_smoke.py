@@ -66,7 +66,10 @@ def main() -> int:
         with open(driver_path, "w") as f:
             f.write(DRIVER)
         env = dict(os.environ)
-        # scratch cwd: the repo must NOT be importable except via the zip
+        # the zip must be the ONLY import path: scratch cwd keeps the
+        # repo out of sys.path[0], and stripping PYTHONPATH keeps a
+        # dev-shell repo pointer from masking a broken zip
+        env.pop("PYTHONPATH", None)
         proc = subprocess.run(
             ["spark-submit", "--master", "local[4]",
              "--py-files", zip_path, driver_path],
