@@ -85,11 +85,16 @@ _GATE_PRIORITY = [
     "psi_drift_events",
     "drawdown_events",
     "routed_drift_events",
+    # round-5 final-session additions (never certified — window priority)
+    "sax_words_events",
+    "sax_motifs_events",
+    "xcorr_lead_events",
+    "recrawl_schedule_events",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 15 of these fall outside the 50-row
-    # window this round — all fifteen hold round-3 driver certification,
-    # so cumulative coverage is unaffected (never-certified > stale
-    # re-certification, per the round protocol)
+    # additions above, the LAST 19 of these fall outside the 50-row
+    # window this round — all nineteen hold round-3 driver
+    # certification, so cumulative coverage is unaffected
+    # (never-certified > stale re-certification, per the round protocol)
     "rollup_1d_salted_events",
     "cumulative_daily_events",
     "grouped_last_events",
@@ -4556,4 +4561,178 @@ def routed_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"1m": h1m, "1h": h1h, "1d": h1d},
         1704259800, 1705363200, 1705363200, 1706384700,
         series_cols=("event_type",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late additions: symbolic series index, lead-lag, recrawl derive
+# ---------------------------------------------------------------------------
+
+def _sax_words_sql(segments: int, alphabet: int) -> str:
+    return f"""
+    WITH o AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT user_id, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM o),
+    p AS (
+      SELECT user_id, CAST(((rn - 1) * {segments}) // n AS INT) AS seg,
+             count(*) AS n_pts, SUM(CAST(v AS HUGEINT)) AS sm
+      FROM r GROUP BY 1, 2),
+    q AS (
+      SELECT user_id, seg,
+             CAST((sm * 10000) // CAST(n_pts AS HUGEINT) AS BIGINT) AS paa
+      FROM p),
+    m AS (
+      SELECT user_id, seg, paa,
+             min(paa) OVER (PARTITION BY user_id) AS mn,
+             max(paa) OVER (PARTITION BY user_id) AS mx
+      FROM q),
+    y AS (
+      SELECT user_id, seg,
+             CAST(((paa - mn) * {alphabet}) // (mx - mn + 1) AS INT) AS sym
+      FROM m)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_segs,
+           string_agg(chr(sym + 97), '' ORDER BY seg) AS word
+    FROM y GROUP BY 1
+"""
+
+
+def _sax_words_df(spark: SparkSession, sf_dir: str, segments: int = 8,
+                  alphabet: int = 4):
+    from .operators.sax import paa_segments, sax_words
+
+    obs = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", _epoch("ts").alias("t"), _cents().alias("_c"))
+        .groupBy("user_id", "t")
+        .agg(F.sum("_c").alias("v"))
+    )
+    paa = paa_segments(obs, ["user_id"], "t", "v", n_segments=segments)
+    return sax_words(paa, ["user_id"], alphabet=alphabet)
+
+
+@q("sax_words_events", _sax_words_sql(8, 4))
+def sax_words_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic series index (operators/sax.py): each user's spend
+    series → 8-segment PAA → 4-letter-alphabet word, all exact-integer
+    (equal-count frames, ×1e4 segment means, per-key min/max symbols).
+    The word is the shape signature iSAX-style series search buckets
+    on; hash equality with the oracle proves segment assignment, mean,
+    and symbol arithmetic are bit-identical across engines."""
+    return _sax_words_df(spark, sf_dir)
+
+
+@q(
+    "sax_motifs_events",
+    f"""
+    WITH words AS ({_sax_words_sql(4, 2)})
+    SELECT word, CAST(count(*) AS BIGINT) AS n_keys
+    FROM words GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def sax_motifs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif grouping over SAX words (operators/sax.py::sax_motifs):
+    words shared by ≥2 users = candidate same-shape series clusters,
+    the banded candidate stage of series-similarity search (one
+    |keys|-row shuffle on a short word key; verify stage is
+    rolling.series_correlation_pairs on the matched group). Uses a
+    COARSER resolution (4 segments × 2 letters) than sax_words_events
+    — iSAX-style: drop resolution until the candidate buckets populate,
+    verify exactly afterwards."""
+    from .operators.sax import sax_motifs
+
+    return sax_motifs(
+        _sax_words_df(spark, sf_dir, segments=4, alphabet=2), min_keys=2
+    )
+
+
+@q(
+    "xcorr_lead_events",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_bucket_epoch_sql('ts', 3600)} AS b,
+             CAST(floor(SUM(CAST(round(value * 100) AS BIGINT)) / 100) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type AS ka, c.event_type AS kb,
+             a.v AS x, c.v AS y
+      FROM h a JOIN h c ON c.b = a.b + 3600
+           AND a.event_type <> c.event_type)
+    SELECT ka, kb,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS den1,
+           CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS den2
+    FROM p GROUP BY 1, 2
+    """,
+)
+def xcorr_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed lead-lag cross-correlation (operators/rolling.py::
+    lead_lag_xcorr): which event type's 1h move shows up in which other
+    type ONE HOUR LATER — exact integer Pearson sufficient statistics
+    per ordered pair over the shifted-aligned buckets. Same
+    whole-currency-unit scale contract as correlation_pairs_events."""
+    from .operators.rolling import lead_lag_xcorr
+
+    ev = _t(spark, sf_dir, "events")
+    h1h = (
+        ev.select("event_type", _bucket_epoch("ts", 3600), _cents().alias("_c"))
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.floor(F.sum("_c") / 100).cast("long").alias("v"))
+    )
+    out = lead_lag_xcorr(h1h, "event_type", "bucket_epoch", "v", lag_units=3600)
+    return out.select("ka", "kb", "n", "num", "den1", "den2")
+
+
+@q(
+    "recrawl_schedule_events",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS fp
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT user_id, t, fp,
+             lag(fp) OVER (PARTITION BY user_id ORDER BY t) AS pfp
+      FROM o),
+    a AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CASE WHEN pfp IS NOT NULL AND fp <> pfp
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             min(t) AS ft, max(t) AS lt
+      FROM l GROUP BY 1),
+    d AS (
+      SELECT user_id, n_obs, n_changes,
+             lt, CAST(lt - ft AS BIGINT) AS span_seconds,
+             CAST(least(2592000, greatest(3600,
+                  CASE WHEN n_changes > 0 THEN (lt - ft) // n_changes
+                       ELSE 2592000 END)) AS BIGINT) AS interval_seconds
+      FROM a)
+    SELECT user_id, n_obs, n_changes, span_seconds, interval_seconds,
+           CAST(lt + interval_seconds AS BIGINT) AS next_due_epoch
+    FROM d
+    """,
+)
+def recrawl_schedule_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate recrawl scheduling (operators/recrawl.py): per key,
+    the Cho/Garcia-Molina ratio estimator span/changes from the visit
+    fingerprint history, clamped to [1h, 30d], plus the next-due
+    timestamp — the crawl pipeline's derive step, exact in integer
+    seconds. Visits are per-(user, second) fingerprints so the change
+    lag has a unique deterministic order in both engines."""
+    from .operators.recrawl import recrawl_schedule
+
+    obs = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", _epoch("ts").alias("t"), _cents().alias("_c"))
+        .groupBy("user_id", "t")
+        .agg(F.sum("_c").alias("fp"))
+    )
+    return recrawl_schedule(
+        obs, ["user_id"], "t", "fp", min_interval=3600, max_interval=2592000
     )

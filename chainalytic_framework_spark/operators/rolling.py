@@ -345,3 +345,73 @@ def mad_anomaly(
             ).alias("n_anomalies"),
         )
     )
+
+
+def lead_lag_xcorr(
+    tier: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lag_units: int,
+) -> DataFrame:
+    """Directed cross-correlation at a fixed lag: does series ``ka``
+    LEAD series ``kb`` by ``lag_units`` of the order axis?  For every
+    ordered pair (ka ≠ kb), x is ka's value at t and y is kb's value at
+    t + lag, over the buckets where both exist; the output carries the
+    same exact integer Pearson sufficient statistics as
+    :func:`series_correlation_pairs` (num, den1, den2 in decimal(38,0)
+    → BIGINT, float r² convenience only).
+
+    ``lag_units`` is in ORDER-COLUMN units (epoch seconds for epoch
+    buckets): feed a 1h-bucketed series and 3600 to ask "which metric's
+    move shows up in which other metric an hour later" — the
+    incident-dashboard question one step past "which move together".
+    With ``lag_units=0`` this degenerates to the undirected operator
+    (use that instead — it halves the pair space).
+
+    Plan shape: the self-join key is the BUCKET (never the key space),
+    shifted on the right side before the join so it stays a plain
+    hash-join equi-key; cost is Σ_b k_b² like the undirected form.
+    Same modest-integer-scale contract as series_correlation_pairs.
+
+    Reference analogue: none (engine-added monitoring analytics,
+    SURVEY §2.11 family).
+    """
+    dec = "decimal(38,0)"
+    left = tier.select(
+        F.col(order_col).alias("_t"),
+        F.col(key_col).alias("ka"),
+        F.col(value_col).cast(dec).alias("x"),
+    )
+    right = tier.select(
+        (F.col(order_col) - F.lit(int(lag_units))).alias("_t"),
+        F.col(key_col).alias("kb"),
+        F.col(value_col).cast(dec).alias("y"),
+    )
+    pairs = left.join(right, "_t").where(F.col("ka") != F.col("kb"))
+    agg = pairs.groupBy("ka", "kb").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = F.when(
+        (den1 > 0) & (den2 > 0),
+        (num.cast("double") * num.cast("double"))
+        / (den1.cast("double") * den2.cast("double")),
+    )
+    return agg.select(
+        "ka",
+        "kb",
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("num"),
+        den1.cast("long").alias("den1"),
+        den2.cast("long").alias("den2"),
+        F.signum(num.cast("double")).cast("int").alias("r_sign"),
+        r2.alias("r2"),
+    )

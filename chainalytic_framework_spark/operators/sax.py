@@ -1,0 +1,143 @@
+"""Symbolic series downsampling: PAA + SAX words + motif grouping.
+
+Piecewise Aggregate Approximation (PAA) compresses each key's ordered
+series into a fixed number of segment means; SAX (Symbolic Aggregate
+approXimation, Lin/Keogh) maps those means onto a small alphabet so an
+entire series becomes one short WORD.  Two series with the same word are
+candidate look-alikes — grouping keys by word is the classic
+candidate-then-verify index for "find series shaped like this one"
+(iSAX is the published trillion-scale variant of exactly this trick),
+the same banded shape as the MinHash-LSH dedup family in
+``operators/dedup.py``: no all-pairs anywhere, one hash-partitioned
+groupBy on an 8-char key.
+
+Everything is EXACT integer arithmetic so results are bit-identical
+across engines and parallelism levels:
+
+- segment assignment: ``seg = ((rank-1) * n_segments) div n`` over the
+  per-key row rank (equal-count PAA frames; short series produce short
+  words deterministically);
+- segment mean: ``paa_x1e4 = (10000 * sum) div count`` (Spark ``div``
+  and DuckDB ``//`` both truncate toward zero, verified);
+- symbol: per-key min/max scaling, ``sym = ((paa - mn) * alphabet) div
+  (mx - mn + 1)`` — always in [0, alphabet) with no clamp needed, and
+  the +1 makes a flat series (mx == mn) map to symbol 0 everywhere
+  instead of dividing by zero.
+
+Classic SAX z-normalises against Gaussian breakpoints; the min/max
+variant keeps the pipeline float-free (the engine's hashing contract)
+and is equally valid as a bucketing index — breakpoint choice only
+moves the precision/recall trade-off of the candidate stage, the
+verify stage (``rolling.series_correlation_pairs`` or a distance scan
+over the matched group) is what confirms.
+
+Scale: the rank window partitions by key (a url's series is bounded by
+its bucket count, never corpus-size); PAA/word aggregations are
+hash-partitioned groupBys with map-side combine; motif grouping
+shuffles one row per KEY (not per point) keyed on the word.  At 10^12
+documents the word table is |keys| rows — the same cardinality the
+tier tables already carry.
+
+Reference analogue: none in chainalytic (engine-added series-similarity
+indexing, SURVEY §2.11 family) — the reference's closest shape is its
+per-address stake_history state series
+(/root/reference/src/chainalytic/zones/public-icon/aggregator/transform_registry/stake_history.py),
+which this operator makes searchable by shape instead of by key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def paa_segments(
+    tier: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    n_segments: int = 8,
+) -> DataFrame:
+    """Equal-count PAA: per key, ``n_segments`` segment means (×1e4).
+
+    Output: key_cols + (seg, n_pts, paa_x1e4).  ``order_col`` must be
+    unique per key (a bucketed series) so the rank is deterministic.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    ranked = tier.select(
+        *key_cols,
+        F.col(value_col).cast(_DEC).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*key_cols)).alias("_n"),
+    )
+    seg = F.expr(f"CAST(((_rn - 1) * {int(n_segments)}) div _n AS INT)")
+    return (
+        ranked.withColumn("seg", seg)
+        .groupBy(*key_cols, "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum("_v").alias("_sum"),
+        )
+        .select(
+            *key_cols,
+            "seg",
+            "n_pts",
+            F.expr(f"CAST((_sum * 10000) div CAST(n_pts AS {_DEC}) AS BIGINT)").alias(
+                "paa_x1e4"
+            ),
+        )
+    )
+
+
+def sax_words(
+    paa: DataFrame,
+    key_cols: list[str],
+    alphabet: int = 4,
+) -> DataFrame:
+    """Collapse PAA segments into one SAX word per key.
+
+    Input is :func:`paa_segments` output; output is key_cols +
+    (n_segs, word) where word is ``chr('a'+sym)`` per segment in
+    segment order.  Min/max scaling is per key, so the word encodes
+    SHAPE, not level — a cheap series and an expensive one with the
+    same profile collide, which is the point of a motif index.
+    """
+    kw = Window.partitionBy(*key_cols)
+    scaled = (
+        paa.withColumn("_mn", F.min("paa_x1e4").over(kw))
+        .withColumn("_mx", F.max("paa_x1e4").over(kw))
+        .withColumn(
+            "sym",
+            F.expr(
+                f"CAST(((paa_x1e4 - _mn) * {int(alphabet)})"
+                " div (_mx - _mn + 1) AS INT)"
+            ),
+        )
+    )
+    return scaled.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                lambda s: F.char(s["sym"] + 97),
+            ),
+            "",
+        ).alias("word"),
+    )
+
+
+def sax_motifs(words: DataFrame, min_keys: int = 2) -> DataFrame:
+    """Group keys by SAX word: candidate same-shape series clusters.
+
+    Output: (word, n_keys) for words shared by ≥ ``min_keys`` keys —
+    the candidate stage; pairs inside a group go to an exact verify
+    (``rolling.series_correlation_pairs`` on the matched keys).  One
+    groupBy on the word — at any scale this shuffles |keys| rows.
+    """
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .where(F.col("n_keys") >= int(min_keys))
+    )

@@ -1,0 +1,189 @@
+"""SAX symbolic index, lead-lag xcorr, recrawl scheduling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chainalytic_framework_spark.operators.recrawl import recrawl_schedule
+from chainalytic_framework_spark.operators.rolling import lead_lag_xcorr
+from chainalytic_framework_spark.operators.sax import (
+    paa_segments,
+    sax_motifs,
+    sax_words,
+)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "k string, t long, v long")
+
+
+# ---------------------------------------------------------------- SAX
+
+
+def test_paa_exact_means(spark):
+    # 8 points, 4 segments -> 2 points each; means exact in x1e4.
+    rows = [("a", i, v) for i, v in enumerate([0, 10, 20, 30, 40, 50, 60, 71])]
+    out = paa_segments(_series(spark, rows), ["k"], "t", "v", n_segments=4)
+    got = {r["seg"]: (r["n_pts"], r["paa_x1e4"]) for r in out.collect()}
+    assert got == {
+        0: (2, 50000),
+        1: (2, 250000),
+        2: (2, 450000),
+        3: (2, 655000),  # (60+71)/2 = 65.5
+    }
+
+
+def test_paa_short_series_short_word(spark):
+    # 3 points into 8 segments: segs {0, 2, 5}; word length 3.
+    rows = [("a", 0, 1), ("a", 1, 2), ("a", 2, 3)]
+    paa = paa_segments(_series(spark, rows), ["k"], "t", "v", n_segments=8)
+    assert {r["seg"] for r in paa.collect()} == {0, 2, 5}
+    w = sax_words(paa, ["k"]).collect()[0]
+    assert w["n_segs"] == 3 and len(w["word"]) == 3
+
+
+def test_sax_word_encodes_shape_not_level(spark):
+    # Same shape at different levels/scales -> same word.
+    base = [0, 0, 100, 100, 0, 0, 100, 100]
+    rows = [("cheap", i, v) for i, v in enumerate(base)]
+    rows += [("dear", i, 5000 + 10 * v) for i, v in enumerate(base)]
+    paa = paa_segments(_series(spark, rows), ["k"], "t", "v", n_segments=8)
+    words = {r["k"]: r["word"] for r in sax_words(paa, ["k"], alphabet=4).collect()}
+    assert words["cheap"] == words["dear"]
+    assert set(words["cheap"]) == {"a", "d"}
+
+
+def test_sax_flat_series_all_a(spark):
+    rows = [("f", i, 7) for i in range(8)]
+    paa = paa_segments(_series(spark, rows), ["k"], "t", "v", n_segments=4)
+    w = sax_words(paa, ["k"], alphabet=4).collect()[0]
+    assert w["word"] == "aaaa"  # mx==mn -> sym 0, no div-by-zero
+
+
+def test_sax_symbol_range_bounds(spark):
+    # Max paa must land on the LAST letter, never out of range.
+    rows = [("a", i, v) for i, v in enumerate([0, 1, 2, 3])]
+    paa = paa_segments(_series(spark, rows), ["k"], "t", "v", n_segments=4)
+    w = sax_words(paa, ["k"], alphabet=4).collect()[0]
+    assert w["word"][0] == "a" and w["word"][-1] == "d"
+
+
+def test_sax_motifs_groups(spark):
+    base = [0, 0, 100, 100]
+    rows = []
+    for k in ("a", "b", "c"):
+        rows += [(k, i, v) for i, v in enumerate(base)]
+    rows += [("solo", i, v) for i, v in enumerate([100, 0, 0, 100])]
+    paa = paa_segments(_series(spark, rows), ["k"], "t", "v", n_segments=4)
+    words = sax_words(paa, ["k"], alphabet=2)
+    motifs = sax_motifs(words, min_keys=2).collect()
+    assert len(motifs) == 1
+    assert motifs[0]["n_keys"] == 3  # solo's reversed shape is excluded
+
+
+def test_sax_parallelism_invariance(spark):
+    rng = np.random.RandomState(7)
+    rows = [
+        (f"k{k}", int(t), int(rng.randint(0, 1000)))
+        for k in range(20)
+        for t in range(50)
+    ]
+    df = _series(spark, rows)
+    paa1 = paa_segments(df.repartition(1), ["k"], "t", "v")
+    paa8 = paa_segments(df.repartition(8), ["k"], "t", "v")
+    w1 = {r["k"]: r["word"] for r in sax_words(paa1, ["k"]).collect()}
+    w8 = {r["k"]: r["word"] for r in sax_words(paa8, ["k"]).collect()}
+    assert w1 == w8
+
+
+# ---------------------------------------------------------- lead-lag
+
+
+def test_lead_lag_xcorr_detects_direction(spark):
+    # y is x shifted one bucket later: corr(x_t, y_{t+1}) == 1 exactly.
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = [("x", t, v) for t, v in enumerate(xs)]
+    rows += [("y", t + 1, v) for t, v in enumerate(xs)]
+    out = lead_lag_xcorr(_series(spark, rows), "k", "t", "v", lag_units=1)
+    got = {(r["ka"], r["kb"]): r for r in out.collect()}
+    fwd = got[("x", "y")]
+    assert fwd["num"] ** 2 == fwd["den1"] * fwd["den2"]  # r^2 == 1
+    assert fwd["r_sign"] == 1
+    rev = got[("y", "x")]
+    assert rev["num"] ** 2 < rev["den1"] * rev["den2"]  # shifted wrong way
+
+
+def test_lead_lag_matches_numpy(spark):
+    rng = np.random.RandomState(11)
+    xs = rng.randint(0, 500, 40)
+    ys = rng.randint(0, 500, 40)
+    rows = [("x", t, int(v)) for t, v in enumerate(xs)]
+    rows += [("y", t, int(v)) for t, v in enumerate(ys)]
+    out = lead_lag_xcorr(_series(spark, rows), "k", "t", "v", lag_units=3)
+    r = [x for x in out.collect() if x["ka"] == "x"][0]
+    # aligned: x_t vs y_{t+3} for t in 0..36
+    expect = np.corrcoef(xs[:-3], ys[3:])[0, 1]
+    assert r["n"] == 37
+    got = r["r_sign"] * np.sqrt(r["r2"])
+    assert got == pytest.approx(expect, abs=1e-12)
+
+
+# ----------------------------------------------------------- recrawl
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(rows, "url string, t long, fp long")
+
+
+def test_recrawl_ratio_estimator(spark):
+    # 5 visits over 4000s, 2 changes -> interval = 4000 // 2 = 2000.
+    rows = [
+        ("u", 0, 1),
+        ("u", 1000, 1),
+        ("u", 2000, 2),  # change
+        ("u", 3000, 2),
+        ("u", 4000, 3),  # change
+    ]
+    r = recrawl_schedule(
+        _obs(spark, rows), ["url"], "t", "fp", min_interval=100, max_interval=10**9
+    ).collect()[0]
+    assert (r["n_obs"], r["n_changes"], r["span_seconds"]) == (5, 2, 4000)
+    assert r["interval_seconds"] == 2000
+    assert r["next_due_epoch"] == 6000
+
+
+def test_recrawl_never_changed_gets_max(spark):
+    rows = [("u", 0, 7), ("u", 5000, 7), ("u", 9000, 7)]
+    r = recrawl_schedule(
+        _obs(spark, rows), ["url"], "t", "fp", min_interval=60, max_interval=86400
+    ).collect()[0]
+    assert r["n_changes"] == 0
+    assert r["interval_seconds"] == 86400
+    assert r["next_due_epoch"] == 9000 + 86400
+
+
+def test_recrawl_clamps(spark):
+    # Changes every visit over a short span -> clamped up to min.
+    rows = [("hot", t, t) for t in range(0, 50, 10)]
+    # single visit -> span 0, no changes -> max.
+    rows += [("once", 123, 9)]
+    out = {
+        r["url"]: r
+        for r in recrawl_schedule(
+            _obs(spark, rows), ["url"], "t", "fp", min_interval=3600,
+            max_interval=86400,
+        ).collect()
+    }
+    assert out["hot"]["interval_seconds"] == 3600  # 40//4=10 -> clamp 3600
+    assert out["once"]["n_obs"] == 1
+    assert out["once"]["interval_seconds"] == 86400
+
+
+def test_recrawl_first_visit_not_a_change(spark):
+    rows = [("u", 0, 1), ("u", 100, 2)]
+    r = recrawl_schedule(
+        _obs(spark, rows), ["url"], "t", "fp", min_interval=1, max_interval=10**6
+    ).collect()[0]
+    assert r["n_changes"] == 1  # not 2
