@@ -328,6 +328,25 @@ def main() -> int:
     ok &= audit("routed drift: per-tier hist branches + psi, bounded",
                 contract.routed_drift_events(spark, sf),
                 {"max_exchanges": 14})
+    # SAX: every window partitions by the KEY (a url's series length,
+    # never corpus size); word/motif groupBys are hash aggs. The word
+    # table shuffles |keys| rows — no cartesian anywhere.
+    ok &= audit("sax words: key-partitioned windows + hash aggs, bounded",
+                contract.sax_words_events(spark, sf),
+                {"max_exchanges": 5})
+    ok &= audit("sax motifs: word-keyed agg on |keys| rows, bounded",
+                contract.sax_motifs_events(spark, sf),
+                {"max_exchanges": 6})
+    # lead-lag xcorr: self-join keyed on the (shifted) BUCKET, then one
+    # pair agg — same shape as correlation_pairs, never keyspace-keyed
+    ok &= audit("lead-lag xcorr: bucket-keyed join + pair agg, no cartesian",
+                contract.xcorr_lead_events(spark, sf),
+                {"max_exchanges": 5})
+    # recrawl: pre-agg -> key window -> key agg; the window's hash
+    # partitioning on user_id satisfies the final groupBy (no re-shuffle)
+    ok &= audit("recrawl schedule: one key shuffle family end-to-end",
+                contract.recrawl_schedule_events(spark, sf),
+                {"max_exchanges": 3})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
