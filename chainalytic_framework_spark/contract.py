@@ -88,11 +88,12 @@ _GATE_PRIORITY = [
     # round-5 final-session additions (never certified — window priority)
     "sax_words_events",
     "sax_motifs_events",
+    "motif_verified_pairs_events",
     "xcorr_lead_events",
     "recrawl_schedule_events",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 19 of these fall outside the 50-row
-    # window this round — all nineteen hold round-3 driver
+    # additions above, the LAST 20 of these fall outside the 50-row
+    # window this round — all twenty hold round-3 driver
     # certification, so cumulative coverage is unaffected
     # (never-certified > stale re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4736,3 +4737,52 @@ def recrawl_schedule_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_schedule(
         obs, ["user_id"], "t", "fp", min_interval=3600, max_interval=2592000
     )
+
+
+@q(
+    "motif_verified_pairs_events",
+    f"""
+    WITH words AS ({_sax_words_sql(4, 2)}),
+    h AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS b,
+             CAST(floor(SUM(CAST(round(value * 100) AS BIGINT)) / 100)
+                  AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT a.user_id AS ka, b.user_id AS kb, a.word
+      FROM words a JOIN words b
+        ON a.word = b.word AND a.user_id < b.user_id),
+    p AS (
+      SELECT c.ka, c.kb, c.word, x.v AS x, y.v AS y
+      FROM c
+      JOIN h x ON x.user_id = c.ka
+      JOIN h y ON y.user_id = c.kb AND y.b = x.b)
+    SELECT ka, kb, word,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS den1,
+           CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS den2
+    FROM p GROUP BY 1, 2, 3
+    """,
+)
+def motif_verified_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end shape search (operators/sax.py::motif_verify_pairs):
+    coarse SAX words (4 segments × 2 letters, recall-oriented) bucket
+    the candidate pairs, then each pair is verified with exact integer
+    Pearson sufficient statistics over the users' aligned DAILY series
+    — the candidate-then-verify pipeline, same two-stage contract as
+    MinHash-LSH → ngram_jaccard in the dedup family. Word-keyed join
+    shuffles |keys| rows; verify joins are key/bucket-keyed."""
+    from .operators.sax import motif_verify_pairs
+
+    words = _sax_words_df(spark, sf_dir, segments=4, alphabet=2).select(
+        "user_id", "word"
+    )
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", _bucket_epoch("ts", 86400), _cents().alias("_c"))
+        .groupBy("user_id", "bucket_epoch")
+        .agg(F.floor(F.sum("_c") / 100).cast("long").alias("v"))
+    )
+    return motif_verify_pairs(words, daily, ["user_id"], "bucket_epoch", "v")

@@ -141,3 +141,72 @@ def sax_motifs(words: DataFrame, min_keys: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .where(F.col("n_keys") >= int(min_keys))
     )
+
+
+def motif_verify_pairs(
+    words: DataFrame,
+    tier: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Candidate-then-verify series similarity: pairs of keys sharing a
+    SAX word, verified with EXACT integer Pearson sufficient statistics
+    over their aligned buckets — the end-to-end shape-search pipeline
+    (:func:`sax_words` buckets, this verifies; same two-stage contract
+    as MinHash-LSH → ``ngram_jaccard_pairs`` in the dedup family).
+
+    ``words`` is :func:`sax_words` output (coarse resolution for
+    recall); ``tier`` is the VERIFY series (typically a coarser bucket
+    grain than the word was built from, so aligned overlap is dense).
+    Single-column key only (the pair columns need stable names).
+
+    Output: (ka, kb, word, n, num, den1, den2) for ka < kb — callers
+    threshold on num²/(den1·den2) driver-side or in a later select;
+    the operator emits the exact components so no float enters the
+    hashable result.
+
+    Plan: word-keyed self-join (|keys| rows, banded — never all-pairs),
+    then two bucket-keyed joins against the verify tier and one pair
+    agg. Candidate cardinality is bounded by the word buckets exactly
+    like LSH bands; a degenerate input (every series the same shape)
+    concentrates in one bucket the same way one LSH band would — the
+    resolution knob (segments × alphabet) is the spread control.
+    """
+    assert len(key_cols) == 1, "pair verify needs a single key column"
+    k = key_cols[0]
+    dec = "decimal(38,0)"
+    wa = words.select(F.col(k).alias("ka"), "word")
+    wb = words.select(F.col(k).alias("kb"), "word")
+    cand = wa.join(wb, "word").where(F.col("ka") < F.col("kb"))
+    ha = tier.select(
+        F.col(k).alias("ka"),
+        F.col(order_col).alias("_t"),
+        F.col(value_col).cast(dec).alias("x"),
+    )
+    hb = tier.select(
+        F.col(k).alias("kb"),
+        F.col(order_col).alias("_t"),
+        F.col(value_col).cast(dec).alias("y"),
+    )
+    joined = cand.join(ha, "ka").join(hb, ["kb", "_t"])
+    agg = joined.groupBy("ka", "kb", "word").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "ka",
+        "kb",
+        "word",
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("num"),
+        den1.cast("long").alias("den1"),
+        den2.cast("long").alias("den2"),
+    )

@@ -187,3 +187,23 @@ def test_recrawl_first_visit_not_a_change(spark):
         _obs(spark, rows), ["url"], "t", "fp", min_interval=1, max_interval=10**6
     ).collect()[0]
     assert r["n_changes"] == 1  # not 2
+
+
+def test_motif_verify_pairs_end_to_end(spark):
+    from chainalytic_framework_spark.operators.sax import motif_verify_pairs
+
+    base = [0, 0, 100, 100, 0, 0, 100, 100]
+    rows = [("a", i, v) for i, v in enumerate(base)]
+    rows += [("b", i, 10 * v + 5) for i, v in enumerate(base)]  # same shape
+    rows += [("c", i, v) for i, v in enumerate(reversed(base))]  # different
+    df = _series(spark, rows)
+    paa = paa_segments(df, ["k"], "t", "v", n_segments=4)
+    words = sax_words(paa, ["k"], alphabet=2)
+    out = motif_verify_pairs(words, df, ["k"], "t", "v").collect()
+    got = {(r["ka"], r["kb"]): r for r in out}
+    # a/b share a word (same shape); c's reversed word differs, so the
+    # (a,c)/(b,c) pairs are never even CANDIDATES — banding pruned them.
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    assert r["n"] == 8
+    assert r["num"] ** 2 == r["den1"] * r["den2"]  # exact r^2 == 1

@@ -337,6 +337,11 @@ def main() -> int:
     ok &= audit("sax motifs: word-keyed agg on |keys| rows, bounded",
                 contract.sax_motifs_events(spark, sf),
                 {"max_exchanges": 6})
+    # motif verify: word-keyed candidate join (|keys| rows), then
+    # key/bucket-keyed verify joins + one pair agg — never all-pairs
+    ok &= audit("motif verify: banded candidates + keyed verify, no cartesian",
+                contract.motif_verified_pairs_events(spark, sf),
+                {"max_exchanges": 9})
     # lead-lag xcorr: self-join keyed on the (shifted) BUCKET, then one
     # pair agg — same shape as correlation_pairs, never keyspace-keyed
     ok &= audit("lead-lag xcorr: bucket-keyed join + pair agg, no cartesian",
