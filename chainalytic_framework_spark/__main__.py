@@ -442,7 +442,13 @@ def _cmd_serve_trend(args: argparse.Namespace) -> None:
         # changepoint row (its k<n filter is empty) — the sparse/new
         # series a monitor most needs must still appear
         out = fit.join(cp, keys, "left").join(dd.drop("n_buckets"), keys, "left")
-        rows = out.orderBy(*keys).limit(args.limit).collect()
+        if getattr(args, "movers", False):
+            # top movers: steepest |slope| first (TakeOrderedAndProject;
+            # key tiebreak keeps the cut deterministic)
+            order = [F.abs(F.col("slope_x1e4")).desc(), *keys]
+        else:
+            order = list(keys)
+        rows = out.orderBy(*order).limit(args.limit).collect()
     finally:
         series.unpersist()
     print(json.dumps({"grain": args.grain, "measure": args.measure,
@@ -660,6 +666,8 @@ def main(argv: list[str] | None = None) -> None:
                      help="ISO datetime; fail loudly if the routed cover "
                           "needs expired fine-tier segments")
     st_.add_argument("--limit", type=int, default=100)
+    st_.add_argument("--movers", action="store_true",
+                     help="rank by |slope| desc (top movers) instead of key")
     st_.set_defaults(fn=_cmd_serve_trend)
 
     sdr = sub.add_parser("serve-drift",

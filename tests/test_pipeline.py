@@ -426,3 +426,33 @@ def test_cli_serve_drift(spark, tmp_path):
     for r in self_cmp["rows"]:
         assert r["psi_x1e8"] == 0
         assert r["n_bins_a_only"] == 0 and r["n_bins_b_only"] == 0
+
+
+def test_cli_serve_trend_movers(spark, tmp_path):
+    """serve-trend --movers: rows ranked by |slope| desc, limit applied."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.__main__ import main
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
+    store = TableStore(spark, wh)
+    t1m = store.read("tier_1m")
+    lo = t1m.agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = t1m.agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    a, b = -(-lo // 3600) * 3600, (hi // 3600) * 3600
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-trend", "--warehouse", wh, "--t0", str(a), "--t1", str(b),
+              "--grain", "1h", "--keys", "url", "--movers", "--limit", "5"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    rows = out["rows"]
+    assert 0 < len(rows) <= 5
+    slopes = [abs(r["slope_x1e4"]) for r in rows]
+    assert slopes == sorted(slopes, reverse=True)
