@@ -70,6 +70,12 @@ HEADLINE = [
     # and the per-entity lead window (state-duration accounting)
     "ohlc_1h_events",
     "state_durations_events",
+    # round-5 final-session additions: symbolic series words (rank
+    # window + hash aggs), the word-banded candidate→verify pair
+    # pipeline, and the recrawl derive (lag window + key agg)
+    "sax_words_events",
+    "motif_verified_pairs_events",
+    "recrawl_schedule_events",
 ]
 
 

@@ -390,6 +390,59 @@ def _cmd_serve_chart(args: argparse.Namespace) -> None:
 
 
 
+def _cmd_serve_sax(args: argparse.Namespace) -> None:
+    """Shape-search endpoint: SAX word per key over the routed series
+    (operators/sax.py), optionally filtered to keys whose word matches
+    ``--like <key>``'s word — "find series shaped like this one". The
+    words are exact-integer shape signatures, so the same query on a
+    1000-executor cluster returns byte-identical words; matching is a
+    word-keyed join, never an all-pairs scan."""
+    from pyspark.sql import functions as F
+
+    from .operators.bucketing import TIER_ORDER
+    from .operators.router import read_routed_series
+    from .operators.sax import paa_segments, sax_words
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-serve-sax")
+    store = TableStore(spark, args.warehouse)
+    tier_dfs = {
+        t: store.read(f"tier_{t}") for t in TIER_ORDER
+        if store.exists(f"tier_{t}")
+    }
+    if store.exists("tier_1m_stream"):
+        from .streaming.stream import serve_tier
+
+        tier_dfs["1m"] = serve_tier(store, "1m")
+    keys = args.keys.split(",")
+    horizons, now_epoch = _retention_check_args(args)
+    series = read_routed_series(
+        tier_dfs, args.t0, args.t1, args.grain,
+        measure=args.measure, keys=tuple(keys),
+        retention_horizons=horizons, now_epoch=now_epoch,
+    ).select(
+        *keys,
+        F.col("bucket_start").cast("long").alias("t"),
+        F.col(args.measure).cast("long").alias("v"),
+    )
+    paa = paa_segments(series, keys, "t", "v", n_segments=args.segments)
+    words = sax_words(paa, keys, alphabet=args.alphabet)
+    if args.like is not None:
+        ref = words.where(F.col(keys[0]) == args.like).select(
+            F.col("word").alias("_ref_word")
+        )
+        words = words.join(
+            F.broadcast(ref), words["word"] == ref["_ref_word"]
+        ).drop("_ref_word")
+    rows = words.orderBy("word", *keys).limit(args.limit).collect()
+    print(json.dumps({"grain": args.grain, "measure": args.measure,
+                      "t0": args.t0, "t1": args.t1,
+                      "segments": args.segments, "alphabet": args.alphabet,
+                      "like": args.like,
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def _cmd_serve_trend(args: argparse.Namespace) -> None:
     """Series-health summary over a routed range: exact-integer linear
     fit (slope per grain step + signed r²), batch changepoint, and max
@@ -652,6 +705,25 @@ def main(argv: list[str] | None = None) -> None:
                           "needs expired fine-tier segments")
     sch.add_argument("--limit", type=int, default=1000)
     sch.set_defaults(fn=_cmd_serve_chart)
+
+    sx = sub.add_parser("serve-sax",
+                        help="SAX shape words per key over a routed range; "
+                             "--like <key> filters to same-shaped series")
+    sx.add_argument("--warehouse", required=True)
+    sx.add_argument("--t0", type=int, required=True)
+    sx.add_argument("--t1", type=int, required=True)
+    sx.add_argument("--grain", default="1h")
+    sx.add_argument("--measure", default="point_count")
+    sx.add_argument("--keys", default="url")
+    sx.add_argument("--segments", type=int, default=8)
+    sx.add_argument("--alphabet", type=int, default=4)
+    sx.add_argument("--like", default=None,
+                    help="key value; return only keys sharing its word")
+    sx.add_argument("--retention-now", default=None,
+                    help="ISO datetime; fail loudly if the routed cover "
+                         "needs expired fine-tier segments")
+    sx.add_argument("--limit", type=int, default=100)
+    sx.set_defaults(fn=_cmd_serve_sax)
 
     st_ = sub.add_parser("serve-trend",
                          help="series health over a routed range: exact "

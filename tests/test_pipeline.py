@@ -456,3 +456,43 @@ def test_cli_serve_trend_movers(spark, tmp_path):
     assert 0 < len(rows) <= 5
     slopes = [abs(r["slope_x1e4"]) for r in rows]
     assert slopes == sorted(slopes, reverse=True)
+
+
+def test_cli_serve_sax(spark, tmp_path):
+    """serve-sax: shape words over the routed read; --like returns the
+    reference key itself plus only same-word keys."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.__main__ import main
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
+    store = TableStore(spark, wh)
+    t1m = store.read("tier_1m")
+    lo = t1m.agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = t1m.agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    a, b = -(-lo // 3600) * 3600, (hi // 3600) * 3600
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-sax", "--warehouse", wh, "--t0", str(a), "--t1", str(b),
+              "--grain", "1h", "--keys", "lang", "--segments", "4",
+              "--alphabet", "2"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    rows = out["rows"]
+    assert rows and all(set(r["word"]) <= {"a", "b"} for r in rows)
+    ref = rows[0]["lang"]
+    ref_word = rows[0]["word"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-sax", "--warehouse", wh, "--t0", str(a), "--t1", str(b),
+              "--grain", "1h", "--keys", "lang", "--segments", "4",
+              "--alphabet", "2", "--like", ref])
+    like = json.loads(buf.getvalue().strip().splitlines()[-1])["rows"]
+    assert any(r["lang"] == ref for r in like)
+    assert all(r["word"] == ref_word for r in like)
