@@ -110,6 +110,25 @@ def _retention_check_args(args: argparse.Namespace):
     return DEFAULT_HORIZONS, _to_epoch(dt.datetime.fromisoformat(args.retention_now))
 
 
+def _load_tier_dfs(store):
+    """Numeric tier frames for a routed read, with the live streaming
+    edge riding in as the finest tier (per-bucket batch-wins) when a
+    stream log exists — shared by every serve command so tier discovery
+    has exactly one definition."""
+    from .operators.bucketing import TIER_ORDER
+
+    tier_dfs = {
+        t: store.read(f"tier_{t}") for t in TIER_ORDER
+        if store.exists(f"tier_{t}")
+    }
+    if store.exists("tier_1m_stream"):
+        from .streaming.stream import serve_tier
+
+        tier_dfs["1m"] = serve_tier(store, "1m")
+    return tier_dfs
+
+
+
 def _cmd_serve_range(args: argparse.Namespace) -> None:
     """Tier-routed range read over a warehouse written by `run`."""
     from .operators.router import read_routed
@@ -118,15 +137,10 @@ def _cmd_serve_range(args: argparse.Namespace) -> None:
 
     spark = get_active_or_build(app_name="cfs-serve")
     store = TableStore(spark, args.warehouse)
-    tiers = {t: store.read(f"tier_{t}") for t in ("1m", "1h", "1d", "30d")
-             if store.exists(f"tier_{t}")}
-    # a live streaming edge rides in as part of the finest tier
+    # live streaming edge rides in as part of the finest tier
     # (per-bucket batch-wins — serve_quantile does the same via
     # serve_distribution)
-    if store.exists("tier_1m_stream"):
-        from .streaming.stream import serve_tier
-
-        tiers["1m"] = serve_tier(store, "1m")
+    tiers = _load_tier_dfs(store)
     # validate the cover against the retention policy so a range whose
     # fine-tier segments were already expired fails loudly instead of
     # silently undercounting (ADVICE r2)
@@ -296,16 +310,7 @@ def _cmd_serve_forecast(args: argparse.Namespace) -> None:
 
     spark = get_active_or_build(app_name="cfs-serve-forecast")
     store = TableStore(spark, args.warehouse)
-    tier_dfs = {
-        t: store.read(f"tier_{t}") for t in TIER_ORDER
-        if store.exists(f"tier_{t}")
-    }
-    # live streaming edge rides in as the finest tier (per-bucket
-    # batch-wins), so the fit extends to the freshest closed buckets
-    if store.exists("tier_1m_stream"):
-        from .streaming.stream import serve_tier
-
-        tier_dfs["1m"] = serve_tier(store, "1m")
+    tier_dfs = _load_tier_dfs(store)
     keys = args.keys.split(",")
     horizons, now_epoch = _retention_check_args(args)
     series = read_routed_series(
@@ -363,14 +368,7 @@ def _cmd_serve_chart(args: argparse.Namespace) -> None:
 
     spark = get_active_or_build(app_name="cfs-serve-chart")
     store = TableStore(spark, args.warehouse)
-    tier_dfs = {
-        t: store.read(f"tier_{t}") for t in TIER_ORDER
-        if store.exists(f"tier_{t}")
-    }
-    if store.exists("tier_1m_stream"):
-        from .streaming.stream import serve_tier
-
-        tier_dfs["1m"] = serve_tier(store, "1m")
+    tier_dfs = _load_tier_dfs(store)
     keys = args.keys.split(",")
     horizons, now_epoch = _retention_check_args(args)
     series = read_routed_series(
@@ -407,14 +405,7 @@ def _cmd_serve_sax(args: argparse.Namespace) -> None:
 
     spark = get_active_or_build(app_name="cfs-serve-sax")
     store = TableStore(spark, args.warehouse)
-    tier_dfs = {
-        t: store.read(f"tier_{t}") for t in TIER_ORDER
-        if store.exists(f"tier_{t}")
-    }
-    if store.exists("tier_1m_stream"):
-        from .streaming.stream import serve_tier
-
-        tier_dfs["1m"] = serve_tier(store, "1m")
+    tier_dfs = _load_tier_dfs(store)
     keys = args.keys.split(",")
     horizons, now_epoch = _retention_check_args(args)
     series = read_routed_series(
@@ -429,12 +420,23 @@ def _cmd_serve_sax(args: argparse.Namespace) -> None:
     paa = paa_segments(series, keys, "t", "v", n_segments=args.segments)
     words = sax_words(paa, keys, alphabet=args.alphabet)
     if args.like is not None:
-        ref = words.where(F.col(keys[0]) == args.like).select(
-            F.col("word").alias("_ref_word")
-        )
-        words = words.join(
-            F.broadcast(ref), words["word"] == ref["_ref_word"]
-        ).drop("_ref_word")
+        # resolve the reference word(s) driver-side: one persisted plan
+        # feeds both the lookup and the match (don't recompute the
+        # routed read + windows twice), a missing/typo'd key fails
+        # loudly instead of masquerading as "unique shape", and a
+        # multi-column key (same keys[0] under several secondary keys)
+        # matches ANY of its words without duplicating output rows
+        words = words.persist()
+        ref_words = [
+            r["word"]
+            for r in words.where(F.col(keys[0]) == args.like)
+            .select("word").distinct().collect()
+        ]
+        if not ref_words:
+            print(json.dumps({"error": f"--like key {args.like!r} has no "
+                                       f"series in [t0, t1)"}))
+            raise SystemExit(2)
+        words = words.where(F.col("word").isin(ref_words))
     rows = words.orderBy("word", *keys).limit(args.limit).collect()
     print(json.dumps({"grain": args.grain, "measure": args.measure,
                       "t0": args.t0, "t1": args.t1,
@@ -462,14 +464,7 @@ def _cmd_serve_trend(args: argparse.Namespace) -> None:
 
     spark = get_active_or_build(app_name="cfs-serve-trend")
     store = TableStore(spark, args.warehouse)
-    tier_dfs = {
-        t: store.read(f"tier_{t}") for t in TIER_ORDER
-        if store.exists(f"tier_{t}")
-    }
-    if store.exists("tier_1m_stream"):
-        from .streaming.stream import serve_tier
-
-        tier_dfs["1m"] = serve_tier(store, "1m")
+    tier_dfs = _load_tier_dfs(store)
     keys = args.keys.split(",")
     horizons, now_epoch = _retention_check_args(args)
     series = read_routed_series(

@@ -264,7 +264,28 @@ def series_correlation_pairs(
         F.col(value_col).cast(dec).alias("y"),
     )
     pairs = left.join(right, "_t").where(F.col("ka") < F.col("kb"))
-    agg = pairs.groupBy("ka", "kb").agg(
+    return pair_suffstats(pairs, ["ka", "kb"])
+
+
+def pair_suffstats(
+    pairs: DataFrame,
+    group_cols: list[str],
+    convenience: bool = True,
+) -> DataFrame:
+    """Exact integer Pearson sufficient statistics per group over
+    aligned (x, y) observation rows: n, num = n·Σxy − Σx·Σy, den1/den2
+    — the one shared tail of every pair-correlation operator
+    (:func:`series_correlation_pairs`, :func:`lead_lag_xcorr`,
+    ``sax.motif_verify_pairs``), so the overflow contract and the r²
+    guard live in exactly one place.
+
+    ``pairs`` carries group_cols plus x, y already cast to
+    decimal(38,0); with ``convenience`` the float r² and r_sign
+    columns are appended (derived exactly from the integer components
+    — hash-gated consumers use the components, never these).
+    """
+    dec = "decimal(38,0)"
+    agg = pairs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
@@ -275,21 +296,24 @@ def series_correlation_pairs(
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     den2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    r2 = F.when(
-        (den1 > 0) & (den2 > 0),
-        (num.cast("double") * num.cast("double"))
-        / (den1.cast("double") * den2.cast("double")),
-    )
-    return agg.select(
-        "ka",
-        "kb",
+    cols = [
+        *group_cols,
         F.col("n").cast("long").alias("n"),
         num.cast("long").alias("num"),
         den1.cast("long").alias("den1"),
         den2.cast("long").alias("den2"),
-        F.signum(num.cast("double")).cast("int").alias("r_sign"),
-        r2.alias("r2"),
-    )
+    ]
+    if convenience:
+        r2 = F.when(
+            (den1 > 0) & (den2 > 0),
+            (num.cast("double") * num.cast("double"))
+            / (den1.cast("double") * den2.cast("double")),
+        )
+        cols += [
+            F.signum(num.cast("double")).cast("int").alias("r_sign"),
+            r2.alias("r2"),
+        ]
+    return agg.select(*cols)
 
 
 def mad_anomaly(
@@ -389,29 +413,4 @@ def lead_lag_xcorr(
         F.col(value_col).cast(dec).alias("y"),
     )
     pairs = left.join(right, "_t").where(F.col("ka") != F.col("kb"))
-    agg = pairs.groupBy("ka", "kb").agg(
-        F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    den2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    r2 = F.when(
-        (den1 > 0) & (den2 > 0),
-        (num.cast("double") * num.cast("double"))
-        / (den1.cast("double") * den2.cast("double")),
-    )
-    return agg.select(
-        "ka",
-        "kb",
-        F.col("n").cast("long").alias("n"),
-        num.cast("long").alias("num"),
-        den1.cast("long").alias("den1"),
-        den2.cast("long").alias("den2"),
-        F.signum(num.cast("double")).cast("int").alias("r_sign"),
-        r2.alias("r2"),
-    )
+    return pair_suffstats(pairs, ["ka", "kb"])

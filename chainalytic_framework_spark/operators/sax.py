@@ -190,23 +190,6 @@ def motif_verify_pairs(
         F.col(value_col).cast(dec).alias("y"),
     )
     joined = cand.join(ha, "ka").join(hb, ["kb", "_t"])
-    agg = joined.groupBy("ka", "kb", "word").agg(
-        F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    den2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    return agg.select(
-        "ka",
-        "kb",
-        "word",
-        F.col("n").cast("long").alias("n"),
-        num.cast("long").alias("num"),
-        den1.cast("long").alias("den1"),
-        den2.cast("long").alias("den2"),
-    )
+    from .rolling import pair_suffstats
+
+    return pair_suffstats(joined, ["ka", "kb", "word"], convenience=False)
