@@ -91,9 +91,10 @@ _GATE_PRIORITY = [
     "motif_verified_pairs_events",
     "xcorr_lead_events",
     "recrawl_schedule_events",
+    "temperature_sample_documents",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 20 of these fall outside the 50-row
-    # window this round — all twenty hold round-3 driver
+    # additions above, the LAST 21 of these fall outside the 50-row
+    # window this round — all twenty-one hold round-3 driver
     # certification, so cumulative coverage is unaffected
     # (never-certified > stale re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4786,3 +4787,34 @@ def motif_verified_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.floor(F.sum("_c") / 100).cast("long").alias("v"))
     )
     return motif_verify_pairs(words, daily, ["user_id"], "bucket_epoch", "v")
+
+
+@q(
+    "temperature_sample_documents",
+    f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    h AS (
+      SELECT d.doc_id, d.lang, c.n,
+             {_KEYHASH_PPM_SQL.format(x='d.doc_id', seed=11)} AS ppm
+      FROM documents d JOIN c USING (lang))
+    SELECT doc_id, lang
+    FROM h
+    WHERE CAST(ppm AS HUGEINT) * ppm * n <
+          CAST(2000000 AS HUGEINT) * 2000000
+    """,
+)
+def temperature_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture resampling (operators/sampling.py::
+    temperature_resample): keep probability ∝ n_lang^(α−1) with
+    α = 1/2, so the sampled corpus follows n^α — the multilingual
+    pretraining mixture rule. The keep test is exact integer
+    (ppm²·n < coeff²), so sample membership hashes identically in
+    both engines; the count side broadcasts, the fact never
+    shuffles."""
+    from .operators.sampling import temperature_resample
+
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_resample(
+        d, "lang", key="doc_id", coeff_ppm=2_000_000, a=1, b=2, seed=11
+    )
+    return out.select("doc_id", "lang")

@@ -129,3 +129,56 @@ def split_assign(df: DataFrame, splits: dict[str, float], key: str,
                 else expr.when(h < thr, F.lit(name)))
     label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn(split_col, label)
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    coeff_ppm: int,
+    a: int = 1,
+    b: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture resampling, EXACT in integers: keep
+    each row of group g with probability
+
+        p_g = min(1, (coeff_ppm / 1e6) · n_g^((a-b)/b))      alpha = a/b
+
+    i.e. p_g ∝ n_g^(alpha − 1): the multinomial temperature rule
+    (mBERT/XLM-R/mT5 style) that downsamples dominant groups and keeps
+    rare ones, so the SAMPLED mixture follows n_g^alpha. alpha is a
+    RATIONAL a/b so the keep test needs no float pow (whose last-ulp
+    differences across engines could flip a threshold row):
+
+        keep  ⇔  ppm^b · n_g^(b-a)  <  coeff_ppm^b
+
+    evaluated in decimal(38,0) — byte-identical sample membership on
+    any engine and any partitioning. Spark's ANSI decimal overflow
+    THROWS rather than wraps; the width contract is
+    ``6·b + (b−a)·log10(max n_g) ≤ 38`` (b=2: fine to n_g = 10^26;
+    b=4, a=3: fine to 10^14 — choose small b for huge corpora).
+
+    ``coeff_ppm`` is the budget knob (may exceed 10^6 — small groups
+    then saturate at p=1): expected kept rows = Σ_g n_g · p_g.  One
+    small-group count agg broadcast back onto the fact; the keep test
+    is a scan-side filter — the fact table never shuffles.
+
+    Reference analogue: none (north-rule training-data tooling; the
+    reference aggregates every block). Same determinism contract as
+    :func:`hash_sample`.
+    """
+    if not (0 < a <= b):
+        raise ValueError(f"alpha must be rational in (0,1]: a={a}, b={b}")
+    dec = "decimal(38,0)"
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    joined = df.join(F.broadcast(counts), group_col)
+    ppm = _ppm(key, seed).cast(dec)
+    lhs = ppm
+    for _ in range(b - 1):
+        lhs = (lhs * ppm).cast(dec)
+    nfac = F.col("_n").cast(dec)
+    for _ in range(b - a):
+        lhs = (lhs * nfac).cast(dec)
+    rhs = F.lit(str(int(coeff_ppm) ** b)).cast(dec)
+    return joined.where(lhs < rhs).drop("_n")
