@@ -92,9 +92,10 @@ _GATE_PRIORITY = [
     "xcorr_lead_events",
     "recrawl_schedule_events",
     "temperature_sample_documents",
+    "anchor_text_index_documents",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 21 of these fall outside the 50-row
-    # window this round — all twenty-one hold round-3 driver
+    # additions above, the LAST 22 of these fall outside the 50-row
+    # window this round — all twenty-two hold round-3 driver
     # certification, so cumulative coverage is unaffected
     # (never-certified > stale re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4818,3 +4819,62 @@ def temperature_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "lang", key="doc_id", coeff_ppm=2_000_000, a=1, b=2, seed=11
     )
     return out.select("doc_id", "lang")
+
+
+@q(
+    "anchor_text_index_documents",
+    """
+    WITH u AS (
+      SELECT '<body><a href="/d/' || (doc_id % 50) || '">ref <b>'
+             || (doc_id % 7) || '</b></a>'
+             || '<a href="https://ex.com/' || lang || '">site&amp;co '
+             || lang || '</a></body>' AS html
+      FROM documents),
+    x AS (
+      SELECT unnest(regexp_extract_all(html,
+               '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 1)) AS dst,
+             unnest(regexp_extract_all(html,
+               '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 2)) AS raw
+      FROM u),
+    t AS (
+      SELECT dst,
+             trim(regexp_replace(replace(
+               regexp_replace(raw, '(?s)<[^>]+>', ' ', 'g'),
+               '&amp;', '&'), '\\s+', ' ', 'g')) AS term
+      FROM x
+      WHERE dst <> ''),
+    c AS (
+      SELECT dst, term, COUNT(*) AS n FROM t WHERE term <> ''
+      GROUP BY 1, 2)
+    SELECT dst,
+           CAST(SUM(n) AS BIGINT) AS n_refs,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           max(struct_pack(c := n, t := term))['t'] AS top_term,
+           CAST(max(struct_pack(c := n, t := term))['c'] AS BIGINT)
+             AS top_term_refs
+    FROM c GROUP BY 1
+    """,
+)
+def anchor_text_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/graph.py::anchor_text_index): both
+    engines synthesize the same two-anchor document per row (inner
+    markup + entity in the anchor text, so the cleaning chain is
+    exercised), then aggregate corpus-wide what each target is CALLED —
+    n_refs, distinct terms, and the deterministic struct-max top term
+    per target. The real extractor runs on the Spark side; the oracle
+    replays the same RE2 chain in DuckDB."""
+    from .operators.graph import anchor_text_index
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<body><a href="/d/'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('">ref <b>'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('</b></a><a href="https://ex.com/'),
+        F.col("lang"),
+        F.lit('">site&amp;co '),
+        F.col("lang"),
+        F.lit("</a></body>"),
+    )
+    return anchor_text_index(d.select(html.alias("html")), "html")

@@ -92,3 +92,33 @@ def html_to_text_columns(df, html_col: str = "html", out_col: str = "text"):
         .withColumn("title", extract_title(h))
         .withColumn("n_links", F.size(extract_links(h)).cast("long"))
     )
+
+
+_ANCHOR_RE = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+
+
+def _clean_inline(t: Column) -> Column:
+    """Inner-markup cleanup for anchor text: strip tags, decode the
+    core entities, collapse whitespace, trim — the tail of
+    :func:`extract_text` without the block-boundary newlines (anchor
+    text is inline by construction)."""
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, ch in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def extract_anchor_pairs(html: Column) -> tuple[Column, Column]:
+    """Parallel arrays (hrefs, anchor_texts) for the double-quoted
+    ``<a href="...">text</a>`` anchors of a document, in document
+    order. Anchor text is cleaned with :func:`_clean_inline` (inner
+    tags stripped, entities decoded, whitespace collapsed). Two
+    ``regexp_extract_all`` passes (one per capture group — Spark and
+    DuckDB both return one group per call), positionally aligned by
+    construction since they walk the same matches."""
+    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), F.lit(1))
+    texts = F.transform(
+        F.regexp_extract_all(html, F.lit(_ANCHOR_RE), F.lit(2)),
+        _clean_inline,
+    )
+    return hrefs, texts

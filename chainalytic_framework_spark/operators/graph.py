@@ -161,3 +161,68 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
             ranked = ranked.localCheckpoint(eager=True)
     return ranked
+
+
+def anchor_text_index(
+    docs: DataFrame,
+    html_col: str = "html",
+) -> DataFrame:
+    """Anchor-text index: what the REST of the corpus calls each target
+    url — the classic off-page relevance signal (anchor text describes
+    the target better than the target describes itself), and the
+    surrogate-document trick for ranking pages that were never fetched.
+
+    Per distinct href target:
+
+    - ``n_refs``         anchors pointing at it (corpus-wide),
+    - ``n_terms``        distinct (cleaned) anchor texts,
+    - ``top_term``       most frequent anchor text, ties broken toward
+                         the lexicographically greatest term via a
+                         struct max — deterministic at any parallelism,
+    - ``top_term_refs``  its count.
+
+    Plan: explode anchors (bounded per document), one (dst, term)
+    hash agg with map-side combine, one dst agg whose top pick is a
+    struct ``max`` — no window, no join, two bounded shuffles. At
+    10^12 documents the index is |distinct hrefs| rows; hot targets
+    (a site's home page) are single GROUPing keys whose partial
+    aggregation collapses map-side, the same reason the rollup tiers
+    tolerate hot urls.
+
+    Reference analogue: none (the reference's graph is implicit in
+    chain transactions); engine-added webtext tooling, same family as
+    :func:`link_edges` / :func:`pagerank`.
+    """
+    from ..functions.html import extract_anchor_pairs
+
+    h = F.col(html_col).cast("string")
+    hrefs, texts = extract_anchor_pairs(h)
+    pairs = (
+        docs.select(
+            F.explode(F.arrays_zip(hrefs.alias("h"), texts.alias("t"))).alias("a")
+        )
+        .select(F.col("a.h").alias("dst"), F.col("a.t").alias("term"))
+        .where((F.col("dst") != "") & (F.col("term") != ""))
+    )
+    counts = pairs.groupBy("dst", "term").agg(
+        F.count(F.lit(1)).alias("n_refs_term")
+    )
+    return (
+        counts.groupBy("dst")
+        .agg(
+            F.sum("n_refs_term").cast("long").alias("n_refs"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.max(
+                F.struct(
+                    F.col("n_refs_term").alias("c"), F.col("term").alias("t")
+                )
+            ).alias("_top"),
+        )
+        .select(
+            "dst",
+            "n_refs",
+            "n_terms",
+            F.col("_top.t").alias("top_term"),
+            F.col("_top.c").cast("long").alias("top_term_refs"),
+        )
+    )

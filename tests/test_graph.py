@@ -109,3 +109,52 @@ def test_link_edges_protocol_relative(spark):
         ("a.com", "a.com"),  # //a.com/self and /local both land here
         ("a.com", "b.com"),
     }
+
+
+def test_extract_anchor_pairs_cleaning(spark):
+    from chainalytic_framework_spark.functions.html import extract_anchor_pairs
+    from pyspark.sql import functions as F
+
+    html = (
+        '<body><a href="/x">Hello <b>World</b></a>'
+        '<a class="z" href="/y"> Fish &amp; Chips </a>'
+        "<a href='/sq'>single-quoted is ignored</a></body>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    h, t = extract_anchor_pairs(F.col("html"))
+    row = df.select(h.alias("h"), t.alias("t")).collect()[0]
+    assert row["h"] == ["/x", "/y"]
+    assert row["t"] == ["Hello World", "Fish & Chips"]
+
+
+def test_anchor_text_index_top_term_deterministic(spark):
+    from chainalytic_framework_spark.operators.graph import anchor_text_index
+
+    def a(href, text):
+        return f'<a href="{href}">{text}</a>'
+
+    rows = [
+        (a("/t", "alpha") + a("/t", "beta"),),
+        (a("/t", "beta") + a("/u", "only"),),
+        (a("/t", "alpha"),),
+    ]
+    df = spark.createDataFrame(rows, "html string")
+    out = {r["dst"]: r for r in anchor_text_index(df).collect()}
+    t = out["/t"]
+    # alpha:2 beta:2 -> tie broken toward lexicographically GREATER term
+    assert (t["n_refs"], t["n_terms"]) == (4, 2)
+    assert (t["top_term"], t["top_term_refs"]) == ("beta", 2)
+    assert out["/u"]["n_refs"] == 1 and out["/u"]["top_term"] == "only"
+
+
+def test_anchor_text_index_skips_empty(spark):
+    from chainalytic_framework_spark.operators.graph import anchor_text_index
+
+    df = spark.createDataFrame(
+        [('<a href="">no dst</a><a href="/k"> <b> </b> </a>'
+          '<a href="/k">kept</a>',)],
+        "html string",
+    )
+    out = anchor_text_index(df).collect()
+    assert len(out) == 1
+    assert out[0]["dst"] == "/k" and out[0]["n_refs"] == 1
