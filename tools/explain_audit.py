@@ -361,6 +361,11 @@ def main() -> int:
     ok &= audit("temperature resample: counts broadcast, fact unshuffled",
                 contract.temperature_sample_documents(spark, sf),
                 {"max_exchanges": 2, "broadcast": True})
+    # anchor index: explode + (dst,term) agg + dst agg — two bounded
+    # keyed shuffles, no window, no join
+    ok &= audit("anchor index: explode + two hash aggs, no window/join",
+                contract.anchor_text_index_documents(spark, sf),
+                {"max_exchanges": 2, "no_window": True})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
