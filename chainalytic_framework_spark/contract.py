@@ -93,9 +93,10 @@ _GATE_PRIORITY = [
     "recrawl_schedule_events",
     "temperature_sample_documents",
     "anchor_text_index_documents",
+    "fetch_plan_events",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 22 of these fall outside the 50-row
-    # window this round — all twenty-two hold round-3 driver
+    # additions above, the LAST 23 of these fall outside the 50-row
+    # window this round — all twenty-three hold round-3 driver
     # certification, so cumulative coverage is unaffected
     # (never-certified > stale re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4692,10 +4693,8 @@ def xcorr_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("ka", "kb", "n", "num", "den1", "den2")
 
 
-@q(
-    "recrawl_schedule_events",
-    """
-    WITH o AS (
+_RECRAWL_CORE_SQL = """
+    o AS (
       SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
              SUM(CAST(round(value * 100) AS BIGINT)) AS fp
       FROM events GROUP BY 1, 2),
@@ -4716,6 +4715,13 @@ def xcorr_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CASE WHEN n_changes > 0 THEN (lt - ft) // n_changes
                        ELSE 2592000 END)) AS BIGINT) AS interval_seconds
       FROM a)
+"""
+
+
+@q(
+    "recrawl_schedule_events",
+    f"""
+    WITH {_RECRAWL_CORE_SQL}
     SELECT user_id, n_obs, n_changes, span_seconds, interval_seconds,
            CAST(lt + interval_seconds AS BIGINT) AS next_due_epoch
     FROM d
@@ -4878,3 +4884,55 @@ def anchor_text_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</a></body>"),
     )
     return anchor_text_index(d.select(html.alias("html")), "html")
+
+
+@q(
+    "fetch_plan_events",
+    f"""
+    WITH {_RECRAWL_CORE_SQL},
+    r AS (
+      SELECT user_id, user_id % 10 AS host,
+             CAST(lt + interval_seconds AS BIGINT) AS due
+      FROM d),
+    k AS (
+      SELECT user_id, host, due,
+             row_number() OVER (PARTITION BY host ORDER BY due, user_id)
+               - 1 AS rn
+      FROM r),
+    m AS (
+      SELECT user_id, host, due, rn,
+             max(due - 600 * rn) OVER (
+               PARTITION BY host ORDER BY due, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+      FROM k)
+    SELECT user_id, CAST(host AS BIGINT) AS host,
+           due AS due_epoch,
+           CAST(600 * rn + runmax AS BIGINT) AS fetch_epoch,
+           CAST(600 * rn + runmax - due AS BIGINT) AS delay_seconds,
+           CAST(rn + 1 AS BIGINT) AS fetch_rank
+    FROM m
+    """,
+)
+def fetch_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl planner end-to-end (operators/recrawl.py): the change-rate
+    schedule says when each key is DUE; politeness_schedule serializes
+    each host's due fetches onto a 600s-gap grid via the running-max
+    closed form of the greedy recurrence (no sequential fold — one rank
+    window + one running-max window per host, exact integer seconds).
+    Host = user_id % 10 stands in for the url's registrable domain."""
+    from .operators.recrawl import politeness_schedule, recrawl_schedule
+
+    obs = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", _epoch("ts").alias("t"), _cents().alias("_c"))
+        .groupBy("user_id", "t")
+        .agg(F.sum("_c").alias("fp"))
+    )
+    due = recrawl_schedule(
+        obs, ["user_id"], "t", "fp", min_interval=3600, max_interval=2592000
+    ).select(
+        "user_id",
+        (F.col("user_id") % 10).alias("host"),
+        F.col("next_due_epoch").alias("due"),
+    )
+    return politeness_schedule(due, "host", "due", ["user_id"], gap_seconds=600)

@@ -86,3 +86,73 @@ def recrawl_schedule(
         interval.cast("long").alias("interval_seconds"),
         (F.col("_last") + interval).cast("long").alias("next_due_epoch"),
     )
+
+
+def politeness_schedule(
+    due: DataFrame,
+    host_col: str,
+    due_epoch_col: str,
+    key_cols: list[str],
+    gap_seconds: int,
+) -> DataFrame:
+    """Per-host politeness scheduling: serialize each host's due
+    fetches onto a minimum-gap grid — the crawl planner's second half
+    (:func:`recrawl_schedule` says WHEN a url is due; this says when it
+    is actually FETCHED, one request per ``gap_seconds`` per host).
+
+    The greedy schedule (every fetch as early as allowed) is the
+    recurrence ``fetch_i = max(due_i, fetch_{i-1} + gap)``, which has a
+    closed form as a running max — substitute ``adj_i = due_i − gap·i``
+    over the host's due-ordered rank i and the recurrence collapses to
+
+        fetch_i = gap·i + max_{j ≤ i} adj_j
+
+    so one rank window + one running-max window per host computes the
+    whole schedule with NO sequential fold and no recursion — exact
+    integer seconds, deterministic at any parallelism (ties on the due
+    time are broken by ``key_cols``). ``delay_seconds`` = fetch − due
+    is the politeness-induced backlog (a host whose p95 delay grows has
+    more due urls per gap than the grid admits — raise the gap or shard
+    the host).
+
+    Output: key_cols + host + (due_epoch, fetch_epoch, delay_seconds,
+    fetch_rank).
+
+    Scale: both windows partition by HOST — bounded by a host's url
+    count, never corpus size; hot hosts are exactly the salting story
+    the tier engine already documents (operators/bucketing.py), and the
+    schedule itself is the reason hot hosts stay bounded: a host admits
+    span/gap fetches per window no matter how many urls want in.
+
+    Reference analogue: the reference fetches one chain head serially
+    (upstream/data_feeder.py poll loop) — the politeness constraint IS
+    its whole ingest model; here it is re-derived per host as a closed
+    form over the distributed frontier.
+    """
+    w = Window.partitionBy(host_col).orderBy(due_epoch_col, *key_cols)
+    g = int(gap_seconds)
+    ranked = due.select(
+        *key_cols,
+        host_col,
+        F.col(due_epoch_col).cast("long").alias("due_epoch"),
+        (F.row_number().over(w) - 1).alias("_rn"),
+    )
+    adj = (F.col("due_epoch") - F.lit(g) * F.col("_rn")).alias("_adj")
+    runmax = F.max("_adj").over(
+        Window.partitionBy(host_col)
+        .orderBy("due_epoch", *key_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sched = ranked.withColumn("_adj", adj).withColumn(
+        "fetch_epoch", (F.lit(g) * F.col("_rn") + runmax).cast("long")
+    )
+    return sched.select(
+        *key_cols,
+        host_col,
+        "due_epoch",
+        "fetch_epoch",
+        (F.col("fetch_epoch") - F.col("due_epoch")).cast("long").alias(
+            "delay_seconds"
+        ),
+        (F.col("_rn") + 1).cast("long").alias("fetch_rank"),
+    )

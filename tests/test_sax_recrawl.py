@@ -207,3 +207,52 @@ def test_motif_verify_pairs_end_to_end(spark):
     r = got[("a", "b")]
     assert r["n"] == 8
     assert r["num"] ** 2 == r["den1"] * r["den2"]  # exact r^2 == 1
+
+
+def test_politeness_schedule_matches_greedy_reference(spark):
+    from chainalytic_framework_spark.operators.recrawl import politeness_schedule
+
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    rows = []
+    for h in range(4):
+        for u in range(25):
+            rows.append((f"u{h}_{u}", h, int(rng.randint(0, 5000))))
+    df = spark.createDataFrame(rows, "url string, host int, due long")
+    out = politeness_schedule(df, "host", "due", ["url"], gap_seconds=300)
+    got = {(r["host"], r["url"]): r["fetch_epoch"] for r in out.collect()}
+    # brute-force greedy per host: fetch_i = max(due_i, fetch_{i-1}+gap)
+    byhost: dict[int, list] = {}
+    for url, h, due in rows:
+        byhost.setdefault(h, []).append((due, url))
+    for h, lst in byhost.items():
+        prev = None
+        for due, url in sorted(lst):
+            f = due if prev is None else max(due, prev + 300)
+            assert got[(h, url)] == f, (h, url, got[(h, url)], f)
+            prev = f
+
+
+def test_politeness_gap_and_due_invariants(spark):
+    from chainalytic_framework_spark.operators.recrawl import politeness_schedule
+
+    rows = [(f"u{i}", 1, 1000) for i in range(10)]  # all due at once
+    df = spark.createDataFrame(rows, "url string, host int, due long")
+    out = politeness_schedule(df, "host", "due", ["url"], gap_seconds=60)
+    rs = sorted(out.collect(), key=lambda r: r["fetch_epoch"])
+    assert [r["fetch_epoch"] for r in rs] == [1000 + 60 * i for i in range(10)]
+    assert all(r["fetch_epoch"] >= r["due_epoch"] for r in rs)
+    assert rs[-1]["delay_seconds"] == 540
+    # ties broken by url: rank order is deterministic
+    assert [r["url"] for r in rs] == sorted(f"u{i}" for i in range(10))
+
+
+def test_politeness_idle_host_no_delay(spark):
+    from chainalytic_framework_spark.operators.recrawl import politeness_schedule
+
+    rows = [("a", 1, 0), ("b", 1, 10_000), ("c", 1, 20_000)]
+    df = spark.createDataFrame(rows, "url string, host int, due long")
+    out = {r["url"]: r for r in politeness_schedule(
+        df, "host", "due", ["url"], gap_seconds=300).collect()}
+    assert all(out[u]["delay_seconds"] == 0 for u in "abc")

@@ -366,6 +366,12 @@ def main() -> int:
     ok &= audit("anchor index: explode + two hash aggs, no window/join",
                 contract.anchor_text_index_documents(spark, sf),
                 {"max_exchanges": 2, "no_window": True})
+    # fetch plan: recrawl's key shuffle family + ONE host shuffle whose
+    # hash partitioning feeds both the rank and running-max windows
+    # (greedy recurrence as closed form — no sequential fold)
+    ok &= audit("fetch plan: key family + one host window family",
+                contract.fetch_plan_events(spark, sf),
+                {"max_exchanges": 4})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
