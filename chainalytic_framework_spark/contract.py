@@ -94,9 +94,10 @@ _GATE_PRIORITY = [
     "temperature_sample_documents",
     "anchor_text_index_documents",
     "fetch_plan_events",
+    "robots_allowed_documents",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 23 of these fall outside the 50-row
-    # window this round — all twenty-three hold round-3 driver
+    # additions above, the LAST 24 of these fall outside the 50-row
+    # window this round — all twenty-four hold round-3 driver
     # certification, so cumulative coverage is unaffected
     # (never-certified > stale re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4936,3 +4937,65 @@ def fetch_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_due_epoch").alias("due"),
     )
     return politeness_schedule(due, "host", "due", ["user_id"], gap_seconds=600)
+
+
+@q(
+    "robots_allowed_documents",
+    """
+    SELECT doc_id, lang AS host,
+           CASE doc_id % 6
+             WHEN 0 THEN '/public/a'  WHEN 1 THEN '/private/x'
+             WHEN 2 THEN '/private/ok/y' WHEN 3 THEN '/tmp/z'
+             WHEN 4 THEN '/private'   ELSE '/x1' END AS path,
+           CASE doc_id % 6
+             WHEN 1 THEN false WHEN 3 THEN false WHEN 4 THEN false
+             ELSE true END AS allowed,
+           CASE doc_id % 6
+             WHEN 1 THEN '/private' WHEN 2 THEN '/private/ok'
+             WHEN 3 THEN '/tmp'     WHEN 4 THEN '/private'
+             ELSE NULL END AS matched_prefix,
+           CASE doc_id % 6
+             WHEN 1 THEN 'disallow' WHEN 2 THEN 'allow'
+             WHEN 3 THEN 'disallow' WHEN 4 THEN 'disallow'
+             ELSE NULL END AS matched_rule
+    FROM documents
+    """,
+)
+def robots_allowed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gatekeeper (operators/robots.py): each lang plays a
+    host whose robots.txt has a bot-specific group (must NOT apply to
+    agent '*'), comments, an empty Disallow, a wildcard rule (excluded
+    from literal-prefix matching by contract), and a nested
+    Allow-inside-Disallow; the frontier paths hit every branch —
+    no-match default-allow, plain disallow, longest-match allow
+    override, exact-prefix boundary, wildcard skip. The Spark side
+    PARSES the text and longest-matches; the oracle states the
+    RFC 9309 ground truth per path directly."""
+    from .operators.robots import parse_robots, robots_allowed
+
+    nl = "\n"
+    d = _t(spark, sf_dir, "documents")
+    robots = d.select(F.col("lang").alias("host")).distinct().withColumn(
+        "txt", F.concat(F.lit("# generated for "), F.col("host"), F.lit(nl),
+                        F.lit("User-agent: bot" + nl),
+                        F.lit("Disallow: /" + nl + nl),
+                        F.lit("User-agent: *" + nl),
+                        F.lit("Disallow: /private" + nl),
+                        F.lit("Allow: /private/ok" + nl),
+                        F.lit("Disallow:" + nl),          # empty: dropped
+                        F.lit("Disallow: /x*" + nl),      # wildcard: no prefix
+                        F.lit("Disallow: /tmp" + nl))
+    )
+    rules = parse_robots(robots, "host", "txt", agent="*")
+    frontier = d.select(
+        "doc_id",
+        F.col("lang").alias("host"),
+        F.element_at(
+            F.array(
+                F.lit("/public/a"), F.lit("/private/x"), F.lit("/private/ok/y"),
+                F.lit("/tmp/z"), F.lit("/private"), F.lit("/x1"),
+            ),
+            (F.col("doc_id") % 6 + 1).cast("int"),
+        ).alias("path"),
+    )
+    return robots_allowed(frontier, rules, "host", "path")

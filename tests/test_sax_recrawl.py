@@ -256,3 +256,82 @@ def test_politeness_idle_host_no_delay(spark):
     out = {r["url"]: r for r in politeness_schedule(
         df, "host", "due", ["url"], gap_seconds=300).collect()}
     assert all(out[u]["delay_seconds"] == 0 for u in "abc")
+
+
+# ------------------------------------------------------------- robots
+
+
+def _robots(spark, host_txt):
+    return spark.createDataFrame(list(host_txt.items()), "host string, txt string")
+
+
+def test_parse_robots_agent_groups(spark):
+    from chainalytic_framework_spark.operators.robots import parse_robots
+
+    txt = (
+        "User-agent: googlebot\n"
+        "User-agent: *\n"          # consecutive UA lines share ONE group
+        "Disallow: /a\n"
+        "\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+    )
+    rules = parse_robots(_robots(spark, {"h": txt}), "host", "txt").collect()
+    assert {(r["rule"], r["prefix"]) for r in rules} == {("disallow", "/a")}
+    # the badbot group's rule must not leak into agent '*'
+
+
+def test_parse_robots_rule_after_second_group(spark):
+    from chainalytic_framework_spark.operators.robots import parse_robots
+
+    txt = (
+        "User-agent: bot\nDisallow: /x\n"
+        "User-agent: *\nAllow: /ok\nDisallow: /no\n"
+    )
+    rules = parse_robots(_robots(spark, {"h": txt}), "host", "txt").collect()
+    assert {(r["rule"], r["prefix"]) for r in rules} == {
+        ("allow", "/ok"), ("disallow", "/no"),
+    }
+
+
+def test_parse_robots_comments_case_whitespace(spark):
+    from chainalytic_framework_spark.operators.robots import parse_robots
+
+    txt = (
+        "# top comment\n"
+        "USER-AGENT: *   \n"
+        "  DisAllow :  /weird   # inline comment\n"
+        "Allow: /w  \n"
+    )
+    # 'DisAllow :' with a space before the colon is NOT a directive per
+    # the grammar (strict 'name:' match) — only Allow: /w parses.
+    rules = parse_robots(_robots(spark, {"h": txt}), "host", "txt").collect()
+    assert {(r["rule"], r["prefix"]) for r in rules} == {("allow", "/w")}
+
+
+def test_robots_allowed_longest_match_and_tie(spark):
+    from chainalytic_framework_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /p\n"
+        "Allow: /p/ok\n"
+        "Allow: /q\n"     # same length as the disallow below: allow wins
+        "Disallow: /q\n"
+    )
+    rules = parse_robots(_robots(spark, {"h": txt}), "host", "txt")
+    frontier = spark.createDataFrame(
+        [("u1", "h", "/p/x"), ("u2", "h", "/p/ok/y"), ("u3", "h", "/q/z"),
+         ("u4", "h", "/free"), ("u5", "other", "/p/x")],
+        "url string, host string, path string",
+    )
+    out = {r["url"]: r for r in
+           robots_allowed(frontier, rules, "host", "path").collect()}
+    assert out["u1"]["allowed"] is False
+    assert out["u2"]["allowed"] is True and out["u2"]["matched_prefix"] == "/p/ok"
+    assert out["u3"]["allowed"] is True  # length tie -> allow wins
+    assert out["u4"]["allowed"] is True and out["u4"]["matched_rule"] is None
+    assert out["u5"]["allowed"] is True  # no rules for that host
