@@ -372,6 +372,11 @@ def main() -> int:
     ok &= audit("fetch plan: key family + one host window family",
                 contract.fetch_plan_events(spark, sf),
                 {"max_exchanges": 4})
+    # robots: rules side (tiny) does the parse windows and broadcasts;
+    # the frontier's only exchange is the group-back-to-one-row agg
+    ok &= audit("robots gate: rules broadcast, frontier never join-shuffles",
+                contract.robots_allowed_documents(spark, sf),
+                {"broadcast": True})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
