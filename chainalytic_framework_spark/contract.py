@@ -95,9 +95,10 @@ _GATE_PRIORITY = [
     "anchor_text_index_documents",
     "fetch_plan_events",
     "robots_allowed_documents",
+    "sitemap_frontier_documents",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 24 of these fall outside the 50-row
-    # window this round — all twenty-four hold round-3 driver
+    # additions above, the LAST 25 of these fall outside the 50-row
+    # window this round — all twenty-five hold round-3 driver
     # certification, so cumulative coverage is unaffected
     # (never-certified > stale re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -4999,3 +5000,57 @@ def robots_allowed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
     )
     return robots_allowed(frontier, rules, "host", "path")
+
+
+@q(
+    "sitemap_frontier_documents",
+    """
+    WITH e AS (
+      SELECT doc_id, lang AS host,
+             'https://' || lang || '.ex/d/' || doc_id AS loc,
+             1 + doc_id % 28 AS day,
+             doc_id % 2 = 0 AS even,
+             doc_id % 3 = 0 AS isnew
+      FROM documents)
+    SELECT host, loc,
+           CAST(1704067200 + (day - 1) * 86400
+                + CASE WHEN even THEN 0 ELSE 25200 END AS BIGINT)
+             AS lastmod_epoch,
+           CASE WHEN isnew THEN NULL
+                ELSE CAST(1705276800 AS BIGINT) END AS last_fetch_epoch,
+           CASE WHEN isnew THEN 'new'
+                WHEN day > 15 OR (NOT even AND day = 15) THEN 'stale'
+                ELSE 'fresh' END AS reason
+    FROM e
+    """,
+)
+def sitemap_frontier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery diff (operators/sitemap.py): each doc row
+    synthesizes a <url> entry (date-only lastmod on even ids, W3C
+    datetime with Z suffix on odd — both forms must parse to the same
+    UTC epoch) plus a malformed loc-less block that must vanish; the
+    known-url state omits every third doc. seed_frontier classifies
+    new / stale / fresh against a 2024-01-15 fetch watermark; the
+    oracle states the ground-truth classification directly."""
+    from .operators.sitemap import parse_sitemap, seed_frontier
+
+    d = _t(spark, sf_dir, "documents")
+    day = (F.col("doc_id") % 28 + 1).cast("int")
+    daystr = F.lpad(day.cast("string"), 2, "0")
+    lastmod = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("2024-01-"), daystr)
+    ).otherwise(F.concat(F.lit("2024-01-"), daystr, F.lit("T07:00:00Z")))
+    loc = F.concat(F.lit("https://"), F.col("lang"), F.lit(".ex/d/"),
+                   F.col("doc_id").cast("string"))
+    xml = F.concat(
+        F.lit('<urlset><url ><loc> '), loc, F.lit(" </loc><lastmod>"),
+        lastmod, F.lit("</lastmod></url >"),
+        F.lit("<url><lastmod>2024-01-01</lastmod></url></urlset>"),
+    )
+    sitemaps = d.select(F.col("lang").alias("host"), xml.alias("xml"))
+    entries = parse_sitemap(sitemaps, "host", "xml")
+    known = (
+        d.where(F.col("doc_id") % 3 != 0)
+        .select(loc.alias("loc"), F.lit(1705276800).cast("long").alias("f"))
+    )
+    return seed_frontier(entries, known, url_col="loc", fetched_epoch_col="f")

@@ -335,3 +335,48 @@ def test_robots_allowed_longest_match_and_tie(spark):
     assert out["u3"]["allowed"] is True  # length tie -> allow wins
     assert out["u4"]["allowed"] is True and out["u4"]["matched_rule"] is None
     assert out["u5"]["allowed"] is True  # no rules for that host
+
+
+# ------------------------------------------------------------ sitemap
+
+
+def test_parse_sitemap_forms(spark):
+    from chainalytic_framework_spark.operators.sitemap import parse_sitemap
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://h/a</loc><lastmod>2024-02-01</lastmod></url>"
+        "<url><loc> https://h/b </loc>"
+        "<lastmod>2024-02-01T12:30:05+02:00</lastmod></url>"
+        "<url><loc>https://h/c</loc></url>"              # no lastmod
+        "<url><lastmod>2024-01-01</lastmod></url>"        # no loc: dropped
+        "<url><loc>https://h/d</loc><lastmod>soon</lastmod></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, xml string")
+    out = {r["loc"]: r["lastmod_epoch"]
+           for r in parse_sitemap(df, "host", "xml").collect()}
+    assert set(out) == {"https://h/a", "https://h/b", "https://h/c",
+                        "https://h/d"}
+    assert out["https://h/a"] == 1706745600            # midnight UTC
+    # timezone suffix is truncated by contract: parsed as naive UTC
+    assert out["https://h/b"] == 1706745600 + 12 * 3600 + 30 * 60 + 5
+    assert out["https://h/c"] is None
+    assert out["https://h/d"] is None                   # unparseable
+
+
+def test_seed_frontier_classification(spark):
+    from chainalytic_framework_spark.operators.sitemap import seed_frontier
+
+    entries = spark.createDataFrame(
+        [("h", "u1", 100), ("h", "u2", 300), ("h", "u3", None),
+         ("h", "u4", 50)],
+        "host string, loc string, lastmod_epoch long",
+    )
+    known = spark.createDataFrame(
+        [("u2", 200), ("u3", 200), ("u4", 200)],
+        "loc string, last_fetch_epoch long",
+    )
+    out = {r["loc"]: r["reason"] for r in
+           seed_frontier(entries, known).collect()}
+    assert out == {"u1": "new", "u2": "stale", "u3": "fresh", "u4": "fresh"}
