@@ -377,6 +377,11 @@ def main() -> int:
     ok &= audit("robots gate: rules broadcast, frontier never join-shuffles",
                 contract.robots_allowed_documents(spark, sf),
                 {"broadcast": True})
+    # sitemap seed: explode-parse is shuffle-free; the state diff is one
+    # keyed join of two |urls|-row frames (co-located under bucketing)
+    ok &= audit("sitemap seed: parse shuffle-free + one keyed state join",
+                contract.sitemap_frontier_documents(spark, sf),
+                {"max_exchanges": 4})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
