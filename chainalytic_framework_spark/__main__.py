@@ -388,6 +388,56 @@ def _cmd_serve_chart(args: argparse.Namespace) -> None:
 
 
 
+def _cmd_crawl_plan(args: argparse.Namespace) -> None:
+    """Crawl planner over the fold history: per-url change-rate recrawl
+    schedule (operators/recrawl.py, Cho/Garcia-Molina ratio estimator
+    on the fold's text_hash visit history) serialized onto each host's
+    politeness grid (running-max closed form of the greedy fetch
+    recurrence) — the engine's 'what do we fetch next, and when'
+    endpoint. Emits the earliest --limit fetches plus plan totals."""
+    from pyspark.sql import functions as F
+
+    from .functions.urls import url_host
+    from .operators.recrawl import politeness_schedule, recrawl_schedule
+    from .plans.pipeline import FOLD_TABLE
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-crawl-plan")
+    store = TableStore(spark, args.warehouse)
+    if not store.exists(FOLD_TABLE):
+        print(json.dumps({"error": f"no {FOLD_TABLE} table in warehouse "
+                                   "(run without --no-fold first)"}))
+        raise SystemExit(2)
+    ev = store.read(FOLD_TABLE).select(
+        "url",
+        F.col("warc_ts").cast("timestamp").cast("long").alias("t"),
+        F.col("text_hash").alias("fp"),
+    )
+    due = recrawl_schedule(
+        ev, ["url"], "t", "fp",
+        min_interval=args.min_interval, max_interval=args.max_interval,
+    ).select(
+        "url", url_host(F.col("url")).alias("host"),
+        F.col("next_due_epoch").alias("due"),
+    )
+    plan = politeness_schedule(due, "host", "due", ["url"], args.gap).persist()
+    try:
+        totals = plan.agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.max("delay_seconds").alias("max_delay_seconds"),
+            F.sum((F.col("delay_seconds") > 0).cast("long")).alias("n_delayed"),
+        ).collect()[0]
+        rows = plan.orderBy("fetch_epoch", "url").limit(args.limit).collect()
+    finally:
+        plan.unpersist()
+    print(json.dumps({"gap_seconds": args.gap,
+                      "n_urls": totals["n_urls"],
+                      "n_delayed": totals["n_delayed"],
+                      "max_delay_seconds": totals["max_delay_seconds"],
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def _cmd_serve_sax(args: argparse.Namespace) -> None:
     """Shape-search endpoint: SAX word per key over the routed series
     (operators/sax.py), optionally filtered to keys whose word matches
@@ -700,6 +750,17 @@ def main(argv: list[str] | None = None) -> None:
                           "needs expired fine-tier segments")
     sch.add_argument("--limit", type=int, default=1000)
     sch.set_defaults(fn=_cmd_serve_chart)
+
+    cp = sub.add_parser("crawl-plan",
+                        help="recrawl schedule + per-host politeness grid "
+                             "from the fold history: what to fetch, when")
+    cp.add_argument("--warehouse", required=True)
+    cp.add_argument("--gap", type=int, default=600,
+                    help="politeness: min seconds between a host's fetches")
+    cp.add_argument("--min-interval", type=int, default=3600)
+    cp.add_argument("--max-interval", type=int, default=30 * 86400)
+    cp.add_argument("--limit", type=int, default=100)
+    cp.set_defaults(fn=_cmd_crawl_plan)
 
     sx = sub.add_parser("serve-sax",
                         help="SAX shape words per key over a routed range; "

@@ -496,3 +496,34 @@ def test_cli_serve_sax(spark, tmp_path):
     like = json.loads(buf.getvalue().strip().splitlines()[-1])["rows"]
     assert any(r["lang"] == ref for r in like)
     assert all(r["word"] == ref_word for r in like)
+
+
+def test_cli_crawl_plan(spark, tmp_path):
+    """crawl-plan: fold history -> recrawl due times -> per-host
+    politeness grid; gap invariant holds within every host."""
+    import io
+    import json
+    from collections import defaultdict
+    from contextlib import redirect_stdout
+
+    from chainalytic_framework_spark.__main__ import main
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["crawl-plan", "--warehouse", wh, "--gap", "300",
+              "--limit", "500"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["n_urls"] > 0
+    rows = out["rows"]
+    assert rows
+    byhost = defaultdict(list)
+    for r in rows:
+        assert r["fetch_epoch"] >= r["due_epoch"]
+        byhost[r["host"]].append(r["fetch_epoch"])
+    for fetches in byhost.values():
+        fetches.sort()
+        assert all(b - a >= 300 for a, b in zip(fetches, fetches[1:]))
