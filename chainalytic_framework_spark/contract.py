@@ -4950,14 +4950,17 @@ def fetch_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN 4 THEN '/private'   ELSE '/x1' END AS path,
            CASE doc_id % 6
              WHEN 1 THEN false WHEN 3 THEN false WHEN 4 THEN false
+             WHEN 5 THEN false
              ELSE true END AS allowed,
            CASE doc_id % 6
              WHEN 1 THEN '/private' WHEN 2 THEN '/private/ok'
              WHEN 3 THEN '/tmp'     WHEN 4 THEN '/private'
+             WHEN 5 THEN '/x'
              ELSE NULL END AS matched_prefix,
            CASE doc_id % 6
              WHEN 1 THEN 'disallow' WHEN 2 THEN 'allow'
              WHEN 3 THEN 'disallow' WHEN 4 THEN 'disallow'
+             WHEN 5 THEN 'disallow'
              ELSE NULL END AS matched_rule
     FROM documents
     """,
@@ -4965,13 +4968,13 @@ def fetch_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def robots_allowed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt gatekeeper (operators/robots.py): each lang plays a
     host whose robots.txt has a bot-specific group (must NOT apply to
-    agent '*'), comments, an empty Disallow, a wildcard rule (excluded
-    from literal-prefix matching by contract), and a nested
-    Allow-inside-Disallow; the frontier paths hit every branch —
-    no-match default-allow, plain disallow, longest-match allow
-    override, exact-prefix boundary, wildcard skip. The Spark side
-    PARSES the text and longest-matches; the oracle states the
-    RFC 9309 ground truth per path directly."""
+    agent '*'), comments, an empty Disallow, a wildcard Disallow
+    (matched CONSERVATIVELY by its literal stem '/x' — fail-closed,
+    never fail-open), and a nested Allow-inside-Disallow; the frontier
+    paths hit every branch — no-match default-allow, plain disallow,
+    longest-match allow override, exact-prefix boundary, wildcard-stem
+    block. The Spark side PARSES the text and longest-matches; the
+    oracle states the expected decision per path directly."""
     from .operators.robots import parse_robots, robots_allowed
 
     nl = "\n"
@@ -4984,7 +4987,7 @@ def robots_allowed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit("Disallow: /private" + nl),
                         F.lit("Allow: /private/ok" + nl),
                         F.lit("Disallow:" + nl),          # empty: dropped
-                        F.lit("Disallow: /x*" + nl),      # wildcard: no prefix
+                        F.lit("Disallow: /x*" + nl),      # wildcard: stem blocks
                         F.lit("Disallow: /tmp" + nl))
     )
     rules = parse_robots(robots, "host", "txt", agent="*")

@@ -94,7 +94,8 @@ def html_to_text_columns(df, html_col: str = "html", out_col: str = "text"):
     )
 
 
-_ANCHOR_RE = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+_ANCHOR_RE_DQ = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+_ANCHOR_RE_SQ = r"(?is)<a\s[^>]*href\s*=\s*'([^']*)'[^>]*>(.*?)</a>"
 
 
 def _clean_inline(t: Column) -> Column:
@@ -109,16 +110,24 @@ def _clean_inline(t: Column) -> Column:
 
 
 def extract_anchor_pairs(html: Column) -> tuple[Column, Column]:
-    """Parallel arrays (hrefs, anchor_texts) for the double-quoted
-    ``<a href="...">text</a>`` anchors of a document, in document
-    order. Anchor text is cleaned with :func:`_clean_inline` (inner
-    tags stripped, entities decoded, whitespace collapsed). Two
+    """Parallel arrays (hrefs, anchor_texts) for the ``<a href=...>``
+    anchors of a document — double-quoted anchors first in document
+    order, then single-quoted ones (both quote styles are common in
+    real HTML; ``extract_links`` accepts both, so must this). Anchor
+    text is cleaned with :func:`_clean_inline` (inner tags stripped,
+    entities decoded, whitespace collapsed). Per quote style, two
     ``regexp_extract_all`` passes (one per capture group — Spark and
-    DuckDB both return one group per call), positionally aligned by
-    construction since they walk the same matches."""
-    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), F.lit(1))
+    DuckDB both return one group per call) stay positionally aligned
+    by construction since they walk the same matches."""
+    hrefs = F.concat(
+        F.regexp_extract_all(html, F.lit(_ANCHOR_RE_DQ), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_ANCHOR_RE_SQ), F.lit(1)),
+    )
     texts = F.transform(
-        F.regexp_extract_all(html, F.lit(_ANCHOR_RE), F.lit(2)),
+        F.concat(
+            F.regexp_extract_all(html, F.lit(_ANCHOR_RE_DQ), F.lit(2)),
+            F.regexp_extract_all(html, F.lit(_ANCHOR_RE_SQ), F.lit(2)),
+        ),
         _clean_inline,
     )
     return hrefs, texts

@@ -8,10 +8,15 @@ Allow rule wins; no matching rule means allowed).
 
 Scope kept to the deterministic core: literal path PREFIXES (the
 overwhelming majority of real rules). ``*`` wildcards and ``$`` anchors
-are out of scope and documented as such — a rule containing them is
-still carried through parsing (callers can route those hosts to a
-stricter engine) but is excluded from prefix matching rather than
-silently mis-matched.
+are approximated CONSERVATIVELY (fail-closed, never fail-open): a
+Disallow containing them participates in matching via its literal stem
+(the prefix before the first wildcard character — it can over-block,
+never under-block), while a wildcard Allow is ignored (it could only
+widen access). Both survive parsing verbatim (``is_wildcard`` flag) so
+callers can route wildcard-heavy hosts to a full-REP matcher. Grammar
+is lenient like the major crawlers': leading whitespace, whitespace
+before the colon, inline ``#`` comments, and case-insensitive
+directive names are all accepted.
 
 Everything is DataFrame-native: line explode + two window passes per
 host for agent-group sectioning (a rule line belongs to the nearest
@@ -31,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_DIRECTIVE_RE = r"(?i)^(user-agent|allow|disallow)\s*:\s*(.*?)\s*$"
+_DIRECTIVE_RE = r"(?i)^\s*(user-agent|allow|disallow)\s*:\s*(.*?)\s*$"
 
 
 def parse_robots(
@@ -43,12 +48,13 @@ def parse_robots(
     """Parse robots.txt bodies into per-host prefix rules for ``agent``.
 
     ``robots`` carries one row per host with the raw robots.txt text.
-    Output: (host, rule 'allow'|'disallow', prefix) for every rule in a
-    group whose User-agent set contains ``agent`` (exact token match;
-    callers pass '*' for the generic group). Empty-value Disallow
-    (allow everything) and non-literal prefixes (containing * or $)
-    are dropped from the PREFIX output — the latter deliberately, see
-    module docstring.
+    Output: (host, rule 'allow'|'disallow', prefix, is_wildcard) for
+    every rule in a group whose User-agent set contains ``agent``
+    (exact token match; callers pass '*' for the generic group).
+    Empty-value Disallow lines (allow everything) are dropped; rules
+    containing ``*``/``$`` are kept verbatim with ``is_wildcard=true``
+    — :func:`robots_allowed` applies them conservatively, and callers
+    can route such hosts to a full-REP matcher instead.
     """
     lines = robots.select(
         F.col(host_col).alias("host"),
@@ -87,8 +93,10 @@ def parse_robots(
     return (
         rules.join(agents, ["host", "grp"])
         .where(F.array_contains("agents", agent.lower()))
-        .where(~F.col("prefix").rlike(r"[*$]"))
-        .select("host", "rule", "prefix")
+        .select(
+            "host", "rule", "prefix",
+            F.col("prefix").rlike(r"[*$]").alias("is_wildcard"),
+        )
     )
 
 
@@ -105,17 +113,26 @@ def robots_allowed(
     The winning rule is ``max(struct(len(prefix), rule='allow',
     prefix))``: longest prefix first, Allow beating Disallow on a
     length tie (RFC 9309), with the prefix itself as the final
-    deterministic tiebreak. The join is host-keyed with a startswith
-    post-filter; the rules side broadcasts (it is |hosts|·rules rows),
-    so the frontier never shuffles for the join — the groupBy back to
-    one row per frontier entry is the only frontier-sized exchange.
+    deterministic tiebreak. Wildcard rules enter CONSERVATIVELY: a
+    wildcard Disallow matches by its literal stem before the first
+    ``*``/``$`` (over-blocks, never under-blocks), a wildcard Allow is
+    dropped (could only widen access) — see module docstring. The join
+    is host-keyed with a startswith post-filter; the rules side
+    broadcasts (it is |hosts|·rules rows), so the frontier never
+    shuffles for the join — the groupBy back to one row per frontier
+    entry (duplicates preserved via an in-plan row id) is the only
+    frontier-sized exchange.
     """
     fk = [c for c in frontier.columns]
-    r = rules.select(
+    stem = F.regexp_extract("prefix", r"^([^*$]*)", 1)
+    r = rules.where(
+        ~F.col("is_wildcard") | (F.col("rule") == "disallow")
+    ).select(
         F.col("host").alias("_rh"),
         F.col("rule").alias("_rr"),
-        F.col("prefix").alias("_rp"),
-    )
+        F.when(F.col("is_wildcard"), stem).otherwise(F.col("prefix")).alias("_rp"),
+    ).where(F.col("_rp") != "")
+    frontier = frontier.withColumn("_rid", F.monotonically_increasing_id())
     j = frontier.join(
         F.broadcast(r),
         (F.col(host_col) == F.col("_rh"))
@@ -132,7 +149,7 @@ def robots_allowed(
             ),
         )
     ).alias("_best")
-    agg = j.groupBy(*fk).agg(best)
+    agg = j.groupBy(*fk, "_rid").agg(best)
     return agg.select(
         *fk,
         F.coalesce(F.col("_best.a") == 1, F.lit(True)).alias("allowed"),

@@ -181,7 +181,11 @@ def motif_verify_pairs(
         # the candidate self-join reads `words` twice; without a persist
         # the whole upstream word computation (rank windows over the raw
         # series) executes once per side — measured 2.7x slower at sf0.1.
-        # |keys| rows, so the cache is tiny; pass False to self-manage.
+        # |keys| rows, so the cache is tiny. LIFECYCLE: the handle is
+        # function-local and never unpersisted — fine for one-shot
+        # queries (contract gate, bench, CLI), but a long-lived driver
+        # calling this repeatedly should pass persist_words=False and
+        # persist/unpersist the words frame itself.
         words = words.persist()
     wa = words.select(F.col(k).alias("ka"), "word")
     wb = words.select(F.col(k).alias("kb"), "word")

@@ -13,9 +13,11 @@ actually runs.
 Parsing is the same deterministic RE2-chain discipline as
 ``functions/html.py`` (no XML library dependency, byte-identical
 cross-engine): ``<url>`` blocks are matched non-greedily, ``<loc>`` is
-required, ``<lastmod>`` optional W3C date/datetime (date-only rounds to
-midnight UTC). Malformed blocks yield no row rather than an error —
-web sitemaps are exactly as dirty as web HTML.
+required, ``<lastmod>`` optional W3C date/datetime (date-only rounds
+to midnight UTC; a trailing ``Z`` or ``±HH:MM`` timezone designator is
+parsed and the epoch normalized to true UTC). Malformed blocks yield
+no row rather than an error — web sitemaps are exactly as dirty as
+web HTML.
 
 Scale: parse is explode-per-entry (bounded by the 50k-url sitemap spec
 per file); the seed diff is one key-partitioned outer join of two
@@ -56,15 +58,33 @@ def parse_sitemap(
     )
     loc = F.regexp_extract("block", _LOC_RE, 1)
     lastmod = F.regexp_extract("block", _LASTMOD_RE, 1)
-    # W3C datetime prefix: YYYY-MM-DD[THH:MM:SS...]; to_timestamp on the
-    # first 19 chars (date-only pads to midnight), null on mismatch
-    ts = F.when(
+    # W3C datetime: YYYY-MM-DD[THH:MM:SS[TZD]]; the naive prefix parses
+    # via to_timestamp (session tz is UTC), then the timezone designator
+    # (Z or ±HH:MM) is subtracted to normalize to true UTC — a +02:00
+    # lastmod must compare correctly against a UTC fetch watermark
+    naive = F.when(
         lastmod.rlike(r"^\d{4}-\d{2}-\d{2}$"),
         F.to_timestamp(lastmod, "yyyy-MM-dd"),
     ).when(
         lastmod.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"),
         F.to_timestamp(F.substring(lastmod, 1, 19), "yyyy-MM-dd'T'HH:mm:ss"),
-    )
+    ).cast("long")
+    off_sign = F.when(
+        F.regexp_extract(lastmod, r"([+-])\d{2}:\d{2}$", 1) == "-", -1
+    ).otherwise(1)
+    off_secs = (
+        F.coalesce(
+            F.regexp_extract(lastmod, r"[+-](\d{2}):\d{2}$", 1).try_cast("long"),
+            F.lit(0),
+        )
+        * 3600
+        + F.coalesce(
+            F.regexp_extract(lastmod, r"[+-]\d{2}:(\d{2})$", 1).try_cast("long"),
+            F.lit(0),
+        )
+        * 60
+    ) * off_sign
+    ts = naive - off_secs
     return (
         blocks.select(
             "host",

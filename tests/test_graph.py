@@ -118,13 +118,14 @@ def test_extract_anchor_pairs_cleaning(spark):
     html = (
         '<body><a href="/x">Hello <b>World</b></a>'
         '<a class="z" href="/y"> Fish &amp; Chips </a>'
-        "<a href='/sq'>single-quoted is ignored</a></body>"
+        "<a href='/sq'>single-quoted too</a></body>"
     )
     df = spark.createDataFrame([(html,)], "html string")
     h, t = extract_anchor_pairs(F.col("html"))
     row = df.select(h.alias("h"), t.alias("t")).collect()[0]
-    assert row["h"] == ["/x", "/y"]
-    assert row["t"] == ["Hello World", "Fish & Chips"]
+    # double-quoted anchors in document order, then single-quoted ones
+    assert row["h"] == ["/x", "/y", "/sq"]
+    assert row["t"] == ["Hello World", "Fish & Chips", "single-quoted too"]
 
 
 def test_anchor_text_index_top_term_deterministic(spark):

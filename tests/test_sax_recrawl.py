@@ -303,10 +303,12 @@ def test_parse_robots_comments_case_whitespace(spark):
         "  DisAllow :  /weird   # inline comment\n"
         "Allow: /w  \n"
     )
-    # 'DisAllow :' with a space before the colon is NOT a directive per
-    # the grammar (strict 'name:' match) — only Allow: /w parses.
+    # lenient grammar like the major crawlers: leading whitespace,
+    # whitespace before the colon, inline comments, any case
     rules = parse_robots(_robots(spark, {"h": txt}), "host", "txt").collect()
-    assert {(r["rule"], r["prefix"]) for r in rules} == {("allow", "/w")}
+    assert {(r["rule"], r["prefix"]) for r in rules} == {
+        ("disallow", "/weird"), ("allow", "/w"),
+    }
 
 
 def test_robots_allowed_longest_match_and_tie(spark):
@@ -359,8 +361,8 @@ def test_parse_sitemap_forms(spark):
     assert set(out) == {"https://h/a", "https://h/b", "https://h/c",
                         "https://h/d"}
     assert out["https://h/a"] == 1706745600            # midnight UTC
-    # timezone suffix is truncated by contract: parsed as naive UTC
-    assert out["https://h/b"] == 1706745600 + 12 * 3600 + 30 * 60 + 5
+    # +02:00 designator subtracted: normalized to true UTC
+    assert out["https://h/b"] == 1706745600 + 12 * 3600 + 30 * 60 + 5 - 7200
     assert out["https://h/c"] is None
     assert out["https://h/d"] is None                   # unparseable
 
@@ -380,3 +382,36 @@ def test_seed_frontier_classification(spark):
     out = {r["loc"]: r["reason"] for r in
            seed_frontier(entries, known).collect()}
     assert out == {"u1": "new", "u2": "stale", "u3": "fresh", "u4": "fresh"}
+
+
+def test_robots_wildcard_disallow_fail_closed_and_dups_preserved(spark):
+    from chainalytic_framework_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private*\n"      # wildcard: matches by stem, blocks
+        "Allow: /pub*\n"             # wildcard allow: ignored (no widen)
+        "Disallow: /pub\n"
+    )
+    rules = parse_robots(_robots(spark, {"h": txt}), "host", "txt")
+    got = {(r["rule"], r["prefix"], r["is_wildcard"]) for r in rules.collect()}
+    assert got == {("disallow", "/private*", True),
+                   ("allow", "/pub*", True),
+                   ("disallow", "/pub", False)}
+    frontier = spark.createDataFrame(
+        [("u1", "h", "/private/x"), ("u2", "h", "/pub/y"),
+         ("u2", "h", "/pub/y"), ("u3", "h", "/free")],  # u2 duplicated
+        "url string, host string, path string",
+    )
+    out = robots_allowed(frontier, rules, "host", "path").collect()
+    assert len(out) == 4  # duplicate frontier rows are preserved
+    by = {}
+    for r in out:
+        by.setdefault(r["url"], []).append(r)
+    assert all(not r["allowed"] for r in by["u1"])  # stem '/private' blocks
+    assert all(not r["allowed"] for r in by["u2"])  # wildcard allow ignored
+    assert len(by["u2"]) == 2
+    assert by["u3"][0]["allowed"] is True
