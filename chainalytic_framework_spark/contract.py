@@ -5057,3 +5057,182 @@ def sitemap_frontier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(loc.alias("loc"), F.lit(1705276800).cast("long").alias("f"))
     )
     return seed_frontier(entries, known, url_col="loc", fetched_epoch_col="f")
+
+
+@q(
+    "burst_windows_events",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, b, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY b
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING) AS bsum,
+             COUNT(c) OVER (PARTITION BY event_type ORDER BY b
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING) AS bn
+      FROM h),
+    bursts AS (
+      SELECT event_type, b, c FROM w
+      WHERE bn >= 6 AND c * bn * 10000 >= 12000 * bsum),
+    isl AS (
+      SELECT event_type, b, c,
+             b - 3600 * row_number() OVER
+               (PARTITION BY event_type ORDER BY b) AS grp
+      FROM bursts)
+    SELECT event_type,
+           CAST(MIN(b) AS BIGINT) AS burst_start,
+           CAST(MAX(b) + 3600 AS BIGINT) AS burst_end,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS peak_count,
+           CAST(SUM(c) AS BIGINT) AS total_count
+    FROM isl GROUP BY event_type, grp
+    """,
+)
+def burst_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst interval detection (operators/trend.py::burst_windows):
+    hours whose event count exceeds 1.2x their own trailing-24h
+    per-bucket baseline (>= 6 observed buckets of history), merged into
+    gaps-and-islands intervals — the batch Kleinberg-style burst
+    alarm over the hourly tier, integer-exact via cross-multiplied
+    threshold (no float ratio ever computed)."""
+    from .operators.trend import burst_windows
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _bucket_epoch("ts", 3600)
+    )
+    hourly = ev.groupBy("event_type", "bucket_epoch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return burst_windows(
+        hourly, ["event_type"], "bucket_epoch", "c",
+        tier_secs=3600, baseline_buckets=24,
+        mult_x1e4=12000, min_base_buckets=6,
+    )
+
+
+@q(
+    "spearman_daily_events",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type, a.day, a.c AS x, b.c AS y
+      FROM d a JOIN d b ON a.day = b.day AND b.event_type = 'view'
+      WHERE a.event_type <> 'view'),
+    r AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY x, day)
+               AS rx,
+             row_number() OVER (PARTITION BY event_type ORDER BY y, day)
+               AS ry
+      FROM p),
+    g AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sd2
+      FROM r GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n < 2 THEN NULL ELSE
+             CAST((CASE WHEN (n*n*n - n) - 6*sd2 < 0 THEN -1 ELSE 1 END)
+                  * ((abs((n*n*n - n) - 6*sd2) * 10000) // (n*n*n - n))
+                  AS BIGINT) END AS rho_x1e4
+    FROM g
+    """,
+)
+def spearman_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank correlation of every type's daily cent series against the
+    'view' reference series (operators/trend.py::spearman) — the
+    monotone-robust complement to linfit's Pearson r^2 (an accelerating
+    series still scores |rho| ~ 1). Ranks by row_number over
+    (value, day): a total deterministic order, bit-identical across
+    engines and cluster sizes; rho in exact integer arithmetic."""
+    from .operators.trend import spearman
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _bucket_epoch("ts", 86400), _cents().alias("_c")
+    )
+    daily = ev.groupBy("event_type", "bucket_epoch").agg(
+        F.sum("_c").alias("c")
+    )
+    ref = daily.where(F.col("event_type") == "view").select(
+        F.col("bucket_epoch").alias("day"), F.col("c").alias("y")
+    )
+    pairs = (
+        daily.where(F.col("event_type") != "view")
+        .select("event_type", F.col("bucket_epoch").alias("day"),
+                F.col("c").alias("x"))
+        .join(F.broadcast(ref), "day")
+    )
+    return spearman(pairs, ["event_type"], "x", "y", "day")
+
+
+@q(
+    "entropy_by_source_documents",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+    t AS (
+      SELECT source, c, SUM(c) OVER (PARTITION BY source) AS n FROM c)
+    SELECT source,
+           CAST(SUM(CAST(round((CAST(c AS DOUBLE) / n)
+                 * ln(CAST(n AS DOUBLE) / c) * 100000000) AS BIGINT))
+             AS BIGINT) AS entropy_x1e8,
+           CAST(COUNT(*) AS BIGINT) AS n_categories,
+           CAST(SUM(c) AS BIGINT) AS n_total
+    FROM t GROUP BY 1
+    """,
+)
+def entropy_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix
+    (operators/histogram.py::entropy_by_group) — the diversity /
+    concentration monitor a crawl operator watches per host (a host
+    collapsing to one language is a content-farm signal PSI's
+    two-window test misses). Per-term x1e8 rounding, same determinism
+    contract as the PSI/surprisal family."""
+    from .operators.histogram import entropy_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return entropy_by_group(d, ["source"], "lang")
+
+
+@q(
+    "distinctive_terms_documents",
+    """
+    WITH tok AS (
+      SELECT lang AS g, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    cg AS (
+      SELECT g, term, COUNT(*) AS c FROM tok
+      WHERE length(term) >= 4 GROUP BY 1, 2),
+    ct AS (
+      SELECT g, term, c, SUM(c) OVER (PARTITION BY term) AS ct FROM cg),
+    gt AS (SELECT g, SUM(c) AS cgt FROM cg GROUP BY 1),
+    tt AS (SELECT SUM(cgt) AS ctot FROM gt),
+    s AS (
+      SELECT ct.g, ct.term, ct.c,
+             CAST(round(ln(((c + 0.5) * (ctot - cgt - (ct.ct - c) + 0.5))
+                  / ((cgt - c + 0.5) * ((ct.ct - c) + 0.5))) * 10000)
+               AS BIGINT) AS lor_x1e4
+      FROM ct JOIN gt USING (g), tt)
+    SELECT g AS lang, term, CAST(c AS BIGINT) AS c, lor_x1e4
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY g ORDER BY lor_x1e4 DESC, term) AS rn FROM s)
+    WHERE rn <= 5
+    """,
+)
+def distinctive_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per language by smoothed log-odds-ratio
+    (functions/text.py::distinctive_terms) — Monroe et al.'s
+    fightin'-words corpus comparison: terms COMMON in this group and
+    rare elsewhere (where TF-IDF rewards terms rare everywhere).
+    Per-term x1e4 rounding; two-phase shard-pruned top-k so no task
+    sorts a vocabulary."""
+    from .functions.text import distinctive_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return distinctive_terms(d, "lang", k=5, min_len=4)

@@ -213,3 +213,46 @@ def psi_from_counts(
         .cast("long")
         .alias("n_bins_b_only"),
     )
+
+
+def entropy_by_group(
+    df: DataFrame,
+    key_cols: list[str],
+    cat_col: str,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Shannon entropy of a categorical distribution per key — the
+    diversity/concentration monitor PSI's two-window drift test does
+    not cover (one window, one number: "how spread is this host's
+    language / content-type mix?"). Per key over category counts c_i,
+    N = Σc_i:
+
+        entropy_x1e8 = Σ_i round((c_i/N) · ln(N/c_i) · 10⁸)
+        n_categories, n_total
+
+    Per-term rounding on ratios of exact integers — the same
+    cross-engine determinism contract as :func:`psi_drift` and the
+    surprisal family. 0 for a single-category key; ln(k)·10⁸ when k
+    categories are uniform. ``count_col=None`` counts rows (raw form);
+    pass a count column to run over pre-aggregated tier counts (the
+    routed-read form — category counts are additive across buckets).
+
+    Plan: one hash agg per (key, category) — map-side combinable — then
+    a key-partition window for N and one final key agg; rows after the
+    first agg are bounded by keys × categories, never raw scale.
+    """
+    from pyspark.sql import Window
+
+    n = F.lit(1) if count_col is None else F.col(count_col)
+    per_cat = df.groupBy(*key_cols, cat_col).agg(F.sum(n).alias("_c"))
+    wk = Window.partitionBy(*key_cols)
+    t = per_cat.select(
+        *key_cols, "_c", F.sum("_c").over(wk).alias("_n")
+    )
+    c, tot = F.col("_c").cast("double"), F.col("_n").cast("double")
+    term = F.round((c / tot) * F.log(tot / c) * 100000000).cast("long")
+    return t.groupBy(*key_cols).agg(
+        F.sum(term).cast("long").alias("entropy_x1e8"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum("_c").cast("long").alias("n_total"),
+    )

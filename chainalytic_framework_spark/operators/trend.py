@@ -294,3 +294,120 @@ def max_drawdown(
         F.col("_last._cum").cast("long").alias("final_cum"),
         "n_buckets",
     )
+
+
+def spearman(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Per-key Spearman rank correlation of paired observations,
+    integer-exact. Ranks are assigned by ``row_number`` ordered by
+    ``(value, order_col)`` — a TOTAL deterministic order, so ties take
+    consecutive ranks by the tiebreak column instead of float midranks
+    (documented variant; bit-identical across engines and cluster
+    sizes, which midrank averaging in float is not). Then
+
+        rho_x1e4 = sign(num) * (|num| * 10^4) intdiv den
+        num = (n^3 - n) - 6*sum(d^2),   den = n^3 - n,   d = rank_x - rank_y
+
+    Keys with n < 2 emit rho NULL. Robustness complement to
+    :func:`linfit`'s Pearson r^2: monotone-but-nonlinear drift (a
+    series accelerating toward saturation) still scores |rho| ~ 1.
+
+    Scale: two row_number windows + one agg, ALL partitioned by the
+    same key columns -> one shuffle; per-key cost is the sort of that
+    key's series (bounded by retention horizon on tier tables).
+    """
+    wx = Window.partitionBy(*key_cols).orderBy(x_col, order_col)
+    wy = Window.partitionBy(*key_cols).orderBy(y_col, order_col)
+    d = (
+        df.select(*key_cols, x_col, y_col, order_col)
+        .withColumn("_rx", F.row_number().over(wx))
+        .withColumn("_ry", F.row_number().over(wy))
+        .withColumn("_d", (F.col("_rx") - F.col("_ry")).cast(_DEC))
+    )
+    g = d.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("_n"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sd2"),
+    )
+    den = F.col("_n") * F.col("_n") * F.col("_n") - F.col("_n")
+    num = den - F.lit(6).cast(_DEC) * F.col("_sd2")
+    sgn = F.when(num < 0, -1).otherwise(1)
+    rho = F.when(F.col("_n") < 2, F.lit(None)).otherwise(
+        sgn * F.expr(
+            "(abs((_n*_n*_n - _n) - 6*_sd2) * 10000)"
+            " div (_n*_n*_n - _n)"
+        )
+    )
+    return g.select(
+        *key_cols,
+        F.col("_n").cast("long").alias("n_points"),
+        rho.cast("long").alias("rho_x1e4"),
+    )
+
+
+def burst_windows(
+    tier: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    tier_secs: int,
+    baseline_buckets: int = 24,
+    mult_x1e4: int = 30000,
+    min_base_buckets: int = 6,
+) -> DataFrame:
+    """Burst interval detection over a per-key bucket count series — a
+    batch, integer-exact take on Kleinberg's burst model: a bucket is
+    BURSTING when its count exceeds ``mult_x1e4/1e4`` times its own
+    trailing per-bucket baseline, and consecutive bursting buckets
+    merge into one reported interval (gaps-and-islands).
+
+    Baseline is a RANGE window over bucket EPOCH (not row offsets, so
+    series gaps shorten the baseline instead of silently reaching
+    further back): buckets in [b - baseline_buckets*tier_secs,
+    b - tier_secs]. The test is cross-multiplied to stay in exact
+    integers — ``c * base_n * 1e4 >= mult_x1e4 * base_sum`` — and
+    requires ``base_n >= min_base_buckets`` of observed history (cold
+    starts never alarm). Output per interval: start/end epoch
+    (end exclusive), n_buckets, peak and total counts.
+
+    Scale: one RANGE window + one row_number window + one agg, all on
+    the same key partitioning -> one shuffle of the TIER table (never
+    raw). The Zipf-hot key costs one task sorting its own series only.
+    """
+    b = F.col(bucket_col).cast("long")
+    v = F.col(value_col).cast(_DEC)
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_b"))
+        .rangeBetween(-baseline_buckets * tier_secs, -tier_secs)
+    )
+    d = (
+        tier.select(*key_cols, b.alias("_b"), v.alias("_c"))
+        .withColumn("_bsum", F.sum("_c").over(wb))
+        .withColumn("_bn", F.count("_c").over(wb).cast(_DEC))
+    )
+    is_burst = (
+        (F.col("_bn") >= min_base_buckets)
+        & (F.col("_c") * F.col("_bn") * F.lit(10000).cast(_DEC)
+           >= F.lit(mult_x1e4).cast(_DEC) * F.col("_bsum"))
+    )
+    bursts = d.where(is_burst)
+    rn = F.row_number().over(Window.partitionBy(*key_cols).orderBy("_b"))
+    grp = (F.col("_b") - F.col("_rn") * F.lit(tier_secs)).alias("_grp")
+    return (
+        bursts.withColumn("_rn", rn)
+        .withColumn("_grp", grp)
+        .groupBy(*key_cols, "_grp")
+        .agg(
+            F.min("_b").alias("burst_start"),
+            (F.max("_b") + F.lit(tier_secs)).alias("burst_end"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("_c").cast("long").alias("peak_count"),
+            F.sum("_c").cast("long").alias("total_count"),
+        )
+        .drop("_grp")
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from chainalytic_framework_spark.operators.histogram import (
     decade_digit_bucket,
+    entropy_by_group,
     histogram_downsample,
     histogram_rollup,
     quantile_from_histogram,
@@ -150,3 +151,37 @@ def test_psi_appeared_vanished_bins_reported_not_smoothed(spark):
     assert out.n_bins_a_only == 1  # bin 20 vanished
     assert out.n_bins_b_only == 1  # bin 30 appeared
     assert out.psi_x1e8 == 0  # the shared bin has equal proportions
+
+
+# --- entropy_by_group -------------------------------------------------------
+
+
+def test_entropy_uniform_is_ln_k(spark):
+    import math
+
+    rows = [("s", f"c{i % 4}") for i in range(400)]
+    out = entropy_by_group(
+        spark.createDataFrame(rows, ["g", "cat"]), ["g"], "cat"
+    ).collect()[0]
+    # 4 uniform categories: per-term round((1/4)*ln(4)*1e8) * 4
+    assert out.entropy_x1e8 == 4 * round(0.25 * math.log(4.0) * 1e8)
+    assert out.n_categories == 4 and out.n_total == 400
+
+
+def test_entropy_single_category_zero(spark):
+    rows = [("s", "only")] * 10
+    out = entropy_by_group(
+        spark.createDataFrame(rows, ["g", "cat"]), ["g"], "cat"
+    ).collect()[0]
+    assert out.entropy_x1e8 == 0 and out.n_categories == 1
+
+
+def test_entropy_precounted_equals_raw(spark):
+    rows = [("s", "a")] * 7 + [("s", "b")] * 3 + [("t", "a")] * 5
+    raw = spark.createDataFrame(rows, ["g", "cat"])
+    pre = raw.groupBy("g", "cat").count()
+    a = {r.g: r.entropy_x1e8
+         for r in entropy_by_group(raw, ["g"], "cat").collect()}
+    b = {r.g: r.entropy_x1e8
+         for r in entropy_by_group(pre, ["g"], "cat", "count").collect()}
+    assert a == b

@@ -187,3 +187,52 @@ def test_ngram_counts_ungrouped_topk_take_ordered(spark):
     want = sorted(((r["ngram"], r["c"]) for r in full),
                   key=lambda t: (-t[1], t[0]))[:3]
     assert sorted(rows, key=lambda t: (-t[1], t[0])) == want
+
+
+# --- distinctive_terms (log-odds fightin' words) -----------------------------
+
+
+def test_distinctive_terms_separates_group_vocab(spark):
+    rows = (
+        [(i, "alpha shared filler", "en") for i in range(20)]
+        + [(100 + i, "omega shared filler", "fr") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    from chainalytic_framework_spark.functions.text import distinctive_terms
+
+    out = distinctive_terms(df, "lang", k=2, min_len=4)
+    top = {r.lang: r.term for r in out.where("c > 0").collect()
+           if r.term in ("alpha", "omega")}
+    assert top == {"en": "alpha", "fr": "omega"}
+    # the group-exclusive term must outscore the shared ones
+    scores = {(r.lang, r.term): r.lor_x1e4 for r in out.collect()}
+    assert scores[("en", "alpha")] > scores.get(("en", "shared"), -10**9)
+    assert scores[("fr", "omega")] > scores.get(("fr", "shared"), -10**9)
+
+
+def test_distinctive_terms_shared_vocab_near_zero(spark):
+    # identical distributions: every term's log-odds ~ 0 (|lor| small)
+    rows = [(i, "same same word list", "en") for i in range(10)] + [
+        (50 + i, "same same word list", "fr") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    from chainalytic_framework_spark.functions.text import distinctive_terms
+
+    out = distinctive_terms(df, "lang", k=10, min_len=4).collect()
+    assert all(abs(r.lor_x1e4) < 2000 for r in out)
+
+
+def test_distinctive_terms_topk_bounded_and_deterministic(spark):
+    rows = [(i, f"tok{i % 37} common", "en") for i in range(100)] + [
+        (200, "common", "fr")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    from chainalytic_framework_spark.functions.text import distinctive_terms
+
+    a = distinctive_terms(df, "lang", k=5, min_len=3).collect()
+    b = distinctive_terms(df.repartition(16), "lang", k=5, min_len=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    per = Counter(r.lang for r in a)
+    assert all(v <= 5 for v in per.values())

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 from chainalytic_framework_spark.operators.trend import (
     acf_lag,
+    burst_windows,
     changepoint,
     linfit,
+    spearman,
 )
 
 
@@ -331,3 +333,129 @@ def test_drawdown_matches_bruteforce(spark):
         if d > best[0]:
             best = (d, 3600 * i)
     assert (out.max_drawdown, out.trough_epoch) == best
+
+
+# --- spearman ---------------------------------------------------------------
+
+
+def test_spearman_perfect_monotone_nonlinear(spark):
+    # y = x^3 is monotone but nonlinear: Spearman must hit +1 exactly
+    rows = [("a", i, x, x**3) for i, x in enumerate(range(1, 31))]
+    out = spearman(
+        _df(spark, rows, ["k", "o", "x", "y"]), ["k"], "x", "y", "o"
+    ).collect()[0]
+    assert out.n_points == 30
+    assert out.rho_x1e4 == 10000
+
+
+def test_spearman_perfect_inverse(spark):
+    rows = [("a", i, x, -x) for i, x in enumerate(range(20))]
+    out = spearman(
+        _df(spark, rows, ["k", "o", "x", "y"]), ["k"], "x", "y", "o"
+    ).collect()[0]
+    assert out.rho_x1e4 == -10000
+
+
+def test_spearman_matches_scipy_formula(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    xs = rng.permutation(200)
+    ys = rng.permutation(200)
+    # distinct values => row_number ranks == classic ranks; exact formula
+    rx = np.argsort(np.argsort(xs)) + 1
+    ry = np.argsort(np.argsort(ys)) + 1
+    n = 200
+    num = (n**3 - n) - 6 * int(((rx - ry) ** 2).sum())
+    expected = (1 if num >= 0 else -1) * (abs(num) * 10000 // (n**3 - n))
+    rows = [("a", i, int(x), int(y)) for i, (x, y) in enumerate(zip(xs, ys))]
+    out = spearman(
+        _df(spark, rows, ["k", "o", "x", "y"]), ["k"], "x", "y", "o"
+    ).collect()[0]
+    assert out.rho_x1e4 == expected
+
+
+def test_spearman_single_point_null(spark):
+    out = spearman(
+        _df(spark, [("a", 1, 5, 7)], ["k", "o", "x", "y"]),
+        ["k"], "x", "y", "o",
+    ).collect()[0]
+    assert out.n_points == 1 and out.rho_x1e4 is None
+
+
+def test_spearman_parallelism_invariant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"k{i % 4}", i, int(rng.integers(0, 50)), int(rng.integers(0, 50)))
+        for i in range(400)
+    ]
+    df = _df(spark, rows, ["k", "o", "x", "y"])
+    a = {r.k: r.rho_x1e4 for r in
+         spearman(df.coalesce(1), ["k"], "x", "y", "o").collect()}
+    b = {r.k: r.rho_x1e4 for r in
+         spearman(df.repartition(16), ["k"], "x", "y", "o").collect()}
+    assert a == b
+
+
+# --- burst_windows ----------------------------------------------------------
+
+
+def _hourly(spark, counts, key="a", tier=3600):
+    rows = [(key, i * tier, int(c)) for i, c in enumerate(counts)]
+    return _df(spark, rows, ["k", "b", "c"])
+
+
+def test_burst_flags_spike_and_merges_islands(spark):
+    # 24h of steady 10/hr, then a two-hour 50/hr spike, then steady
+    counts = [10] * 24 + [50, 50] + [10] * 6
+    out = burst_windows(
+        _hourly(spark, counts), ["k"], "b", "c", 3600,
+        baseline_buckets=24, mult_x1e4=30000, min_base_buckets=6,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.burst_start == 24 * 3600
+    assert r.burst_end == 26 * 3600  # exclusive, merged two buckets
+    assert r.n_buckets == 2 and r.peak_count == 50 and r.total_count == 100
+
+
+def test_burst_cold_start_never_alarms(spark):
+    # first buckets have no baseline history: min_base gate holds
+    counts = [100, 100, 100, 10, 10, 10]
+    out = burst_windows(
+        _hourly(spark, counts), ["k"], "b", "c", 3600,
+        baseline_buckets=24, mult_x1e4=15000, min_base_buckets=6,
+    ).collect()
+    assert out == []
+
+
+def test_burst_range_window_ignores_gap_reachback(spark):
+    # a series gap must SHORTEN the baseline (range window), not let the
+    # window reach further back in rows: bucket at t=30h sees only the
+    # 6 buckets within its trailing 24h, all small -> bursts
+    rows = [("a", h * 3600, 10) for h in range(8)]           # old history
+    rows += [("a", (24 + h) * 3600, 10) for h in range(6)]   # recent 6
+    rows += [("a", 30 * 3600, 40)]                           # spike
+    df = _df(spark, rows, ["k", "b", "c"])
+    out = burst_windows(
+        df, ["k"], "b", "c", 3600,
+        baseline_buckets=24, mult_x1e4=30000, min_base_buckets=6,
+    ).collect()
+    assert len(out) == 1 and out[0].burst_start == 30 * 3600
+
+
+def test_burst_exact_threshold_boundary(spark):
+    # c * bn * 1e4 == mult * bsum exactly -> bursts (>= comparison)
+    counts = [10] * 24 + [30]
+    hits = burst_windows(
+        _hourly(spark, counts), ["k"], "b", "c", 3600,
+        baseline_buckets=24, mult_x1e4=30000, min_base_buckets=6,
+    ).collect()
+    assert len(hits) == 1
+    misses = burst_windows(
+        _hourly(spark, [10] * 24 + [29]), ["k"], "b", "c", 3600,
+        baseline_buckets=24, mult_x1e4=30000, min_base_buckets=6,
+    ).collect()
+    assert misses == []
