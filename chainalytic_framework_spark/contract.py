@@ -96,6 +96,12 @@ _GATE_PRIORITY = [
     "fetch_plan_events",
     "robots_allowed_documents",
     "sitemap_frontier_documents",
+    # round-5 continuation-session additions (never certified — window
+    # priority)
+    "burst_windows_events",
+    "spearman_daily_events",
+    "entropy_by_source_documents",
+    "distinctive_terms_documents",
     # 39 queries whose newest driver certification is round 3; with the
     # additions above, the LAST 25 of these fall outside the 50-row
     # window this round — all twenty-five hold round-3 driver

@@ -500,11 +500,19 @@ def distinctive_terms(
     tok = docs.select(F.col(group_col).alias("g"), toks).where(
         F.length("term") >= min_len
     )
-    cg = tok.groupBy("g", "term").agg(F.count(F.lit(1)).alias("c"))
-    cg = cg.withColumn(
+    # ONE corpus explode: the (group,term) count table feeds three
+    # consumers (term-total window, group totals, grand total) — without
+    # the persist Spark re-derives it per branch and the raw scan runs
+    # 3x (Catalyst's ReuseExchange doesn't unify the differently-pruned
+    # branches; verified in tools/explain_audit.py). The persisted frame
+    # is vocab-scale (groups x terms), not corpus-scale.
+    cg0 = (
+        tok.groupBy("g", "term").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
+    cg = cg0.withColumn(
         "ct", F.sum("c").over(Window.partitionBy("term"))
     )
-    gt = cg.groupBy("g").agg(F.sum("c").alias("cgt"))
+    gt = cg0.groupBy("g").agg(F.sum("c").alias("cgt"))
     tot = gt.agg(F.sum("cgt").alias("ctot"))
     j = (
         cg.join(F.broadcast(gt), "g")

@@ -382,6 +382,35 @@ def main() -> int:
     ok &= audit("sitemap seed: parse shuffle-free + one keyed state join",
                 contract.sitemap_frontier_documents(spark, sf),
                 {"max_exchanges": 4})
+    # burst windows: hourly agg + one key-partitioned window family
+    # (RANGE baseline + islands row_number share the key partitioning)
+    ok &= audit("burst windows: one agg + one key window family",
+                contract.burst_windows_events(spark, sf),
+                {"max_exchanges": 3})
+    # spearman: reference series broadcast; rank windows + final agg all
+    # ride the same event_type partitioning
+    ok &= audit("spearman: broadcast reference + one key window family",
+                contract.spearman_daily_events(spark, sf),
+                {"broadcast": True, "max_exchanges": 5})
+    # entropy: (key,cat) hash agg -> key window -> key agg; bounded by
+    # keys x categories after the first map-side-combinable agg
+    ok &= audit("entropy: two bounded aggs + key window, no join",
+                contract.entropy_by_source_documents(spark, sf),
+                {"max_exchanges": 4})
+    # distinctive terms: the (group,term) count table is persisted so the
+    # corpus explode runs ONCE and its three consumers (term-total
+    # window, group totals, grand total) read the cache; totals broadcast;
+    # shard-pruned top-k never sorts a vocabulary in one task
+    dt_plan = (contract.distinctive_terms_documents(spark, sf)
+               ._jdf.queryExecution().executedPlan().toString())
+    dt_ok = (dt_plan.count("InMemoryTableScan") >= 3
+             and "BroadcastExchange" in dt_plan
+             and "CartesianProduct" not in dt_plan)
+    print(("OK " if dt_ok else "BAD")
+          + f" distinctive terms: cached-count readers="
+            f"{dt_plan.count('InMemoryTableScan')} "
+            f"bcast={'BroadcastExchange' in dt_plan}")
+    ok &= dt_ok
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
