@@ -70,6 +70,11 @@ HEADLINE = [
     # and the per-entity lead window (state-duration accounting)
     "ohlc_1h_events",
     "state_durations_events",
+    # round-5 continuation additions: trailing RANGE-window burst scan
+    # (a frame shape not in the list) and the cached-count log-odds
+    # top-k (multi-consumer reuse + sharded window)
+    "burst_windows_events",
+    "distinctive_terms_documents",
     # round-5 final-session additions: symbolic series words (rank
     # window + hash aggs), the word-banded candidate→verify pair
     # pipeline, and the recrawl derive (lag window + key agg)

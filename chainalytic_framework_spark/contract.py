@@ -102,6 +102,7 @@ _GATE_PRIORITY = [
     "spearman_daily_events",
     "entropy_by_source_documents",
     "distinctive_terms_documents",
+    "theil_sen_daily_events",
     # 39 queries whose newest driver certification is round 3; with the
     # additions above, the LAST 25 of these fall outside the 50-row
     # window this round — all twenty-five hold round-3 driver
@@ -5242,3 +5243,52 @@ def distinctive_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return distinctive_terms(d, "lang", k=5, min_len=4)
+
+
+@q(
+    "theil_sen_daily_events",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type, a.day AS x1, b.day AS x2,
+             CASE WHEN b.c < a.c THEN -1 WHEN b.c > a.c THEN 1 ELSE 0 END
+               AS sgn,
+             abs(b.c - a.c) AS ady, b.day - a.day AS dx
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day),
+    s AS (
+      SELECT event_type, x1, x2, sgn,
+             sgn * ((ady * 10000) // dx) AS sl
+      FROM p),
+    r AS (
+      SELECT event_type, sl, sgn,
+             row_number() OVER (PARTITION BY event_type ORDER BY sl, x1, x2)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM s)
+    SELECT event_type,
+           CAST(MAX(CASE WHEN rn = (np + 1) // 2 THEN sl END) AS BIGINT)
+             AS slope_x1e4,
+           CAST(SUM(sgn) AS BIGINT) AS mk_s,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM r GROUP BY 1
+    """,
+)
+def theil_sen_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily trend per type (operators/trend.py::theil_sen):
+    Theil-Sen lower-median pairwise slope (one outlier day moves the
+    estimate at most one rank, where linfit's least squares chases it)
+    plus the Mann-Kendall S monotone-trend statistic — both exact
+    integers with a total deterministic tie order. Pair frame is
+    quadratic in SERIES LENGTH only (30 days -> 435 pairs/key), never
+    in key count."""
+    from .operators.trend import theil_sen
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (_epoch("ts") / 86400).cast("long").alias("day"),
+        _cents().alias("_c"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("_c").alias("c"))
+    return theil_sen(daily, ["event_type"], "day", "c")

@@ -411,3 +411,60 @@ def burst_windows(
         )
         .drop("_grp")
     )
+
+
+def theil_sen(
+    tier: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Robust per-key trend over a bucket series: Theil–Sen median
+    slope + the Mann–Kendall S statistic, exact-integer.
+
+    Over all ordered pairs x_i < x_j of the key's series:
+
+        slope_ij    = sign(dy) * (|dy| * 10^4) intdiv dx   (exact int)
+        slope_x1e4  = lower median of slope_ij, tie-broken by (x_i, x_j)
+                      — a total deterministic order, so the estimate is
+                      bit-identical across engines and cluster sizes
+        mk_s        = Σ sign(dy)  (Mann–Kendall: +n_conc − n_disc; |S|
+                      near n_pairs ⇒ strong monotone trend)
+
+    Unlike :func:`linfit`, one wild outlier bucket moves this estimate
+    by at most one rank — the breakdown-point trade the monitoring
+    literature makes for noisy operational series.
+
+    Scale: the pair frame is a key-partitioned SELF-JOIN — quadratic in
+    SERIES LENGTH, never in key count. Run it over TIER series (length
+    bounded by the retention horizon: a 90-day daily series is 4,005
+    pairs/key); the hot key costs one task of its own bounded pairs.
+    One shuffle for the join + one window/agg family on the same keys.
+    """
+    a = tier.select(*key_cols, F.col(x_col).alias("_x1"),
+                    F.col(y_col).cast(_DEC).alias("_y1"))
+    b = tier.select(*key_cols, F.col(x_col).alias("_x2"),
+                    F.col(y_col).cast(_DEC).alias("_y2"))
+    pairs = a.join(b, key_cols).where(F.col("_x1") < F.col("_x2"))
+    dy = F.col("_y2") - F.col("_y1")
+    dx = (F.col("_x2") - F.col("_x1")).cast(_DEC)
+    sgn = F.when(dy < 0, -1).when(dy > 0, 1).otherwise(0)
+    p = pairs.select(
+        *key_cols, "_x1", "_x2",
+        (sgn * F.expr("(abs(_y2 - _y1) * 10000) div (_x2 - _x1)"))
+        .cast("long").alias("_s"),
+        sgn.alias("_sgn"),
+    )
+    wk = Window.partitionBy(*key_cols)
+    r = p.select(
+        *key_cols, "_s", "_sgn",
+        F.row_number().over(wk.orderBy("_s", "_x1", "_x2")).alias("_rn"),
+        F.count(F.lit(1)).over(wk).alias("_np"),
+    )
+    return r.groupBy(*key_cols).agg(
+        F.max(F.when(F.col("_rn") == F.expr("(_np + 1) div 2"),
+                     F.col("_s")).otherwise(None))
+        .cast("long").alias("slope_x1e4"),
+        F.sum("_sgn").cast("long").alias("mk_s"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )

@@ -11,6 +11,7 @@ from chainalytic_framework_spark.operators.trend import (
     changepoint,
     linfit,
     spearman,
+    theil_sen,
 )
 
 
@@ -459,3 +460,56 @@ def test_burst_exact_threshold_boundary(spark):
         baseline_buckets=24, mult_x1e4=30000, min_base_buckets=6,
     ).collect()
     assert misses == []
+
+
+# --- theil_sen --------------------------------------------------------------
+
+
+def test_theil_sen_perfect_line(spark):
+    rows = [("a", x, 5 * x + 3) for x in range(20)]
+    out = theil_sen(_df(spark, rows, ["k", "x", "y"]), ["k"], "x", "y").collect()[0]
+    assert out.slope_x1e4 == 50000
+    assert out.n_pairs == 190
+    assert out.mk_s == 190  # all pairs concordant
+
+
+def test_theil_sen_ignores_single_outlier(spark):
+    # linfit gets dragged by the spike; theil-sen's median slope holds
+    rows = [("a", x, 2 * x) for x in range(21)]
+    rows[20] = ("a", 20, 100000)  # at the end: max leverage on least squares
+    df = _df(spark, rows, ["k", "x", "y"])
+    ts = theil_sen(df, ["k"], "x", "y").collect()[0]
+    lf = linfit(df, ["k"], "x", "y").collect()[0]
+    assert ts.slope_x1e4 == 20000
+    assert abs(lf.slope_x1e4 - 20000) > 5000
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ys = rng.integers(-100, 100, 16)
+    rows = [("a", x, int(y)) for x, y in enumerate(ys)]
+    # brute-force lower median with the same integerized slope + tie order
+    sl = sorted(
+        ((1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+         * (abs(int(ys[j]) - int(ys[i])) * 10000 // (j - i)), i, j)
+        for i in range(16) for j in range(i + 1, 16)
+    )
+    expected = sl[(len(sl) + 1) // 2 - 1][0]
+    mk = sum(
+        1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0
+        for i in range(16) for j in range(i + 1, 16)
+    )
+    out = theil_sen(_df(spark, rows, ["k", "x", "y"]), ["k"], "x", "y").collect()[0]
+    assert out.slope_x1e4 == expected and out.mk_s == mk
+
+
+def test_theil_sen_even_pair_count_lower_median(spark):
+    # n=3 points -> 3 pairs (odd); n=4 -> 6 pairs (even, lower median)
+    rows = [("a", 0, 0), ("a", 1, 10), ("a", 2, 14), ("a", 3, 30)]
+    out = theil_sen(_df(spark, rows, ["k", "x", "y"]), ["k"], "x", "y").collect()[0]
+    # slopes x1e4, sorted: pairs (1,2)=40000,(0,2)=70000,(2,3)=160000,
+    # (0,1)=100000,(1,3)=100000,(0,3)=100000 -> sorted [40000,70000,
+    # 100000,100000,100000,160000]; lower median = rank 3 = 100000
+    assert out.n_pairs == 6 and out.slope_x1e4 == 100000

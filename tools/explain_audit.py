@@ -411,6 +411,11 @@ def main() -> int:
             f"{dt_plan.count('InMemoryTableScan')} "
             f"bcast={'BroadcastExchange' in dt_plan}")
     ok &= dt_ok
+    # theil-sen: key-partitioned self-join (pairs quadratic in series
+    # length only) + one key window family; never a cartesian
+    ok &= audit("theil-sen: keyed pair self-join + key window family",
+                contract.theil_sen_daily_events(spark, sf),
+                {"max_exchanges": 5})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
