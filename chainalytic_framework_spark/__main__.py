@@ -508,7 +508,7 @@ def _cmd_serve_trend(args: argparse.Namespace) -> None:
 
     from .operators.bucketing import SECONDS, TIER_ORDER
     from .operators.router import read_routed_series
-    from .operators.trend import changepoint, linfit, max_drawdown
+    from .operators.trend import changepoint, linfit, max_drawdown, theil_sen
     from .session import get_active_or_build
     from .tables import TableStore
 
@@ -534,6 +534,15 @@ def _cmd_serve_trend(args: argparse.Namespace) -> None:
             "x", ((F.col("b") - F.lit(args.t0)) / step).cast("long")
         )
         fit = linfit(pts, keys, "x", "v")
+        if getattr(args, "robust", False):
+            # Theil-Sen median slope + Mann-Kendall S: one outlier bucket
+            # moves the estimate one rank where least squares chases it;
+            # pair frame is quadratic in the ROUTED series length (already
+            # bounded by the range/grain), keyed, never cartesian
+            rob = theil_sen(pts, keys, "x", "v").withColumnRenamed(
+                "slope_x1e4", "robust_slope_x1e4"
+            )
+            fit = fit.join(rob, keys, "left")
         cp = changepoint(series, keys, "b", "v")
         dd = max_drawdown(series, keys, "b", "v")
         # LEFT joins: a single-bucket series has a fit row but no
@@ -796,6 +805,9 @@ def main(argv: list[str] | None = None) -> None:
     st_.add_argument("--limit", type=int, default=100)
     st_.add_argument("--movers", action="store_true",
                      help="rank by |slope| desc (top movers) instead of key")
+    st_.add_argument("--robust", action="store_true",
+                     help="add Theil-Sen median slope + Mann-Kendall S "
+                          "(outlier-resistant trend) per key")
     st_.set_defaults(fn=_cmd_serve_trend)
 
     sdr = sub.add_parser("serve-drift",

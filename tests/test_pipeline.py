@@ -527,3 +527,41 @@ def test_cli_crawl_plan(spark, tmp_path):
     for fetches in byhost.values():
         fetches.sort()
         assert all(b - a >= 300 for a, b in zip(fetches, fetches[1:]))
+
+
+def test_cli_serve_trend_robust(spark, tmp_path):
+    """serve-trend --robust: adds Theil-Sen median slope + Mann-Kendall S
+    columns; the robust slope agrees in SIGN with |S| direction."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.__main__ import main
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
+    store = TableStore(spark, wh)
+    t1m = store.read("tier_1m")
+    lo = t1m.agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = t1m.agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    a, b = -(-lo // 3600) * 3600, (hi // 3600) * 3600
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-trend", "--warehouse", wh, "--t0", str(a), "--t1", str(b),
+              "--grain", "1h", "--keys", "lang", "--robust"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["rows"]
+    for r in out["rows"]:
+        assert {"robust_slope_x1e4", "mk_s", "n_pairs"} <= set(r)
+        if r["n_pairs"]:
+            assert r["n_pairs"] == r["n_points"] * (r["n_points"] - 1) // 2
+            # monotone-direction consistency: a strictly positive robust
+            # slope cannot coexist with a strongly negative S, and v.v.
+            if r["robust_slope_x1e4"] and r["robust_slope_x1e4"] > 0:
+                assert r["mk_s"] >= -r["n_pairs"] // 2
+            if r["robust_slope_x1e4"] and r["robust_slope_x1e4"] < 0:
+                assert r["mk_s"] <= r["n_pairs"] // 2
