@@ -103,6 +103,7 @@ _GATE_PRIORITY = [
     "entropy_by_source_documents",
     "distinctive_terms_documents",
     "theil_sen_daily_events",
+    "acf_spectrum_events",
     # 39 queries whose newest driver certification is round 3; with the
     # additions above, the LAST 25 of these fall outside the 50-row
     # window this round — all twenty-five hold round-3 driver
@@ -5292,3 +5293,61 @@ def theil_sen_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = ev.groupBy("event_type", "day").agg(F.sum("_c").alias("c"))
     return theil_sen(daily, ["event_type"], "day", "c")
+
+
+@q(
+    "acf_spectrum_events",
+    """
+    WITH h AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+               AS bucket_epoch,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS HUGEINT) AS c
+      FROM events GROUP BY 1, 2),
+    lags(l) AS (VALUES (3600), (21600), (86400), (604800)),
+    p AS (
+      SELECT a.event_type, CAST(l AS BIGINT) AS lag_secs, a.c AS y, b.c AS x
+      FROM h a JOIN lags ON TRUE
+      JOIN h b ON a.event_type = b.event_type
+           AND b.bucket_epoch = a.bucket_epoch - l),
+    s AS (
+      SELECT event_type, lag_secs, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM p GROUP BY 1, 2),
+    d AS (
+      SELECT event_type, lag_secs, n,
+             n*sxy - sx*sy AS num,
+             n*sxx - sx*sx AS denx,
+             n*syy - sy*sy AS deny
+      FROM s)
+    SELECT event_type, lag_secs, CAST(n AS BIGINT) AS n_points,
+           CAST(CASE WHEN num=0 OR denx=0 THEN 0
+                     ELSE CAST(sign(num) AS HUGEINT)
+                          * ((abs(num)*10000) // denx) END AS BIGINT)
+             AS slope_x1e4,
+           CAST(CASE WHEN num=0 OR denx=0 OR deny=0 THEN 0
+                     ELSE CAST(sign(num) AS HUGEINT)
+                          * ((num*num*10000) // (denx*deny)) END AS BIGINT)
+             AS r2_signed_x1e4
+    FROM d
+    """,
+)
+def acf_spectrum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality spectrum (operators/trend.py::acf_spectrum): the
+    hourly cent series autocorrelated at 1h/6h/1d/7d lags in ONE job —
+    the argmax-r² lag is the detected period. Bucket-key lag joins
+    (gap-robust), bounded len(lags) fan-out, exact integer signed-r²
+    per (type, lag)."""
+    from .operators.trend import acf_spectrum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _bucket_epoch("ts", 3600), _cents().alias("_c")
+    )
+    hourly = ev.groupBy("event_type", "bucket_epoch").agg(
+        F.sum("_c").alias("c")
+    )
+    return acf_spectrum(
+        hourly, ["event_type"], "bucket_epoch", "c",
+        [3600, 21600, 86400, 604800],
+    )

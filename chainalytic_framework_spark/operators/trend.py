@@ -468,3 +468,42 @@ def theil_sen(
         F.sum("_sgn").cast("long").alias("mk_s"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
     )
+
+
+def acf_spectrum(
+    tier: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    lag_secs_list: list[int],
+) -> DataFrame:
+    """Multi-lag autocorrelation spectrum in ONE pass: :func:`acf_lag`'s
+    bucket-key lag join for EVERY candidate lag simultaneously (the
+    right side replicates each bucket once per lag via an explode — a
+    bounded len(lags) fan-out, not a per-lag rescan), then
+    :func:`linfit`'s exact signed-r² per (key, lag).
+
+    The seasonality question asked properly: "at WHICH period does this
+    series echo?" — the argmax lag of ``r2_signed_x1e4`` is the detected
+    period (daily vs weekly vs none), and the whole spectrum is one
+    job instead of len(lags) jobs.
+
+    One shuffle family: both join sides hash on (key, bucket); the
+    suffstat agg groups on (key, lag) — map-side combinable. Exact
+    integer arithmetic end-to-end (the linfit determinism contract).
+    """
+    lags = F.array(*[F.lit(int(s)) for s in lag_secs_list])
+    left = tier.select(
+        *key_cols, F.col(bucket_col).alias("_b"), F.col(value_col).alias("_y")
+    )
+    right = tier.select(
+        *key_cols,
+        F.explode(lags).alias("lag_secs"),
+        F.col(bucket_col).alias("_b0"),
+        F.col(value_col).alias("_x"),
+    ).select(
+        *key_cols, "lag_secs",
+        (F.col("_b0") + F.col("lag_secs")).alias("_b"), "_x",
+    )
+    pairs = left.join(right, [*key_cols, "_b"])
+    return linfit(pairs, [*key_cols, "lag_secs"], "_x", "_y")

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from chainalytic_framework_spark.operators.trend import (
     acf_lag,
+    acf_spectrum,
     burst_windows,
     changepoint,
     linfit,
@@ -513,3 +514,39 @@ def test_theil_sen_even_pair_count_lower_median(spark):
     # (0,1)=100000,(1,3)=100000,(0,3)=100000 -> sorted [40000,70000,
     # 100000,100000,100000,160000]; lower median = rank 3 = 100000
     assert out.n_pairs == 6 and out.slope_x1e4 == 100000
+
+
+# --- acf_spectrum -----------------------------------------------------------
+
+
+def test_acf_spectrum_detects_period(spark):
+    import math
+
+    # period-7 sawtooth over 70 buckets: lag 7 echoes perfectly,
+    # lag 3 does not
+    rows = [("a", b, (b % 7) * 10 + 5) for b in range(70)]
+    out = acf_spectrum(
+        _df(spark, rows, ["k", "b", "v"]), ["k"], "b", "v", [3, 7]
+    ).collect()
+    r2 = {r.lag_secs: r.r2_signed_x1e4 for r in out}
+    assert r2[7] == 10000          # exact echo at the true period
+    assert r2[3] < 5000            # off-period lag is weak
+
+
+def test_acf_spectrum_matches_single_lag(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = [("a", b, int(v)) for b, v in
+            enumerate(rng.integers(0, 100, 60))]
+    df = _df(spark, rows, ["k", "b", "v"])
+    multi = {
+        r.lag_secs: (r.n_points, r.slope_x1e4, r.r2_signed_x1e4)
+        for r in acf_spectrum(df, ["k"], "b", "v", [1, 5]).collect()
+    }
+    for lag in (1, 5):
+        single = linfit(acf_lag(df, ["k"], "b", "v", lag), ["k"],
+                        "_x", "_y").collect()[0]
+        assert multi[lag] == (
+            single.n_points, single.slope_x1e4, single.r2_signed_x1e4
+        )

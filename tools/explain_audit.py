@@ -416,6 +416,11 @@ def main() -> int:
     ok &= audit("theil-sen: keyed pair self-join + key window family",
                 contract.theil_sen_daily_events(spark, sf),
                 {"max_exchanges": 5})
+    # acf spectrum: one lag-join shuffle family + one (key,lag) suffstat
+    # agg; the explode fan-out is len(lags), never a rescan per lag
+    ok &= audit("acf spectrum: single lag-join family, (key,lag) agg",
+                contract.acf_spectrum_events(spark, sf),
+                {"max_exchanges": 4})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
