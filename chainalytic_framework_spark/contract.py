@@ -104,6 +104,8 @@ _GATE_PRIORITY = [
     "distinctive_terms_documents",
     "theil_sen_daily_events",
     "acf_spectrum_events",
+    "vocab_overlap_documents",
+    "new_vs_returning_events",
     # 39 queries whose newest driver certification is round 3; with the
     # additions above, the LAST 25 of these fall outside the 50-row
     # window this round — all twenty-five hold round-3 driver
@@ -5351,3 +5353,79 @@ def acf_spectrum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly, ["event_type"], "bucket_epoch", "c",
         [3600, 21600, 86400, 604800],
     )
+
+
+@q(
+    "vocab_overlap_documents",
+    """
+    WITH tok AS (
+      SELECT source AS g, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    v AS (
+      SELECT DISTINCT g, term FROM tok WHERE length(term) >= 4),
+    sizes AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
+    inter AS (
+      SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS n_common
+      FROM v a JOIN v b ON a.term = b.term AND a.g < b.g
+      GROUP BY 1, 2)
+    SELECT g_a, g_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST((n_common * 10000) // (sa.n + sb.n - n_common) AS BIGINT)
+             AS jaccard_x1e4
+    FROM inter
+    JOIN sizes sa ON sa.g = g_a
+    JOIN sizes sb ON sb.g = g_b
+    """,
+)
+def vocab_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources
+    (functions/text.py::vocab_overlap_pairs) — corpus-drift measured as
+    set overlap, entirely in exact integer cardinalities (no ln, no
+    float). Term-keyed intersection join: each term contributes at
+    most C(n_groups,2) pairs, so the Zipf head is bounded by group
+    count, never corpus frequency."""
+    from .functions.text import vocab_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_overlap_pairs(d, "source", min_len=4)
+
+
+@q(
+    "new_vs_returning_events",
+    """
+    WITH a AS (
+      SELECT DISTINCT
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+               AS bucket_epoch,
+             user_id
+      FROM events),
+    f AS (
+      SELECT user_id, MIN(bucket_epoch) AS b0 FROM a GROUP BY 1),
+    pb AS (
+      SELECT a.bucket_epoch,
+             COUNT(*) AS n_active,
+             SUM(CASE WHEN a.bucket_epoch = f.b0 THEN 1 ELSE 0 END) AS n_new
+      FROM a JOIN f USING (user_id) GROUP BY 1)
+    SELECT bucket_epoch,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_active - n_new AS BIGINT) AS n_returning,
+           CAST(SUM(n_new) OVER (ORDER BY bucket_epoch) AS BIGINT)
+             AS cum_unique
+    FROM pb
+    """,
+)
+def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new / returning / cumulative-unique user accounting
+    (operators/cohorts.py::new_vs_returning) — the growth ledger (new
+    hosts per crawl day) as exact integers; first-seen derives from the
+    DISTINCT frame, and the only unpartitioned window runs over
+    bucket-count rows, never data scale."""
+    from .operators.cohorts import new_vs_returning
+
+    ev = _t(spark, sf_dir, "events").select(
+        _bucket_epoch("ts", 86400), "user_id"
+    )
+    return new_vs_returning(ev, "user_id", "bucket_epoch")

@@ -549,3 +549,51 @@ def distinctive_terms(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def vocab_overlap_pairs(
+    docs: DataFrame, group_col: str, text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups (sources / langs /
+    time slices) — the corpus-drift twin of :func:`distinctive_terms`:
+    instead of WHICH terms differ, HOW MUCH the vocabularies overlap.
+    Entirely exact integers (set cardinalities — no logs, no floats):
+
+        jaccard_x1e4 = (|V_a ∩ V_b| * 10^4) intdiv |V_a ∪ V_b|
+
+    over distinct-term sets V_g with ``length(term) >= min_len``.
+    Pairs are emitted once with ``g_a < g_b``.
+
+    Scale: distinct (group,term) is one map-side-combinable agg; the
+    intersection is a TERM-KEYED self-join — each term contributes at
+    most C(n_groups, 2) pairs, so the Zipf head is bounded by the
+    GROUP count, never corpus frequency; per-group sizes broadcast.
+    """
+    tok = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ", -1)).alias("term"),
+    ).where(F.length("term") >= min_len)
+    v = tok.select("g", "term").distinct()
+    sizes = v.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        v.alias("a")
+        .join(v.select(F.col("g").alias("g2"), "term").alias("b"), "term")
+        .where(F.col("g") < F.col("g2"))
+        .groupBy(F.col("g").alias("g_a"), F.col("g2").alias("g_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("g", "g_a")
+                               .withColumnRenamed("n", "n_a")), "g_a")
+        .join(F.broadcast(sizes.withColumnRenamed("g", "g_b")
+                          .withColumnRenamed("n", "n_b")), "g_b")
+    )
+    return out.select(
+        "g_a", "g_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.expr("(n_common * 10000) div (n_a + n_b - n_common)")
+        .cast("long").alias("jaccard_x1e4"),
+    )

@@ -114,3 +114,56 @@ def cohort_matrix_from_fold(
         "n_cohort",
         F.floor(F.col("n_active") * 10000 / F.col("n_cohort")).cast("long").alias(out_rate_col),
     )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    entity_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Per-bucket new / returning / cumulative-unique entity accounting —
+    the growth ledger every crawl (new hosts discovered per day) and
+    product (new vs returning users) dashboard runs; the marginal twin
+    of :func:`cohort_matrix` (which tracks cohorts FORWARD, this
+    summarizes each bucket's mix). Exact integers:
+
+        n_new       = entities whose FIRST-SEEN bucket is this bucket
+        n_returning = n_active − n_new
+        cum_unique  = Σ n_new over buckets ≤ this one
+
+    Plan: distinct (bucket, entity) + first-seen = two map-side-
+    combinable aggs on the SAME entity partitioning (first-seen derives
+    from the distinct frame, not raw); the final running sum is a
+    window over the per-bucket frame — rows = bucket count (retention
+    horizon), so the unpartitioned ordering is driver-trivial, never
+    data-scale.
+    """
+    from pyspark.sql import Window
+
+    active = events.select(
+        F.col(bucket_col).alias("bucket_epoch"),
+        F.col(entity_col).alias("_e"),
+    ).distinct()
+    first_seen = active.groupBy("_e").agg(
+        F.min("bucket_epoch").alias("_b0")
+    )
+    per_bucket = (
+        active.join(first_seen, "_e")
+        .groupBy("bucket_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("bucket_epoch") == F.col("_b0"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    w = Window.orderBy("bucket_epoch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket_epoch",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_new").cast("long").alias("n_new"),
+        (F.col("n_active") - F.col("n_new")).cast("long").alias("n_returning"),
+        F.sum("n_new").over(w).cast("long").alias("cum_unique"),
+    )

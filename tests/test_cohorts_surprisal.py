@@ -153,3 +153,47 @@ def test_bigram_surprisal_hand_case(spark):
         if mine:
             exp[d] = (len(mine), math.floor(sum(mine) / len(mine)))
     assert got == exp and 3 not in got
+
+
+# --- new_vs_returning --------------------------------------------------------
+
+
+def test_new_vs_returning_hand_case(spark):
+    from chainalytic_framework_spark.operators.cohorts import new_vs_returning
+
+    rows = [
+        (0, "u1"), (0, "u2"),            # day 0: both new
+        (86400, "u1"), (86400, "u3"),    # day 1: u1 returns, u3 new
+        (172800, "u1"), (172800, "u1"),  # day 2: duplicate events, 1 active
+    ]
+    ev = spark.createDataFrame(rows, ["bucket_epoch", "user_id"])
+    out = {r.bucket_epoch: r for r in
+           new_vs_returning(ev, "user_id", "bucket_epoch").collect()}
+    assert (out[0].n_active, out[0].n_new, out[0].n_returning,
+            out[0].cum_unique) == (2, 2, 0, 2)
+    assert (out[86400].n_active, out[86400].n_new,
+            out[86400].n_returning, out[86400].cum_unique) == (2, 1, 1, 3)
+    assert (out[172800].n_active, out[172800].n_new,
+            out[172800].n_returning, out[172800].cum_unique) == (1, 0, 1, 3)
+
+
+def test_new_vs_returning_invariants(spark):
+    import numpy as np
+
+    from chainalytic_framework_spark.operators.cohorts import new_vs_returning
+
+    rng = np.random.default_rng(13)
+    rows = [(int(d) * 3600, f"u{int(u)}")
+            for d, u in zip(rng.integers(0, 20, 500),
+                            rng.integers(0, 40, 500))]
+    ev = spark.createDataFrame(rows, ["bucket_epoch", "user_id"])
+    out = new_vs_returning(ev, "user_id", "bucket_epoch").orderBy(
+        "bucket_epoch").collect()
+    total_unique = len({u for _, u in rows})
+    assert out[-1].cum_unique == total_unique
+    assert sum(r.n_new for r in out) == total_unique
+    cum = 0
+    for r in out:
+        assert r.n_active == r.n_new + r.n_returning
+        cum += r.n_new
+        assert r.cum_unique == cum

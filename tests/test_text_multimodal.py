@@ -236,3 +236,29 @@ def test_distinctive_terms_topk_bounded_and_deterministic(spark):
 
     per = Counter(r.lang for r in a)
     assert all(v <= 5 for v in per.values())
+
+
+def test_vocab_overlap_exact_sets(spark):
+    from chainalytic_framework_spark.functions.text import vocab_overlap_pairs
+
+    rows = [
+        (1, "apple banana cherry", "s1"),
+        (2, "banana cherry dates", "s2"),
+        (3, "zebra yonder", "s3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r.g_a, r.g_b): r for r in
+           vocab_overlap_pairs(df, "source", min_len=1).collect()}
+    r12 = out[("s1", "s2")]
+    # V1={apple,banana,cherry} V2={banana,cherry,dates}: inter 2, union 4
+    assert (r12.n_a, r12.n_b, r12.n_common, r12.jaccard_x1e4) == (3, 3, 2, 5000)
+    assert ("s1", "s3") not in out  # zero intersection -> no row (documented)
+
+
+def test_vocab_overlap_identical_groups_is_one(spark):
+    from chainalytic_framework_spark.functions.text import vocab_overlap_pairs
+
+    rows = [(1, "same words here", "a"), (2, "same words here", "b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = vocab_overlap_pairs(df, "source", min_len=1).collect()[0]
+    assert out.jaccard_x1e4 == 10000

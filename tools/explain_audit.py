@@ -421,6 +421,16 @@ def main() -> int:
     ok &= audit("acf spectrum: single lag-join family, (key,lag) agg",
                 contract.acf_spectrum_events(spark, sf),
                 {"max_exchanges": 4})
+    # vocab overlap: term-keyed intersection self-join (pairs bounded by
+    # C(n_groups,2) per term) + broadcast sizes; never cartesian
+    ok &= audit("vocab overlap: term-keyed set join, sizes broadcast",
+                contract.vocab_overlap_documents(spark, sf),
+                {"broadcast": True})
+    # new-vs-returning: distinct + first-seen on the same entity keys;
+    # the only unpartitioned window runs over bucket-count rows
+    ok &= audit("new-vs-returning: entity-keyed aggs + tiny final window",
+                contract.new_vs_returning_events(spark, sf),
+                {"max_exchanges": 6})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
