@@ -106,6 +106,12 @@ _GATE_PRIORITY = [
     "acf_spectrum_events",
     "vocab_overlap_documents",
     "new_vs_returning_events",
+    # round-5 closing-session additions (never certified — window
+    # priority)
+    "containment_pairs_documents",
+    "dedup_cluster_sizes_documents",
+    "trimmed_mean_daily_events",
+    "tier_coverage_1m_events",
     # 39 queries whose newest driver certification is round 3; with the
     # additions above, the LAST 25 of these fall outside the 50-row
     # window this round — all twenty-five hold round-3 driver
@@ -5429,3 +5435,150 @@ def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket_epoch("ts", 86400), "user_id"
     )
     return new_vs_returning(ev, "user_id", "bucket_epoch")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 closing additions: containment, cluster-size audit, robust
+# location, tier completeness
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "containment_pairs_documents",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, CAST(p.n_inter AS BIGINT) AS n_inter,
+           CAST((p.n_inter * 10000) // sa.n AS BIGINT) AS cont_a_in_b_x1e4,
+           CAST((p.n_inter * 10000) // sb.n AS BIGINT) AS cont_b_in_a_x1e4
+    FROM pairs p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE p.n_inter >= 3
+    """,
+)
+def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment per shared-shingle pair
+    (operators/dedup.py::containment_pairs) — Broder's dual to
+    resemblance: the quote/extract detector symmetric Jaccard misses.
+    Same shingle-keyed join shape as ngram_jaccard_pairs_documents; at
+    10^12 docs candidates come from LSH bands."""
+    d = _t(spark, sf_dir, "documents")
+    return _dd.containment_pairs(d)
+
+
+@q(
+    "dedup_cluster_sizes_documents",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTE},
+    gsz AS (
+      SELECT COALESCE(c.component, d.doc_id) AS group_id,
+             COUNT(*) AS group_size
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+      GROUP BY 1)
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM gsz GROUP BY group_size
+    """,
+)
+def dedup_cluster_sizes_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution
+    (operators/components.py::cluster_size_histogram) over the
+    LSH-verified component groups — the dedup-audit chart (how much of
+    the corpus is unique vs collapsed). Output rows bounded by the
+    largest cluster size, never corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = _verified_dedup_pairs(spark, sf_dir)
+    return _cc.cluster_size_histogram(_cc.dedup_groups(d, pairs))
+
+
+from .operators.robust import trimmed_mean as _trimmed_mean  # noqa: E402
+
+
+@q(
+    "trimmed_mean_daily_events",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+               AS bucket_epoch,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket_epoch
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, bucket_epoch) AS n
+      FROM base),
+    kept AS (
+      SELECT * FROM ranked
+      WHERE rn > CAST(floor(n * 10 / 100) AS BIGINT)
+        AND rn <= n - CAST(floor(n * 10 / 100) AS BIGINT))
+    SELECT event_type, bucket_epoch,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cents) AS BIGINT) AS kept_sum,
+           CAST((SUM(cents) * 100) // COUNT(*) AS BIGINT)
+             AS trimmed_mean_x100
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def trimmed_mean_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per (series, day) in exact integer cents
+    (operators/robust.py::trimmed_mean) — breakdown-point-0.1 location
+    for outlier-ridden crawl measures; rank-based with a unique tie
+    column so both engines trim identical rows. One group-bounded rank
+    window + an agg that reuses its partitioning."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        _bucket_epoch("ts", 86400),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    return _trimmed_mean(
+        ev, ["event_type", "bucket_epoch"], "cents", "event_id", trim_pct=10
+    )
+
+
+from .operators.states import tier_coverage as _tier_coverage  # noqa: E402
+
+
+@q(
+    "tier_coverage_1m_events",
+    """
+    WITH p AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_epoch,
+             CAST(floor(epoch(ts) / 60) AS BIGINT) * 60 AS b
+      FROM events),
+    r AS (
+      SELECT event_type, day_epoch, b,
+             (b - COALESCE(lag(b) OVER (PARTITION BY event_type, day_epoch
+                                        ORDER BY b),
+                           day_epoch - 60)) / 60 - 1 AS gap_before
+      FROM p)
+    SELECT event_type, day_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST(1440 AS BIGINT) AS expected,
+           CAST((COUNT(*) * 10000) // 1440 AS BIGINT) AS coverage_x1e4,
+           CAST(greatest(MAX(gap_before),
+                         1439 - (MAX(b) - day_epoch) / 60) AS BIGINT)
+             AS longest_missing_buckets
+    FROM r GROUP BY 1, 2
+    """,
+)
+def tier_coverage_1m_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1m-tier completeness per (series, day)
+    (operators/states.py::tier_coverage): observed buckets vs the 1440
+    the grid expects, plus the worst contiguous missing run including
+    day edges — the freshness/SLA table the monitoring console and
+    gap-fill key off. Window is bounded by 1440 rows per group
+    regardless of event volume."""
+    ev = _t(spark, sf_dir, "events")
+    return _tier_coverage(ev, ["event_type"], "ts", 60, 86400)

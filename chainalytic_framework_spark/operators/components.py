@@ -236,3 +236,32 @@ def dedup_survivors_by(
         F.max_by(F.col(id_col), rank).alias(id_col)
     )
     return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+def cluster_size_histogram(groups: DataFrame,
+                           group_col: str = "group_id") -> DataFrame:
+    """Dedup-audit summary: the distribution of near-dup cluster sizes
+    (how much of the corpus is 1-off unique vs collapsed into boiler-
+    plate clusters) — the first chart every dedup run is judged by.
+    Exact integers per distinct size:
+
+        group_size → n_groups, n_docs (= group_size · n_groups)
+
+    Scale: two map-side-combinable aggs (group → size, size → counts);
+    output rows are bounded by the LARGEST cluster size, never corpus
+    size. Reference analogue: the reference's per-key summary endpoints
+    aggregate snapshot tables the same two-level way
+    (/root/reference/docs/provider_api.adoc)."""
+    sizes = groups.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("n_groups").cast("long").alias("n_groups"),
+            (F.col("group_size") * F.col("n_groups")).cast("long")
+            .alias("n_docs"),
+        )
+    )

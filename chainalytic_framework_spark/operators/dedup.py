@@ -164,6 +164,53 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text
     return out
 
 
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", min_inter: int = 3) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT per shared-shingle pair — the
+    quote/extract detector symmetric Jaccard misses: a long page that
+    embeds a whole short page scores low Jaccard (union is huge) but
+    containment of the short side ≈ 1. Broder's classic dual to
+    resemblance; exact integers, both directions per unordered pair:
+
+        cont_a_in_b_x1e4 = (|S_A ∩ S_B| * 10^4) intdiv |S_A|
+        cont_b_in_a_x1e4 = (|S_A ∩ S_B| * 10^4) intdiv |S_B|
+
+    (containment OF a IN b is normalized by |S_A| — the fraction of
+    A's shingles that B also has.)
+
+    Scale: identical shape to :func:`ngram_jaccard_pairs` — the
+    shingle-keyed intersection join bounds each shingle's contribution
+    by its doc frequency, and at 10^12 docs the candidate set comes
+    from LSH bands rather than the raw shared-shingle join; the sizes
+    joins are id-keyed. Reference analogue: duplicate-overlap reporting
+    in the provider's dedup queries (/root/reference/docs/provider_api.adoc).
+    """
+    sh = shingles(docs, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("ca"), sh.alias("cb")
+    inter = (
+        a.join(b, (F.col("ca.shingle") == F.col("cb.shingle"))
+               & (F.col(f"ca.{id_col}") < F.col(f"cb.{id_col}")))
+        .groupBy(F.col(f"ca.{id_col}").alias("id_a"),
+                 F.col(f"cb.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .where(F.col("n_inter") >= min_inter)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.expr("(n_inter * 10000) div n_a").cast("long")
+            .alias("cont_a_in_b_x1e4"),
+            F.expr("(n_inter * 10000) div n_b").cast("long")
+            .alias("cont_b_in_a_x1e4"),
+        )
+    )
+
+
 def fp32_at(col, hex_off: int) -> F.Column:
     """32-bit cross-engine hash from md5 hex chars [hex_off, hex_off+8).
     Independent 32-bit slices of one md5 give independent hash families

@@ -132,3 +132,84 @@ def gap_stats(
         )
         .cast("long"),
     )
+
+
+def tier_coverage(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tier_secs: int = 60,
+    day_secs: int = 86400,
+) -> DataFrame:
+    """Per-(key, day) tier COMPLETENESS against the expected bucket
+    grid — the continuous-aggregate freshness/SLA table every tier
+    engine publishes next to the tiers themselves: of the
+    ``day_secs/tier_secs`` buckets a day should hold at this tier, how
+    many have at least one observation, and how long is the worst
+    contiguous missing run? The grid-completeness dual of
+    :func:`gap_stats` (that measures inter-EVENT deltas per entity;
+    this measures presence against the TIER's fixed grid — the thing
+    gap-fill, retention routing, and the monitoring console key off).
+
+    Exact integers per (key, day):
+
+    - ``n_present``  — distinct tier buckets with ≥1 event
+    - ``expected``   — day_secs / tier_secs (1440 for 1m)
+    - ``coverage_x1e4`` — (n_present·10⁴) intdiv expected
+    - ``longest_missing_buckets`` — max contiguous missing run,
+      counting the leading run (day start → first observation) and the
+      trailing run (last observation → day end); a day seen only at
+      minute 0 scores 1439.
+
+    Days with zero events for a key do not appear (nothing is
+    fabricated); the serving layer's gap-fill decides what to do with
+    absent days, exactly as with absent buckets.
+
+    Scale: distinct (key, day, bucket) is one map-side-combinable agg;
+    the lag window is bounded by ``expected`` rows per group (1440 at
+    1m) regardless of event volume; the final agg reuses the window's
+    partitioning. Reference analogue: the reference's console reports
+    per-transform progress/freshness (cli/console.py) but has no
+    per-series completeness table; engine-added (SURVEY §2.11 family).
+    """
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    present = events.select(
+        *key_cols,
+        (F.floor(ep / day_secs) * day_secs).cast("long").alias("day_epoch"),
+        (F.floor(ep / tier_secs) * tier_secs).cast("long").alias("_b"),
+    ).distinct()
+    w = Window.partitionBy(*key_cols, "day_epoch").orderBy("_b")
+    # missing run immediately BEFORE each present bucket; the synthetic
+    # previous bucket day_epoch - tier makes the first row's run the
+    # leading gap from day start
+    runs = present.withColumn(
+        "_gap_before",
+        (
+            F.col("_b")
+            - F.coalesce(
+                F.lag("_b").over(w), F.col("day_epoch") - F.lit(tier_secs)
+            )
+        )
+        / tier_secs
+        - 1,
+    )
+    expected = day_secs // tier_secs
+    g = runs.groupBy(*key_cols, "day_epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.max("_gap_before").cast("long").alias("_max_internal"),
+        F.max("_b").alias("_last"),
+    )
+    trailing = (
+        F.lit(expected - 1)
+        - (F.col("_last") - F.col("day_epoch")) / tier_secs
+    ).cast("long")
+    return g.select(
+        *key_cols,
+        "day_epoch",
+        "n_present",
+        F.lit(expected).cast("long").alias("expected"),
+        F.expr(f"(n_present * 10000) div {expected}").cast("long")
+        .alias("coverage_x1e4"),
+        F.greatest(F.col("_max_internal"), trailing).cast("long")
+        .alias("longest_missing_buckets"),
+    )

@@ -431,6 +431,34 @@ def main() -> int:
     ok &= audit("new-vs-returning: entity-keyed aggs + tiny final window",
                 contract.new_vs_returning_events(spark, sf),
                 {"max_exchanges": 6})
+    # containment: shingle-keyed intersection + id-keyed size joins —
+    # the ngram_jaccard shape; never cartesian
+    ok &= audit("containment: shingle-keyed set join, no cartesian",
+                contract.containment_pairs_documents(spark, sf),
+                {"max_exchanges": 12})
+    # cluster-size histogram: two map-side-combinable aggs; output bounded
+    # by max cluster size (audited standalone — the contract query's
+    # exchange count is dominated by the upstream components fixpoint,
+    # which has its own star-round audit above)
+    from chainalytic_framework_spark.operators.components import (
+        cluster_size_histogram,
+    )
+    groups_df = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 97).alias("group_id")
+    )
+    ok &= audit("cluster sizes: two-level map-side-combinable agg",
+                cluster_size_histogram(groups_df),
+                {"max_exchanges": 2})
+    # trimmed mean: ONE shuffle on the group keys — the rank window and
+    # the final agg share the same partitioning
+    ok &= audit("trimmed mean: rank window + agg share one exchange",
+                contract.trimmed_mean_daily_events(spark, sf),
+                {"max_exchanges": 1})
+    # tier coverage: distinct + group-bounded lag window (≤1440 rows per
+    # group) + agg reusing the window partitioning
+    ok &= audit("tier coverage: distinct + bounded window, shared keys",
+                contract.tier_coverage_1m_events(spark, sf),
+                {"max_exchanges": 2})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
