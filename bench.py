@@ -81,6 +81,12 @@ HEADLINE = [
     "sax_words_events",
     "motif_verified_pairs_events",
     "recrawl_schedule_events",
+    # round-5 closing additions: rank-trimmed robust location (single
+    # shared-partitioning window+agg) and the tier-completeness grid
+    # scan (distinct + bounded lag window) — the shapes the serving SLA
+    # path exercises at 100 TB
+    "trimmed_mean_daily_events",
+    "tier_coverage_1m_events",
 ]
 
 
