@@ -564,6 +564,47 @@ def _cmd_serve_trend(args: argparse.Namespace) -> None:
 
 
 
+def _cmd_serve_coverage(args: argparse.Namespace) -> None:
+    """Tier-completeness SLA endpoint: per (key, day), how much of the
+    chosen tier's expected bucket grid is actually present in the
+    warehouse, and the worst contiguous missing run — the freshness
+    surface the monitoring console and gap-fill key off
+    (operators/states.py::tier_coverage over the STORED tier frame:
+    tier rows ARE the grid observations, so coverage is read straight
+    off the tier, no raw-event scan). The streaming edge rides in as
+    the finest tier (same _load_tier_dfs composition as every other
+    serve command), so 'present' includes not-yet-compacted buckets."""
+    from pyspark.sql import functions as F
+
+    from .operators.bucketing import SECONDS
+    from .operators.states import tier_coverage
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-serve-cov")
+    store = TableStore(spark, args.warehouse)
+    tier_dfs = _load_tier_dfs(store)
+    if args.grain not in tier_dfs:
+        print(json.dumps({"error": f"no tier_{args.grain} in warehouse"}))
+        return
+    keys = args.keys.split(",")
+    tier = tier_dfs[args.grain]
+    if args.t0 is not None:
+        tier = tier.where(F.col("bucket_start").cast("timestamp")
+                          .cast("long") >= args.t0)
+    if args.t1 is not None:
+        tier = tier.where(F.col("bucket_start").cast("timestamp")
+                          .cast("long") < args.t1)
+    cov = tier_coverage(tier.select(*keys, "bucket_start"), keys,
+                        "bucket_start", tier_secs=SECONDS[args.grain])
+    # worst days first: the SLA reader wants the holes, not the 100%s
+    rows = (cov.orderBy(F.col("coverage_x1e4").asc(),
+                        F.col("day_epoch").asc(), *keys)
+            .limit(args.limit).collect())
+    print(json.dumps({"grain": args.grain, "keys": args.keys,
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def _cmd_serve_drift(args: argparse.Namespace) -> None:
     """Distribution-drift endpoint: PSI between two routed ranges,
     answered from the stored hist_* tiers (counts are additive, so no
@@ -809,6 +850,18 @@ def main(argv: list[str] | None = None) -> None:
                      help="add Theil-Sen median slope + Mann-Kendall S "
                           "(outlier-resistant trend) per key")
     st_.set_defaults(fn=_cmd_serve_trend)
+
+    scov = sub.add_parser("serve-coverage",
+                          help="tier-completeness SLA per (key, day): "
+                               "present vs expected buckets + worst "
+                               "missing run, worst days first")
+    scov.add_argument("--warehouse", required=True)
+    scov.add_argument("--grain", default="1m")
+    scov.add_argument("--keys", default="lang")
+    scov.add_argument("--t0", type=int, default=None)
+    scov.add_argument("--t1", type=int, default=None)
+    scov.add_argument("--limit", type=int, default=100)
+    scov.set_defaults(fn=_cmd_serve_coverage)
 
     sdr = sub.add_parser("serve-drift",
                          help="PSI distribution drift between two routed "

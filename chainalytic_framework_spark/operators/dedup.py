@@ -165,7 +165,8 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text
 
 
 def containment_pairs(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", min_inter: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", min_inter: int = 3,
+                      pairs: DataFrame | None = None) -> DataFrame:
     """Asymmetric shingle CONTAINMENT per shared-shingle pair — the
     quote/extract detector symmetric Jaccard misses: a long page that
     embeds a whole short page scores low Jaccard (union is huge) but
@@ -180,22 +181,36 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
 
     Scale: identical shape to :func:`ngram_jaccard_pairs` — the
     shingle-keyed intersection join bounds each shingle's contribution
-    by its doc frequency, and at 10^12 docs the candidate set comes
-    from LSH bands rather than the raw shared-shingle join; the sizes
-    joins are id-keyed. Reference analogue: duplicate-overlap reporting
-    in the provider's dedup queries (/root/reference/docs/provider_api.adoc).
+    by its doc frequency. At 10^12 docs pass ``pairs`` (id_a, id_b —
+    LSH band candidates from :func:`lsh_candidate_pairs`) so the
+    intersection runs pair-keyed over the bounded candidate set instead
+    of the raw shared-shingle join (whose hot boilerplate shingles go
+    quadratic); the sizes joins are id-keyed either way. Reference
+    analogue: duplicate-overlap reporting in the provider's dedup
+    queries (/root/reference/docs/provider_api.adoc).
     """
     sh = shingles(docs, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("ca"), sh.alias("cb")
-    inter = (
-        a.join(b, (F.col("ca.shingle") == F.col("cb.shingle"))
-               & (F.col(f"ca.{id_col}") < F.col(f"cb.{id_col}")))
-        .groupBy(F.col(f"ca.{id_col}").alias("id_a"),
-                 F.col(f"cb.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .where(F.col("n_inter") >= min_inter)
-    )
+    if pairs is not None:
+        inter = (
+            pairs.select("id_a", "id_b")
+            .join(a, F.col("id_a") == F.col(f"ca.{id_col}"))
+            .join(b, (F.col("id_b") == F.col(f"cb.{id_col}"))
+                  & (F.col("ca.shingle") == F.col("cb.shingle")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .where(F.col("n_inter") >= min_inter)
+        )
+    else:
+        inter = (
+            a.join(b, (F.col("ca.shingle") == F.col("cb.shingle"))
+                   & (F.col(f"ca.{id_col}") < F.col(f"cb.{id_col}")))
+            .groupBy(F.col(f"ca.{id_col}").alias("id_a"),
+                     F.col(f"cb.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .where(F.col("n_inter") >= min_inter)
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     return (

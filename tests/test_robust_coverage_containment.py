@@ -136,3 +136,53 @@ def test_cluster_size_histogram_partitions_corpus(spark):
     assert out[1]["n_groups"] == 1
     assert out[3]["n_groups"] == 1 and out[3]["n_docs"] == 3
     assert sum(r["n_docs"] for r in out.values()) == 6
+
+
+def test_containment_candidate_path_matches_raw(spark):
+    docs = _docs(spark)
+    raw = containment_pairs(docs, min_inter=1)
+    cands = raw.select("id_a", "id_b")
+    fed = containment_pairs(docs, min_inter=1, pairs=cands)
+    a = {tuple(r) for r in raw.collect()}
+    b = {tuple(r) for r in fed.collect()}
+    assert a == b
+    # restricting candidates restricts output to exactly those pairs
+    one = containment_pairs(
+        docs, min_inter=1,
+        pairs=spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in one] == [(1, 2)]
+
+
+def test_cli_serve_coverage(spark, tmp_path):
+    """serve-coverage: per-(lang, day) grid completeness over the stored
+    1m tier; coverage and missing-run fields are internally consistent."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from chainalytic_framework_spark.__main__ import main
+    from chainalytic_framework_spark.tables import TableStore
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh,
+          "--snapshot-id", "s1"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-coverage", "--warehouse", wh, "--grain", "1m",
+              "--keys", "lang"])
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["rows"], "coverage table must not be empty"
+    store = TableStore(spark, wh)
+    n_tier_rows = store.read("tier_1m").select("lang", "bucket_start") \
+        .distinct().count()
+    assert sum(r["n_present"] for r in out["rows"]) == n_tier_rows
+    for r in out["rows"]:
+        assert 0 < r["n_present"] <= r["expected"] == 1440
+        assert r["coverage_x1e4"] == r["n_present"] * 10000 // 1440
+        # the worst missing run can never exceed the missing total
+        assert r["longest_missing_buckets"] <= 1440 - r["n_present"]
+        if r["n_present"] == 1440:
+            assert r["longest_missing_buckets"] == 0
