@@ -589,14 +589,25 @@ def _cmd_serve_coverage(args: argparse.Namespace) -> None:
         return
     keys = args.keys.split(",")
     tier = tier_dfs[args.grain]
+    tier_secs = SECONDS[args.grain]
+    # SLA period: the day grid for sub-day tiers; one bucket for
+    # coarser tiers (presence/absence per window — tier_coverage
+    # rejects a tier coarser than its period)
+    period = max(86400, tier_secs)
+    # snap the range OUT to whole periods: a mid-period cut would score
+    # the filtered-out buckets as warehouse holes (fabricated "worst
+    # days" at every window edge)
     if args.t0 is not None:
+        t0 = (args.t0 // period) * period
         tier = tier.where(F.col("bucket_start").cast("timestamp")
-                          .cast("long") >= args.t0)
+                          .cast("long") >= t0)
     if args.t1 is not None:
+        t1 = -(-args.t1 // period) * period
         tier = tier.where(F.col("bucket_start").cast("timestamp")
-                          .cast("long") < args.t1)
+                          .cast("long") < t1)
     cov = tier_coverage(tier.select(*keys, "bucket_start"), keys,
-                        "bucket_start", tier_secs=SECONDS[args.grain])
+                        "bucket_start", tier_secs=tier_secs,
+                        day_secs=period)
     # worst days first: the SLA reader wants the holes, not the 100%s
     rows = (cov.orderBy(F.col("coverage_x1e4").asc(),
                         F.col("day_epoch").asc(), *keys)

@@ -113,8 +113,8 @@ _GATE_PRIORITY = [
     "trimmed_mean_daily_events",
     "tier_coverage_1m_events",
     # 39 queries whose newest driver certification is round 3; with the
-    # additions above, the LAST 25 of these fall outside the 50-row
-    # window this round — all twenty-five hold round-3 driver
+    # 48 never-certified entries above, only the FIRST TWO of these fit
+    # the 50-row window this round — the other 37 hold round-3 driver
     # certification, so cumulative coverage is unaffected
     # (never-certified > stale re-certification, per the round protocol)
     "rollup_1d_salted_events",
@@ -5538,7 +5538,7 @@ def trimmed_mean_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         _bucket_epoch("ts", 86400),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        _cents().alias("cents"),
         "event_id",
     )
     return _trimmed_mean(

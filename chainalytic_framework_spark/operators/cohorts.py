@@ -131,31 +131,42 @@ def new_vs_returning(
         n_returning = n_active − n_new
         cum_unique  = Σ n_new over buckets ≤ this one
 
-    Plan: distinct (bucket, entity) + first-seen = two map-side-
-    combinable aggs on the SAME entity partitioning (first-seen derives
-    from the distinct frame, not raw); the final running sum is a
-    window over the per-bucket frame — rows = bucket count (retention
-    horizon), so the unpartitioned ordering is driver-trivial, never
-    data-scale.
+    Plan: distinct (bucket, entity) → per-bucket actives AND per-entity
+    first-seen → per-bucket news are all map-side-combinable aggs; the
+    two per-bucket frames (each rows = bucket count, the retention
+    horizon) meet in a bucket-keyed join that never touches data scale
+    — NO join back against the distinct frame (the first version
+    re-shuffled the full frame by entity just to test bucket == b0;
+    n_new is directly first_seen.groupBy(b0).count()). The final
+    running sum is a window over the per-bucket frame, so the
+    unpartitioned ordering is driver-trivial.
     """
     from pyspark.sql import Window
 
-    active = events.select(
-        F.col(bucket_col).alias("bucket_epoch"),
-        F.col(entity_col).alias("_e"),
-    ).distinct()
+    active = (
+        events.select(
+            F.col(bucket_col).alias("bucket_epoch"),
+            F.col(entity_col).alias("_e"),
+        )
+        # a NULL entity is not an entity (the previous inner-join shape
+        # dropped it implicitly; keep that contract explicit)
+        .where(F.col("_e").isNotNull())
+        .distinct()
+    )
     first_seen = active.groupBy("_e").agg(
         F.min("bucket_epoch").alias("_b0")
     )
-    per_bucket = (
-        active.join(first_seen, "_e")
-        .groupBy("bucket_epoch")
-        .agg(
-            F.count(F.lit(1)).alias("n_active"),
-            F.sum(
-                F.when(F.col("bucket_epoch") == F.col("_b0"), 1).otherwise(0)
-            ).alias("n_new"),
-        )
+    actives = active.groupBy("bucket_epoch").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    news = first_seen.groupBy(
+        F.col("_b0").alias("bucket_epoch")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    # left join: every first-seen bucket has actives, not vice versa
+    per_bucket = actives.join(news, "bucket_epoch", "left").select(
+        "bucket_epoch",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
     w = Window.orderBy("bucket_epoch").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

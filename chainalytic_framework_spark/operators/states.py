@@ -172,6 +172,15 @@ def tier_coverage(
     per-transform progress/freshness (cli/console.py) but has no
     per-series completeness table; engine-added (SURVEY §2.11 family).
     """
+    if not 0 < tier_secs <= day_secs or day_secs % tier_secs:
+        # a tier coarser than the period has expected=0 (the old code
+        # generated 'div 0', which throws under Spark 4 ANSI mode); a
+        # non-dividing tier mis-counts the grid — both are caller errors
+        raise ValueError(
+            f"tier_secs={tier_secs} must divide and not exceed "
+            f"day_secs={day_secs}; for tiers coarser than a day, pass a "
+            f"day_secs equal to a multiple of the tier (the SLA period)"
+        )
     ep = F.col(ts_col).cast("timestamp").cast("long")
     present = events.select(
         *key_cols,

@@ -197,3 +197,16 @@ def test_new_vs_returning_invariants(spark):
         assert r.n_active == r.n_new + r.n_returning
         cum += r.n_new
         assert r.cum_unique == cum
+
+
+def test_new_vs_returning_ignores_null_entities(spark):
+    from chainalytic_framework_spark.operators.cohorts import new_vs_returning
+
+    rows = [(0, "u1"), (0, None), (86400, None), (86400, "u1")]
+    df = spark.createDataFrame(rows, "bucket_epoch long, uid string")
+    out = {r["bucket_epoch"]: r
+           for r in new_vs_returning(df, "uid", "bucket_epoch").collect()}
+    # NULL is not an entity: day0 has 1 new, day1 has 1 returning
+    assert out[0]["n_active"] == 1 and out[0]["n_new"] == 1
+    assert out[86400]["n_active"] == 1 and out[86400]["n_new"] == 0
+    assert out[86400]["n_returning"] == 1 and out[86400]["cum_unique"] == 1

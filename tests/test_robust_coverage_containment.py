@@ -171,8 +171,10 @@ def test_cli_serve_coverage(spark, tmp_path):
           "--snapshot-id", "s1"])
     buf = io.StringIO()
     with redirect_stdout(buf):
+        # explicit large limit: the present-sum identity below needs the
+        # FULL table, not the default worst-100 cut
         main(["serve-coverage", "--warehouse", wh, "--grain", "1m",
-              "--keys", "lang"])
+              "--keys", "lang", "--limit", "100000"])
     out = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["rows"], "coverage table must not be empty"
     store = TableStore(spark, wh)
@@ -186,3 +188,58 @@ def test_cli_serve_coverage(spark, tmp_path):
         assert r["longest_missing_buckets"] <= 1440 - r["n_present"]
         if r["n_present"] == 1440:
             assert r["longest_missing_buckets"] == 0
+
+
+def test_tier_coverage_rejects_coarse_or_nondividing_tier(spark):
+    ev = _ev(spark, [("A", 0)])
+    with pytest.raises(ValueError):
+        tier_coverage(ev, ["event_type"], "ts", tier_secs=2592000)
+    with pytest.raises(ValueError):
+        tier_coverage(ev, ["event_type"], "ts", tier_secs=7000)  # !| 86400
+    # coarse tier with a matching period is fine: presence per window
+    out = tier_coverage(ev, ["event_type"], "ts",
+                        tier_secs=2592000, day_secs=2592000).collect()
+    assert out[0]["expected"] == 1 and out[0]["coverage_x1e4"] == 10000
+
+
+def test_cli_serve_coverage_snaps_range_to_whole_days(spark, tmp_path):
+    """A mid-day --t0 must not fabricate missing runs at the window edge:
+    the filter snaps OUT to whole periods, so a fully-covered day reports
+    identically with and without the range."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from chainalytic_framework_spark.__main__ import main
+    from chainalytic_framework_spark.tables import TableStore
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh,
+          "--snapshot-id", "s1"])
+    from pyspark.sql import functions as F
+    store = TableStore(spark, wh)
+    days = [r[0] for r in store.read("tier_1m")
+            .select((F.floor(F.col("bucket_start").cast("timestamp")
+                             .cast("long") / 86400) * 86400)
+                    .cast("long").alias("d")).distinct().collect()]
+    day = sorted(days)[len(days) // 2]
+
+    def run_cov(argv):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            main(argv)
+        return _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    base = ["serve-coverage", "--warehouse", wh, "--grain", "1m",
+            "--keys", "lang", "--limit", "100000"]
+    full = {(r["lang"], r["day_epoch"]): r for r in run_cov(base)["rows"]}
+    # t0 at noon of `day`, t1 at 18:00: must snap out to the whole day
+    cut = run_cov(base + ["--t0", str(day + 43200),
+                          "--t1", str(day + 64800)])["rows"]
+    assert cut, "snapped window must still cover the full day"
+    for r in cut:
+        assert r["day_epoch"] == day
+        assert r == {k: v for k, v in
+                     full[(r["lang"], day)].items()}  # identical rows
