@@ -87,6 +87,12 @@ HEADLINE = [
     # path exercises at 100 TB
     "trimmed_mean_daily_events",
     "tier_coverage_1m_events",
+    # round-5 final additions: the agg-only pixel downsample (raw-tier
+    # serving path), the bounded-frame array-ops despike, and
+    # index-served phrase retrieval (positional posting intersection)
+    "m4_downsample_events",
+    "hampel_despike_events",
+    "phrase_search_documents",
 ]
 
 

@@ -102,3 +102,107 @@ def conjunctive_search_indexed(index: DataFrame, terms: list[str]) -> DataFrame:
         .where(F.col("_nt") == len(terms))
         .select("doc_id", "sum_tf")
     )
+
+
+def build_positional_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Positional posting lists: ``(term, shard, postings)`` where each
+    posting is ``struct(doc_id, positions)`` with positions = 0-based
+    token offsets in the ORIGINAL tokenization (empty tokens from runs
+    of spaces are dropped but do not renumber, so adjacency is a pure
+    ``pos+1`` test). Same shard-bounded layout as
+    :func:`build_inverted_index` — a stopword's postings split across
+    ``n_shards`` rows, every row bounded, deterministic sort within.
+
+    Two partial-aggregated shuffles: (term, doc) collapses per-doc
+    positions map-side; (term, shard) packs the shard row.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ", -1)
+    t = (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
+        .where(F.length("term") >= 1)
+    )
+    per_doc = t.groupBy(id_col, "term").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    return (
+        per_doc.withColumn(
+            "shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+        )
+        .groupBy("term", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("doc_id"),
+                        F.col("positions").alias("positions"),
+                    )
+                )
+            ).alias("postings"),
+        )
+    )
+
+
+def phrase_search_indexed(index: DataFrame, phrase: str) -> DataFrame:
+    """Exact-phrase search served from the STORED positional index:
+    docs where the phrase's terms occur at consecutive positions.
+    Offset-shifted position-list intersection — the classic positional
+    posting-list merge (Manning et al., IIR §2.4, public) expressed as
+    whole-stage-codegen array ops.
+
+    Plan: partition-pruned index scan of |distinct terms|·n_shards
+    rows → explode postings → ONE groupBy(doc) pivoting each phrase
+    offset's positions into a column → ``array_intersect`` of the
+    shifted lists. The corpus is never touched; work is bounded by the
+    rarest term's document frequency after the intersection, and by
+    the scanned postings before it.
+
+    Output: ``doc_id``, ``n_occurrences`` (phrase matches in the doc),
+    ``first_pos`` (0-based offset of the first match) — deterministic,
+    no floats.
+    """
+    terms = [t for t in phrase.lower().split(" ") if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    hits = index.where(F.col("term").isin(list(set(terms)))).select(
+        "term", F.explode("postings").alias("p")
+    )
+    flat = hits.select(
+        "term",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.positions").alias("positions"),
+    )
+    aggs = [
+        F.max(F.when(F.col("term") == t, F.col("positions"))).alias(f"_pos{i}")
+        for i, t in enumerate(terms)
+    ]
+    g = flat.groupBy("doc_id").agg(*aggs)
+
+    def _shift(offset: int):
+        # NB: must stay a ONE-argument lambda — F.transform passes the
+        # array index to a second parameter, which would corrupt the shift
+        return lambda x: x - F.lit(offset)
+
+    matches = F.col("_pos0")
+    for i in range(1, len(terms)):
+        matches = F.array_intersect(
+            matches, F.transform(F.col(f"_pos{i}"), _shift(i))
+        )
+    present = F.lit(True)
+    for i in range(len(terms)):
+        present = present & F.col(f"_pos{i}").isNotNull()
+    return (
+        g.where(present)
+        .withColumn("_m", matches)
+        .where(F.size("_m") > 0)
+        .select(
+            "doc_id",
+            F.size("_m").cast("long").alias("n_occurrences"),
+            F.array_min("_m").cast("long").alias("first_pos"),
+        )
+    )

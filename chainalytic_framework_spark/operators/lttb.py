@@ -160,3 +160,71 @@ def lttb_downsample_exact(
         return pdf.loc[keep, [*keys, t_col, v_col]]
 
     return series.select(*keys, t_col, v_col).groupBy(*keys).applyInPandas(_one, schema=schema)
+
+
+def m4_downsample(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    v_col: str,
+    bucket_secs: int,
+    id_col: str,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014 — public): per
+    (key, pixel bucket) keep the four extreme points — first, last,
+    min-value, max-value — the lossless-for-line-rendering reduction a
+    chart of width w needs exactly 4·w points for. Complements LTTB:
+    M4 is a pure aggregation (error-free min/max envelope, one shuffle,
+    whole-stage codegen, no Python), LTTB is sequential shape-picking.
+
+    Unlike LTTB the plan is a single partial-aggregated ``groupBy`` —
+    at 10^12 rows the map-side combine collapses each bucket to four
+    candidate structs per task before the shuffle, so this is the
+    downsample that runs directly against RAW tiers, not just stored
+    ones.
+
+    Determinism: ``t_col``/``v_col`` must be int64; ties are broken by
+    struct ordering ``(t, id)`` for first/last and ``(v, t, id)`` for
+    min/max with ``id_col`` unique, so the emitted point set is
+    bit-identical across engines and partitionings. Duplicate extremes
+    (e.g. the bucket's first point is also its min) collapse via
+    ``array_distinct``, matching the M4 paper's ≤4-points-per-bucket
+    contract.
+
+    Reference analogue: none — the reference serves raw range scans
+    only (provider W4 shapes); resolution-aware serving is engine-added
+    (SURVEY §2.11 family).
+
+    Output: key cols, ``bucket_epoch``, ``t``, ``v``, ``n_in`` (bucket
+    input count, repeated on each emitted point).
+    """
+    keys = list(key_cols)
+    t, v, i = F.col(t_col), F.col(v_col), F.col(id_col)
+    point = F.struct(t.alias("t"), v.alias("v"))
+    ord_t = F.struct(t, i)
+    ord_v = F.struct(v, t, i)
+    g = (
+        series.withColumn(
+            "bucket_epoch",
+            (F.floor(t / F.lit(bucket_secs)) * bucket_secs).cast("long"),
+        )
+        .groupBy(*keys, "bucket_epoch")
+        .agg(
+            F.min_by(point, ord_t).alias("_pf"),
+            F.max_by(point, ord_t).alias("_pl"),
+            F.min_by(point, ord_v).alias("_pmin"),
+            F.max_by(point, ord_v).alias("_pmax"),
+            F.count(F.lit(1)).alias("n_in"),
+        )
+    )
+    pts = F.array_distinct(F.array("_pf", "_pmin", "_pmax", "_pl"))
+    return (
+        g.select(*keys, "bucket_epoch", "n_in", F.explode(pts).alias("_p"))
+        .select(
+            *keys,
+            "bucket_epoch",
+            F.col("_p.t").alias("t"),
+            F.col("_p.v").alias("v"),
+            "n_in",
+        )
+    )

@@ -414,3 +414,93 @@ def lead_lag_xcorr(
     )
     pairs = left.join(right, "_t").where(F.col("ka") != F.col("kb"))
     return pair_suffstats(pairs, ["ka", "kb"])
+
+
+def hampel_despike(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    id_col: str,
+    value_cents_col: str,
+    half_width: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Hampel filter (rolling-median despike) per series: each point is
+    compared against the MEDIAN of its ±``half_width``-row neighborhood
+    and replaced by that median when it deviates by more than
+    ``k`` × rolling MAD — the standard sensor-cleaning step before a
+    series feeds rollups or forecasts. Where :func:`mad_anomaly` uses
+    one GLOBAL median per key (level outliers), Hampel is LOCAL: a
+    spike inside a trend is caught even though it is unremarkable
+    globally.
+
+    Exact integer arithmetic: input values are integer cents; medians
+    over the (≤ 2w+1)-point window are computed as the SUM of the two
+    middle order statistics (``*_x2``, always integer), the deviation
+    test ``2·|2v − med2| > k·mad4`` is a pure integer comparison, and
+    the cleaned series is emitted at ×2 scale — bit-identical across
+    engines, partitionings, and cluster sizes. Gaussian-consistency
+    scaling (×1.4826) is deliberately folded into the caller's choice
+    of ``k`` to stay integer-exact.
+
+    Plan: ONE shuffle (window partition on the series key), then
+    whole-stage-codegen higher-order array functions (collect_list →
+    array_sort → element_at / transform) — no Python in the row path.
+    The frame is ROWS-based and ≤ 2w+1 wide, so per-row state is
+    bounded regardless of series length; at 10^12 rows the cost is the
+    one series-key shuffle every window operator in this module
+    already pays (tier-table grain, see module docstring).
+
+    Reference analogue: none (the reference stores raw observations
+    untouched); engine-added cleaning (SURVEY §2.11 family).
+
+    Output: key cols, ``order_col``, ``id_col``, the raw cents, the
+    window size ``n_win``, ``med_cents_x2``, ``mad_cents_x4``,
+    ``is_spike`` and ``clean_cents_x2`` (= med2 when spiked else 2·v).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(order_col), F.col(id_col))
+        .rowsBetween(-half_width, half_width)
+    )
+    v = F.col(value_cents_col)
+    arr = F.array_sort(F.collect_list(v).over(w))
+    out = (
+        df.withColumn("_arr", arr)
+        .withColumn("n_win", F.size("_arr"))
+        .withColumn(
+            "med_cents_x2",
+            F.element_at("_arr", (F.floor((F.col("n_win") - 1) / 2) + 1).cast("int"))
+            + F.element_at("_arr", (F.floor(F.col("n_win") / 2) + 1).cast("int")),
+        )
+        .withColumn(
+            "_adevs",
+            F.array_sort(
+                F.transform("_arr", lambda x: F.abs(2 * x - F.col("med_cents_x2")))
+            ),
+        )
+        .withColumn(
+            "mad_cents_x4",
+            F.element_at("_adevs", (F.floor((F.col("n_win") - 1) / 2) + 1).cast("int"))
+            + F.element_at("_adevs", (F.floor(F.col("n_win") / 2) + 1).cast("int")),
+        )
+        .withColumn(
+            "is_spike",
+            2 * F.abs(2 * v - F.col("med_cents_x2")) > F.lit(k) * F.col("mad_cents_x4"),
+        )
+        .withColumn(
+            "clean_cents_x2",
+            F.when(F.col("is_spike"), F.col("med_cents_x2")).otherwise(2 * v),
+        )
+    )
+    return out.select(
+        *key_cols,
+        order_col,
+        id_col,
+        v.alias("v_cents"),
+        "n_win",
+        "med_cents_x2",
+        "mad_cents_x4",
+        "is_spike",
+        "clean_cents_x2",
+    )

@@ -459,6 +459,22 @@ def main() -> int:
     ok &= audit("tier coverage: distinct + bounded window, shared keys",
                 contract.tier_coverage_1m_events(spark, sf),
                 {"max_exchanges": 2})
+    # M4 downsample: ONE partial-aggregated shuffle; the per-bucket point
+    # explode happens post-agg with no further exchange
+    ok &= audit("m4 downsample: single agg shuffle, post-agg explode",
+                contract.m4_downsample_events(spark, sf),
+                {"max_exchanges": 1})
+    # Hampel despike: ONE series-key window shuffle; median/MAD are
+    # codegen'd array ops inside the frame, no Python, no extra exchange
+    ok &= audit("hampel despike: single window shuffle, array ops",
+                contract.hampel_despike_events(spark, sf),
+                {"max_exchanges": 1})
+    # phrase search: 2 phrases x (index build 2 aggs + doc-grain agg);
+    # term filters push below the index aggs (term is a grouping key),
+    # so each branch scans only its terms' postings; never cartesian
+    ok &= audit("phrase search: pruned index branches, bounded aggs",
+                contract.phrase_search_documents(spark, sf),
+                {"max_exchanges": 8})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
