@@ -120,6 +120,7 @@ _GATE_PRIORITY = [
     "m4_downsample_events",
     "hampel_despike_events",
     "phrase_search_documents",
+    "edit_distance_pairs_documents",
     # 39 queries whose newest driver certification is round 3; the 48 +
     # 2 never-certified entries above fill the 50-row window — these
     # hold round-3 driver certification, so cumulative coverage is
@@ -5764,3 +5765,36 @@ def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+@q(
+    "edit_distance_pairs_documents",
+    f"""
+    WITH {_SHINGLE_CTE},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    t AS (SELECT doc_id, text, length(text) AS len FROM documents)
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+           CAST(ta.len AS BIGINT) AS len_a,
+           CAST(tb.len AS BIGINT) AS len_b,
+           CAST((greatest(ta.len, tb.len)
+                 - levenshtein(ta.text, tb.text)) * 10000
+                // greatest(ta.len, tb.len) AS BIGINT) AS sim_x1e4
+    FROM pairs p
+    JOIN t ta ON p.id_a = ta.doc_id
+    JOIN t tb ON p.id_b = tb.doc_id
+    """,
+)
+def edit_distance_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verify over the shared-shingle candidate set
+    (operators/dedup.py::edit_distance_pairs) — the dedup funnel's
+    final exactness stage; candidate-bounded DP, JVM built-in, integer
+    similarity. At 10^12 docs the candidates come from LSH bands
+    instead of the raw shingle join (same substitution every verify
+    stage in the funnel makes)."""
+    d = _t(spark, sf_dir, "documents")
+    cands = _dd.containment_pairs(d).select("id_a", "id_b")
+    return _dd.edit_distance_pairs(d, cands)

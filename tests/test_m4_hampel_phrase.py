@@ -201,3 +201,40 @@ def test_positional_index_sharding_bounds_rows(spark):
     for r in rows:
         ids = [p["doc_id"] for p in r["postings"]]
         assert ids == sorted(ids)
+
+
+# ----------------------------------------------------- edit distance ------
+
+
+def _ed(spark, docs_rows, pair_rows):
+    from chainalytic_framework_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    return {(r["id_a"], r["id_b"]): r
+            for r in edit_distance_pairs(docs, pairs).collect()}
+
+
+def test_edit_distance_known_values(spark):
+    out = _ed(spark,
+              [(1, "kitten"), (2, "sitting"), (3, "kitten")],
+              [(1, 2), (1, 3)])
+    assert out[(1, 2)]["edit_distance"] == 3
+    assert out[(1, 2)]["len_a"] == 6 and out[(1, 2)]["len_b"] == 7
+    assert out[(1, 2)]["sim_x1e4"] == ((7 - 3) * 10000) // 7
+    assert out[(1, 3)]["edit_distance"] == 0
+    assert out[(1, 3)]["sim_x1e4"] == 10000
+
+
+def test_edit_distance_empty_texts_are_identical(spark):
+    out = _ed(spark, [(1, ""), (2, ""), (3, "abc")], [(1, 2), (1, 3)])
+    assert out[(1, 2)]["edit_distance"] == 0
+    assert out[(1, 2)]["sim_x1e4"] == 10000
+    assert out[(1, 3)]["edit_distance"] == 3 and out[(1, 3)]["sim_x1e4"] == 0
+
+
+def test_edit_distance_candidate_bounded(spark):
+    # only the supplied pairs are computed — no all-pairs blowup
+    docs = [(i, f"doc number {i}") for i in range(10)]
+    out = _ed(spark, docs, [(0, 1)])
+    assert set(out) == {(0, 1)}

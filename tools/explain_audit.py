@@ -475,6 +475,11 @@ def main() -> int:
     ok &= audit("phrase search: pruned index branches, bounded aggs",
                 contract.phrase_search_documents(spark, sf),
                 {"max_exchanges": 8})
+    # edit-distance verify: candidate pairs (shingle-keyed, bounded) +
+    # two id-keyed text joins; DP cost bounded by candidate count
+    ok &= audit("edit distance: candidate-bounded id joins, no cartesian",
+                contract.edit_distance_pairs_documents(spark, sf),
+                {"max_exchanges": 12})
     # dup-span single-explode claim (VERDICT r4 item 5): with AQE off the
     # static rule must emit a ReusedExchange for the (doc,hash) pre-agg —
     # both the corpus-count branch and the probe branch hang off ONE
