@@ -353,15 +353,18 @@ def _cmd_cold(args: argparse.Namespace) -> None:
 
 def _cmd_serve_chart(args: argparse.Namespace) -> None:
     """Chart-serving path: routed regular series over [t0, t1) at the
-    requested grain, then LTTB-decimated to ``--npoints``
-    shape-preserving points per key (operators/lttb.py, exact-integer
-    variant — deterministic across cluster sizes). A 2-year dashboard
-    pane reads coarse tiers for deep history and ships ~npoints rows
-    per series to the client, never 10⁶ buckets."""
+    requested grain, decimated to ``--npoints`` per key. Two methods
+    (operators/lttb.py), both deterministic across cluster sizes:
+    ``lttb`` (default) — exact-integer shape-preserving selection;
+    ``m4`` — first/last/min/max per pixel bucket (error-free min/max
+    envelope; ≤4 points per bucket, bucket width = range/(npoints/4)
+    clamped to the grain). A 2-year dashboard pane reads coarse tiers
+    for deep history and ships ~npoints rows per series to the client,
+    never 10⁶ buckets."""
     from pyspark.sql import functions as F
 
-    from .operators.bucketing import TIER_ORDER
-    from .operators.lttb import lttb_downsample_exact
+    from .operators.bucketing import SECONDS, TIER_ORDER
+    from .operators.lttb import lttb_downsample_exact, m4_downsample
     from .operators.router import read_routed_series
     from .session import get_active_or_build
     from .tables import TableStore
@@ -380,10 +383,21 @@ def _cmd_serve_chart(args: argparse.Namespace) -> None:
         F.col("bucket_start").cast("long").alias("t"),
         F.col(args.measure).cast("long").alias("v"),
     )
-    out = lttb_downsample_exact(series, keys, "t", "v", args.npoints)
+    if args.method == "m4":
+        # pixel width: the range split across npoints/4 buckets (M4 emits
+        # ≤4 points per bucket), never finer than the routed grain
+        n_buckets = max(1, args.npoints // 4)
+        bsecs = max(SECONDS[args.grain],
+                    -(-(args.t1 - args.t0) // n_buckets))
+        # t is unique per key in a routed regular series — valid tie id
+        out = m4_downsample(series, keys, "t", "v", bsecs, id_col="t",
+                            origin=args.t0)
+    else:
+        out = lttb_downsample_exact(series, keys, "t", "v", args.npoints)
     rows = out.orderBy(*keys, "t").limit(args.limit).collect()
     print(json.dumps({"grain": args.grain, "measure": args.measure,
                       "t0": args.t0, "t1": args.t1, "npoints": args.npoints,
+                      "method": args.method,
                       "rows": [r.asDict() for r in rows]}, default=str))
 
 
@@ -806,6 +820,9 @@ def main(argv: list[str] | None = None) -> None:
     sch.add_argument("--measure", default="point_count")
     sch.add_argument("--keys", default="lang")
     sch.add_argument("--npoints", type=int, default=200)
+    sch.add_argument("--method", choices=["lttb", "m4"], default="lttb",
+                     help="lttb: shape-preserving selection; m4: exact "
+                          "min/max envelope per pixel bucket")
     sch.add_argument("--retention-now", default=None,
                      help="ISO datetime; fail loudly if the routed cover "
                           "needs expired fine-tier segments")

@@ -169,6 +169,7 @@ def m4_downsample(
     v_col: str,
     bucket_secs: int,
     id_col: str,
+    origin: int = 0,
 ) -> DataFrame:
     """M4 downsampling (Jugel et al., VLDB 2014 — public): per
     (key, pixel bucket) keep the four extreme points — first, last,
@@ -196,7 +197,10 @@ def m4_downsample(
     (SURVEY §2.11 family).
 
     Output: key cols, ``bucket_epoch``, ``t``, ``v``, ``n_in`` (bucket
-    input count, repeated on each emitted point).
+    input count, repeated on each emitted point). ``origin`` shifts the
+    bucket grid (e.g. a chart pane's t0) so a [t0, t1) range of length
+    L covers exactly ceil(L / bucket_secs) buckets instead of the
+    epoch-aligned ceil+1 straddle.
     """
     keys = list(key_cols)
     t, v, i = F.col(t_col), F.col(v_col), F.col(id_col)
@@ -206,7 +210,8 @@ def m4_downsample(
     g = (
         series.withColumn(
             "bucket_epoch",
-            (F.floor(t / F.lit(bucket_secs)) * bucket_secs).cast("long"),
+            (F.floor((t - F.lit(origin)) / F.lit(bucket_secs)) * bucket_secs
+             + F.lit(origin)).cast("long"),
         )
         .groupBy(*keys, "bucket_epoch")
         .agg(

@@ -238,3 +238,16 @@ def test_edit_distance_candidate_bounded(spark):
     docs = [(i, f"doc number {i}") for i in range(10)]
     out = _ed(spark, docs, [(0, 1)])
     assert set(out) == {(0, 1)}
+
+
+def test_m4_origin_aligns_bucket_grid(spark):
+    # range [1000, 1300), width 100: origin=1000 -> exactly 3 buckets;
+    # epoch alignment (origin=0) of the same points at offset start
+    rows = [("a", 1000 + i * 30, i, i) for i in range(10)]  # t in [1000,1270]
+    df = _series(spark, rows)
+    out = m4_downsample(df, ["k"], "t", "v", 100, "id", origin=1000)
+    buckets = {r["bucket_epoch"] for r in out.collect()}
+    assert buckets == {1000, 1100, 1200}
+    # origin=50 shifts the grid accordingly
+    out2 = m4_downsample(df, ["k"], "t", "v", 100, "id", origin=50)
+    assert {r["bucket_epoch"] for r in out2.collect()} == {950, 1050, 1150, 1250}

@@ -291,6 +291,24 @@ def test_cli_run_idempotent(spark, tmp_path):
         if full.get(lang, 0) > 10:  # decimation actually triggered
             assert len(ts) == 10
 
+    # serve-chart --method m4: exact min/max envelope, ≤4 points per
+    # pixel bucket, bounded by npoints per key
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-chart", "--warehouse", wh, "--t0", str(a), "--t1", str(b),
+              "--grain", "1h", "--keys", "lang", "--npoints", "12",
+              "--method", "m4"])
+    m4 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m4["method"] == "m4" and len(m4["rows"]) > 0
+    per_bucket: dict = {}
+    per_lang: dict = {}
+    for r in m4["rows"]:
+        assert a <= r["t"] < b
+        per_bucket.setdefault((r["lang"], r["bucket_epoch"]), []).append(r["v"])
+        per_lang.setdefault(r["lang"], []).append(r["v"])
+    assert all(len(v) <= 4 for v in per_bucket.values())
+    assert all(len(v) <= 12 for v in per_lang.values())
+
     # cold: move all fully-closed 1d days into blob storage
     buf = io.StringIO()
     with redirect_stdout(buf):
