@@ -115,12 +115,18 @@ _GATE_PRIORITY = [
     # round-5 final additions (never certified — they take the last two
     # window slots that previously re-certified two round-3 queries;
     # never-certified > stale re-certification, per the round protocol).
-    # phrase_search_documents is position 51 — just outside the window,
-    # oracle-paired and locally verified like everything else.
+    # Positions 51+ — just outside the window, oracle-paired and locally
+    # verified like everything else: phrase_search_documents,
+    # edit_distance_pairs_documents, and the final-session retrieval trio
+    # (bm25_search_documents, rrf_hybrid_documents,
+    # vocab_growth_documents).
     "m4_downsample_events",
     "hampel_despike_events",
     "phrase_search_documents",
     "edit_distance_pairs_documents",
+    "bm25_search_documents",
+    "rrf_hybrid_documents",
+    "vocab_growth_documents",
     # 39 queries whose newest driver certification is round 3; the 48 +
     # 2 never-certified entries above fill the 50-row window — these
     # hold round-3 driver certification, so cumulative coverage is
@@ -5798,3 +5804,252 @@ def edit_distance_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     d = _t(spark, sf_dir, "documents")
     cands = _dd.containment_pairs(d).select("id_a", "id_b")
     return _dd.edit_distance_pairs(d, cands)
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval: BM25 from the stored index + reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_BM25_TOK_CTE = """
+    tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE length(term) >= 1 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM dl) AS n_docs,
+             (SELECT AVG(dl) FROM dl) AS avgdl),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf
+      WHERE term IN ('spark', 'merge') GROUP BY 1),
+    sc AS (
+      SELECT t.doc_id, COUNT(*) AS n_terms,
+             SUM( ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                  * (t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) ) AS score
+      FROM tf t
+      JOIN df d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      WHERE t.term IN ('spark', 'merge')
+      GROUP BY t.doc_id)
+"""
+
+
+@q(
+    "bm25_search_documents",
+    f"""
+    WITH {_BM25_TOK_CTE}
+    SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(round(score * 10000) AS BIGINT) AS bm25_x1e4
+    FROM sc ORDER BY bm25_x1e4 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval served from the STORED sharded index
+    (operators/index.py::build_bm25_index / bm25_search_indexed):
+    doc lengths ride inside the postings, so the query path is a
+    partition-pruned scan of |terms|·n_shards index rows + one bounded
+    groupBy — the corpus is never rejoined. The oracle recomputes the
+    identical Robertson idf(+1) / k1=1.2 / b=0.75 formula from raw
+    tokens; the hash match proves build + serve are lossless. Ranking
+    is total (integer score desc, doc_id) before LIMIT, and the 2-term
+    per-doc sum is order-invariant in IEEE doubles. Reference analogue:
+    ranked retrieval extends the key-exact lookups (S1/S8,
+    /root/reference/docs/provider_api.adoc) the same way tf-idf does —
+    engine-added capability for the LLM-curation story."""
+    from .operators.index import (
+        bm25_corpus_stats,
+        bm25_search_indexed,
+        build_bm25_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx = build_bm25_index(d, n_shards=16)
+    stats = bm25_corpus_stats(d)
+    out = bm25_search_indexed(idx, stats, ["spark", "merge"])
+    return (
+        out.select(
+            "doc_id",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.round(F.col("bm25") * 10000, 0).cast("long").alias("bm25_x1e4"),
+        )
+        .orderBy(F.desc("bm25_x1e4"), "doc_id")
+        .limit(20)
+    )
+
+
+@q(
+    "rrf_hybrid_documents",
+    f"""
+    WITH {_BM25_TOK_CTE},
+    bm AS (
+      SELECT doc_id,
+             CAST(round(score * 10000) AS BIGINT) AS bm25_x1e4
+      FROM sc ORDER BY bm25_x1e4 DESC, doc_id LIMIT 50),
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25_x1e4 DESC, doc_id) AS rank
+      FROM bm),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(round(list_cosine_similarity(e.embedding, qv.q) * 10000)
+                  AS BIGINT) AS cos_x1e4
+      FROM embeddings e, qv WHERE e.vec_id <> 0
+      ORDER BY cos_x1e4 DESC, doc_id LIMIT 50),
+    csr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_x1e4 DESC, doc_id) AS rank
+      FROM cs),
+    u AS (
+      SELECT doc_id, rank FROM bmr UNION ALL SELECT doc_id, rank FROM csr),
+    fused AS (
+      SELECT doc_id, COUNT(*) AS n_lists,
+             SUM(1.0 / (60 + rank)) AS rrf
+      FROM u GROUP BY doc_id)
+    SELECT doc_id, CAST(n_lists AS BIGINT) AS n_lists,
+           CAST(round(rrf * 1000000) AS BIGINT) AS rrf_x1e6
+    FROM fused ORDER BY rrf_x1e6 DESC, doc_id LIMIT 20
+    """,
+)
+def rrf_hybrid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of a BM25
+    top-50 (lexical face, stored index) and an embedding-cosine top-50
+    (semantic face, vec_id ≡ doc_id) — the standard
+    sparse-plus-dense combiner in training-data curation search.
+    Both rank lists are built over INTEGER-scaled scores with total
+    (score desc, id) tie-breaks, so ranks — and therefore the fused
+    rational score — are engine-deterministic; the per-doc fusion sum
+    is over ≤2 doubles (IEEE-commutative). Fusion cost scales with
+    list length · #lists, never corpus size
+    (operators/index.py::rrf_fuse)."""
+    from .operators.index import (
+        bm25_corpus_stats,
+        bm25_search_indexed,
+        build_bm25_index,
+        rrf_fuse,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx = build_bm25_index(d, n_shards=16)
+    stats = bm25_corpus_stats(d)
+    bm = (
+        bm25_search_indexed(idx, stats, ["spark", "merge"])
+        .select(
+            "doc_id",
+            F.round(F.col("bm25") * 10000, 0).cast("long").alias("_s"),
+        )
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("_s"), "doc_id"))
+            .alias("rank"),
+        )
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    jn = e.where(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = (
+        jn.select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("q"))) * 10000, 0)
+            .cast("long")
+            .alias("_s"),
+        )
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("_s"), "doc_id"))
+            .alias("rank"),
+        )
+    )
+    fused = rrf_fuse([bm, cos], id_col="doc_id", k=60)
+    return (
+        fused.select(
+            "doc_id",
+            F.col("n_lists").cast("long").alias("n_lists"),
+            F.round(F.col("rrf") * 1000000, 0).cast("long").alias("rrf_x1e6"),
+        )
+        .orderBy(F.desc("rrf_x1e6"), "doc_id")
+        .limit(20)
+    )
+
+
+@q(
+    "vocab_growth_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    u AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM t WHERE len(toks) >= 3),
+    tok AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS term FROM u),
+    first_seen AS (
+      SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term),
+    per_batch AS (
+      SELECT CAST(first_doc // 25 AS BIGINT) AS batch,
+             COUNT(*) AS new_terms
+      FROM first_seen GROUP BY 1)
+    SELECT batch, CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(SUM(new_terms) OVER (ORDER BY batch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS vocab_size
+    FROM per_batch ORDER BY batch
+    """,
+)
+def vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve over ingest order: per-term
+    first-occurrence doc (one explode + one min-agg with map-side
+    combine) over the TRIGRAM vocabulary (unigrams saturate a bounded
+    synthetic lexicon instantly), bucketed into 25-doc ingest batches, then a cumulative
+    sum over the SMALL batch axis — the unbounded window runs over
+    #batches rows, not the corpus, so the plan is two bounded shuffles
+    at any scale. The curve is the curation dashboard's
+     'are we still seeing new vocabulary?' saturation signal."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ", -1)
+    tris = F.expr(
+        "transform(sequence(0, size(_toks) - 3),"
+        " i -> concat_ws(' ', slice(_toks, i + 1, 3)))"
+    )
+    t = (
+        d.select("doc_id", toks.alias("_toks"))
+        .where(F.size("_toks") >= 3)
+        .select("doc_id", F.explode(tris).alias("term"))
+    )
+    first_seen = t.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    per_batch = (
+        first_seen.groupBy(
+            (F.col("first_doc") / 25).cast("long").alias("batch")
+        )
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_batch.select(
+            "batch",
+            F.col("new_terms").cast("long").alias("new_terms"),
+            F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+        )
+        .orderBy("batch")
+    )

@@ -206,3 +206,135 @@ def phrase_search_indexed(index: DataFrame, phrase: str) -> DataFrame:
             F.array_min("_m").cast("long").alias("first_pos"),
         )
     )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """BM25-ready sharded postings: ``(term, shard, doc_freq,
+    postings[(doc_id, tf, dl)])`` — the document length rides INSIDE the
+    posting (impact-ordered-index layout, Manning et al. IIR §7, public)
+    so scoring never joins back to the corpus or a per-doc-length side
+    table. At 10^12 docs that join would shuffle a trillion-row dl
+    table for a 3-term query; storing the 8-byte dl per posting costs
+    ~1 word and keeps the search path index-only.
+
+    Same shard-bounded skew story as :func:`build_inverted_index`; the
+    dl join here runs at BUILD time only, doc_id-keyed on both sides.
+    """
+    tf = term_frequencies(docs, text_col=text_col, id_col=id_col)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return (
+        tf.join(dl, id_col)
+        .withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int"))
+        .groupBy("term", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("doc_id"),
+                        F.col("tf").alias("tf"),
+                        F.col("dl").alias("dl"),
+                    )
+                )
+            ).alias("postings"),
+        )
+    )
+
+
+def bm25_corpus_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row corpus constants for BM25: ``(n_docs, avgdl)``. Doc
+    length is a pure array expression over the scan (count of non-empty
+    tokens) — no explode, no shuffle beyond the single global agg — so
+    the stats pass is a straight corpus scan at any scale. Token counts
+    are small integers, so the double-precision average is exact across
+    engines and accumulation orders, and it matches the per-posting
+    ``dl`` stored by :func:`build_bm25_index` (docs with zero tokens are
+    excluded from both)."""
+    ntok = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " ", -1),
+            lambda x: F.length(x) >= 1,
+        )
+    )
+    return (
+        docs.select(ntok.alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+
+
+def bm25_search_indexed(
+    index: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval served from the STORED index (Robertson/
+    Spärck Jones probabilistic idf, the +1 'Lucene' variant so scores
+    stay positive): partition-pruned scan of |terms|·n_shards index
+    rows → broadcast the per-term global df (a |terms|-row aggregate
+    over shards) → explode postings → one groupBy(doc) sum. The corpus
+    is never touched; the shuffle is bounded by the matched postings.
+
+    Output: ``doc_id``, ``n_terms`` (query terms present), and the
+    float score (column ``bm25``) — callers round/rank; the contract
+    query emits ``bm25_x1e4`` for cross-engine determinism.
+    """
+    terms = [t for t in dict.fromkeys(t.lower() for t in terms) if t]
+    if not terms:
+        raise ValueError("empty query")
+    hits = index.where(F.col("term").isin(terms))
+    df_ = hits.groupBy("term").agg(F.sum("doc_freq").alias("df"))
+    post = hits.select("term", F.explode("postings").alias("p")).select(
+        "term",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.tf").alias("tf"),
+        F.col("p.dl").alias("dl"),
+    )
+    j = post.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        j.select("doc_id", (idf * tf_part).alias("_s"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("_s").alias("bm25"))
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame], id_col: str = "doc_id", k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009, public):
+    ``score(d) = Σ_lists 1/(k + rank_d)``. Each input frame carries
+    ``(id_col, rank)`` with rank 1-based and ties already broken
+    deterministically (rank over an integer-scaled score, then id).
+    Rank lists are top-N-bounded by construction, so the union + one
+    groupBy is small regardless of corpus size — fusion cost scales
+    with N·|lists|, never with the corpus.
+
+    Output: ``(id_col, n_lists, rrf)`` — float score; contract queries
+    integer-scale it. Summation is per-doc over ≤|lists| values, and
+    IEEE addition of two doubles is commutative, so two-list fusion is
+    bit-deterministic across engines.
+    """
+    if not ranked:
+        raise ValueError("no ranked lists")
+    u = ranked[0].select(id_col, "rank")
+    for r in ranked[1:]:
+        u = u.unionByName(r.select(id_col, "rank"))
+    return u.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum(1.0 / (F.lit(float(k)) + F.col("rank"))).alias("rrf"),
+    )

@@ -495,6 +495,22 @@ def main() -> int:
             f"explodes={dplan.count('Generate explode')}")
     ok &= d_ok
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # BM25 from the stored-index layout: per-term df and the 1-row corpus
+    # stats ride as broadcasts (fact postings never shuffle for them);
+    # top-k is TakeOrderedAndProject, never a global sort
+    ok &= audit("bm25: broadcast df/stats, bounded postings agg, top-k",
+                contract.bm25_search_documents(spark, sf),
+                {"max_exchanges": 14, "broadcast": True, "take_ordered": True})
+    # RRF fusion: two top-50 rank lists (each TakeOrdered-bounded) union
+    # into one tiny groupBy — fusion cost never scales with the corpus
+    ok &= audit("rrf hybrid: rank-list union, no cartesian, top-k",
+                contract.rrf_hybrid_documents(spark, sf),
+                {"max_exchanges": 16, "take_ordered": True})
+    # Heaps curve: explode -> min-agg (map-side combine) -> batch agg;
+    # the cumulative window runs over the #batches axis only
+    ok &= audit("vocab growth: two keyed aggs, small-axis window",
+                contract.vocab_growth_documents(spark, sf),
+                {"max_exchanges": 4})
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
