@@ -127,6 +127,7 @@ _GATE_PRIORITY = [
     "bm25_search_documents",
     "rrf_hybrid_documents",
     "vocab_growth_documents",
+    "dtw_pairs_events",
     # 39 queries whose newest driver certification is round 3; the 48 +
     # 2 never-certified entries above fill the 50-row window — these
     # hold round-3 driver certification, so cumulative coverage is
@@ -6052,4 +6053,93 @@ def vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
         )
         .orderBy("batch")
+    )
+
+
+_DTW_SENT = 1000000000000000  # matches operators/dtw.py::_SENT
+
+
+@q(
+    "dtw_pairs_events",
+    f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT {_bucket_epoch_sql('ts', 86400)} AS bucket_epoch, event_type,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    days AS (SELECT DISTINCT bucket_epoch FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    spine AS (SELECT * FROM days CROSS JOIN types),
+    series AS (
+      SELECT s.bucket_epoch, s.event_type, COALESCE(d.cents, 0) AS cents
+      FROM spine s LEFT JOIN d USING (bucket_epoch, event_type)),
+    arr AS (
+      SELECT event_type, list(cents ORDER BY bucket_epoch) AS vals,
+             COUNT(*) AS n
+      FROM series GROUP BY 1),
+    pairs0 AS (
+      SELECT a.event_type AS key_a, b.event_type AS key_b,
+             a.vals AS va, b.vals AS vb, a.n AS n, b.n AS m
+      FROM arr a JOIN arr b ON a.event_type < b.event_type),
+    step AS (
+      SELECT key_a, key_b, va, vb, n, m, 1 AS i, 0 AS j,
+             [0::BIGINT] || [{_DTW_SENT}::BIGINT for x in range(m)] AS prev,
+             [{_DTW_SENT}::BIGINT] AS cur
+      FROM pairs0
+      UNION ALL
+      SELECT key_a, key_b, va, vb, n, m,
+             CASE WHEN j + 1 = m AND i < n THEN i + 1 ELSE i END,
+             CASE WHEN j + 1 = m AND i < n THEN 0 ELSE j + 1 END,
+             CASE WHEN j + 1 = m AND i < n THEN list_append(cur, nxt)
+                  ELSE prev END,
+             CASE WHEN j + 1 = m AND i < n THEN [{_DTW_SENT}::BIGINT]
+                  ELSE list_append(cur, nxt) END
+      FROM (
+        SELECT *,
+               CASE WHEN abs(i - (j + 1)) > 7 THEN {_DTW_SENT}::BIGINT
+                    ELSE least({_DTW_SENT}::BIGINT,
+                               abs(va[i] - vb[j + 1])
+                               + least(prev[j + 2], prev[j + 1], cur[j + 1]))
+               END AS nxt
+        FROM step WHERE NOT (i = n AND j = m))
+    )
+    SELECT key_a AS type_a, key_b AS type_b,
+           CAST(n AS BIGINT) AS n_days, CAST(cur[m + 1] AS BIGINT) AS dtw_cost
+    FROM step WHERE i = n AND j = m ORDER BY type_a, type_b
+    """,
+)
+def dtw_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded dynamic-time-warping distance between the zero-filled
+    daily cents series of every event-type pair (operators/dtw.py):
+    the elastic series-shape similarity the tier store serves for
+    'which entities behave alike'. The NumPy DP kernel vectorizes
+    across the PAIR axis (the unbounded one at scale — candidates from
+    SAX words / LSH, here the 10 all-pairs of a 5-key axis); costs are
+    exact integers, so the DuckDB oracle replays the identical DP as a
+    recursive CTE over cells and the hash must match bit-for-bit."""
+    from .operators.dtw import dtw_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(_bucket_epoch("ts", 86400), "event_type", _cents().alias("_c"))
+        .groupBy("bucket_epoch", "event_type")
+        .agg(F.sum("_c").alias("cents"))
+    )
+    spine = d.select("bucket_epoch").distinct().crossJoin(
+        d.select("event_type").distinct()
+    )
+    series = spine.join(d, ["bucket_epoch", "event_type"], "left").select(
+        "bucket_epoch",
+        "event_type",
+        F.coalesce("cents", F.lit(0)).alias("cents"),
+    )
+    out = dtw_pairs(series, "event_type", "bucket_epoch", "cents", band=7)
+    return (
+        out.select(
+            F.col("key_a").alias("type_a"),
+            F.col("key_b").alias("type_b"),
+            F.col("n_a").cast("long").alias("n_days"),
+            F.col("dtw_cost").cast("long").alias("dtw_cost"),
+        )
+        .orderBy("type_a", "type_b")
     )

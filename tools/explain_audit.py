@@ -511,6 +511,12 @@ def main() -> int:
     ok &= audit("vocab growth: two keyed aggs, small-axis window",
                 contract.vocab_growth_documents(spark, sf),
                 {"max_exchanges": 4})
+    # DTW: per-key collect (1 keyed shuffle) + broadcast pair join into
+    # ONE ArrowEvalPython/mapInPandas stage — the DP never shuffles;
+    # candidate pairs bound the work, so no cartesian product node
+    ok &= audit("dtw pairs: keyed collect + broadcast pair join, one Arrow stage",
+                contract.dtw_pairs_events(spark, sf),
+                {"max_exchanges": 8})
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
