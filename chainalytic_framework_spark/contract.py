@@ -6126,7 +6126,7 @@ def dtw_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_c").alias("cents"))
     )
     spine = d.select("bucket_epoch").distinct().crossJoin(
-        d.select("event_type").distinct()
+        F.broadcast(d.select("event_type").distinct())
     )
     series = spine.join(d, ["bucket_epoch", "event_type"], "left").select(
         "bucket_epoch",

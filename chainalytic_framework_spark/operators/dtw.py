@@ -110,7 +110,11 @@ def dtw_pairs(
     if pairs is not None:
         j = pairs.join(a, "key_a").join(b, "key_b")
     else:
-        j = a.join(b, F.col("key_a") < F.col("key_b"))
+        # all-pairs is only sane for a small grouped axis (see above),
+        # so SAY so to the planner: broadcast the right side — a
+        # BroadcastNestedLoopJoin bounded by |keys|², never a shuffled
+        # CartesianProduct of two unknown-size sides
+        j = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
 
     out_schema = (
         "key_a string, key_b string, n_a long, n_b long, dtw_cost long"

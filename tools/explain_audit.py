@@ -511,12 +511,15 @@ def main() -> int:
     ok &= audit("vocab growth: two keyed aggs, small-axis window",
                 contract.vocab_growth_documents(spark, sf),
                 {"max_exchanges": 4})
-    # DTW: per-key collect (1 keyed shuffle) + broadcast pair join into
-    # ONE ArrowEvalPython/mapInPandas stage — the DP never shuffles;
-    # candidate pairs bound the work, so no cartesian product node
-    ok &= audit("dtw pairs: keyed collect + broadcast pair join, one Arrow stage",
+    # DTW: the all-pairs variant must plan as BroadcastNestedLoopJoin
+    # (the small-axis contract), NEVER a shuffled CartesianProduct; the
+    # DP itself is one mapInPandas stage that never shuffles. 14 =
+    # 5 broadcasts + 9 shuffles (the zero-fill spine's shared agg
+    # subtree prints per branch at this scale; stored tiers replace it
+    # in production reads)
+    ok &= audit("dtw pairs: BNLJ all-pairs, no cartesian, one Arrow stage",
                 contract.dtw_pairs_events(spark, sf),
-                {"max_exchanges": 8})
+                {"max_exchanges": 14, "broadcast": True})
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
