@@ -6143,3 +6143,133 @@ def dtw_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+# Deterministic doc-id stand-in link graph (same convention as the
+# anchor_text_index oracle's synthetic HTML): every document votes two
+# host-level edges, h(doc_id%40) -> h((doc_id*7+3)%40) and
+# h(doc_id%40) -> h((doc_id*13+1)%40), deduped per (src, dst) exactly
+# like operators/graph.py::link_edges dedupes per (page, dst). Both
+# formulas cover all 40 residues, so every host has outlinks (no
+# dangling mass) and the graph is strongly connected enough for
+# PageRank parity at few iterations.
+_LINK_EDGES_CTE = """
+    e0 AS (
+      SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+             'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'h' || CAST(doc_id % 40 AS VARCHAR),
+             'h' || CAST((doc_id * 13 + 1) % 40 AS VARCHAR)
+      FROM documents),
+    e AS (SELECT DISTINCT src, dst FROM e0)
+"""
+
+
+def _link_edges_standin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    h = lambda expr: F.concat(F.lit("h"), expr.cast("string"))  # noqa: E731
+    src = h(F.col("doc_id") % 40)
+    return (
+        d.select(src.alias("src"), h((F.col("doc_id") * 7 + 3) % 40).alias("dst"))
+        .unionByName(
+            d.select(src.alias("src"), h((F.col("doc_id") * 13 + 1) % 40).alias("dst"))
+        )
+        .distinct()
+    )
+
+
+@q(
+    "link_degree_documents",
+    f"""
+    WITH {_LINK_EDGES_CTE},
+    outd AS (SELECT src AS host, COUNT(*) AS out_degree FROM e GROUP BY 1),
+    ind  AS (SELECT dst AS host, COUNT(*) AS in_degree  FROM e GROUP BY 1)
+    SELECT COALESCE(outd.host, ind.host) AS host,
+           CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+           CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree
+    FROM outd FULL OUTER JOIN ind ON outd.host = ind.host
+    ORDER BY host
+    """,
+)
+def link_degree_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level (out_degree, in_degree) over the distinct link-edge
+    list (operators/graph.py::host_degree_stats — the frontier-
+    prioritization / spam-hub signal): two groupBys with map-side
+    combine + one full-outer on the |hosts| axis, which is already the
+    collapsed grain. The gate-scale edges are the deterministic doc-id
+    stand-in graph (_LINK_EDGES_CTE) so the oracle is SQL-exact; real
+    edge lists come from link_edges over the html column (tested in
+    tests/test_graph.py). Reference analogue: none — engine-added
+    webtext capability (SURVEY.md §2 training-data additions)."""
+    from .operators.graph import host_degree_stats
+
+    out = host_degree_stats(_link_edges_standin(spark, sf_dir))
+    return out.select(
+        "host",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+    ).orderBy("host")
+
+
+_PR_ITERS = 6
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle_sql() -> str:
+    """Chained-CTE power iteration mirroring operators/graph.py::
+    pagerank term-for-term: rank_{{i+1}}(v) = (1-d)/n + d*(Σ_{{u→v}}
+    rank_i(u)/outdeg(u) + dangling_i/n). The stand-in graph has no
+    dangling hosts, but the term is kept so the oracle replays the
+    operator's exact arithmetic tree."""
+    its = []
+    for i in range(_PR_ITERS):
+        its.append(f"""
+    r{i + 1} AS (
+      SELECT nodes.host,
+             (1 - {_PR_DAMPING}) / (SELECT n FROM nn)
+             + {_PR_DAMPING} * (COALESCE(c.contrib, 0)
+               + (SELECT COALESCE(SUM(r.rank), 0) FROM r{i} r
+                  LEFT JOIN outd o ON r.host = o.src WHERE o.src IS NULL)
+                 / (SELECT n FROM nn)) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS host, SUM(r.rank / o.od) AS contrib
+        FROM r{i} r JOIN outd o ON r.host = o.src JOIN e ON e.src = r.host
+        GROUP BY e.dst) c ON nodes.host = c.host)""")
+    return f"""
+    WITH {_LINK_EDGES_CTE},
+    nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    {",".join(its)}
+    SELECT host, CAST(round(rank * 1000000) AS BIGINT) AS rank_x1e6
+    FROM r{_PR_ITERS} ORDER BY host
+    """
+
+
+@q("pagerank_hosts_documents", _pagerank_oracle_sql())
+def pagerank_hosts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank crawl prior over the stand-in link graph
+    (operators/graph.py::pagerank, 6 power-iteration rounds,
+    d=0.85): per round one shuffle on dst (rank/outdeg
+    contributions with map-side combine) plus a 1-row broadcast
+    aggregate for the dangling mass; lineage truncated every 4 rounds
+    via localCheckpoint so the DAG stays bounded at any iteration
+    count. Ranks are doubles, but the oracle replays the identical
+    arithmetic tree per round, so at rank_x1e6 grain (values ~25000,
+    cross-engine float noise ~1e-9 relative) the hash is stable — the
+    property tests (tests/test_graph.py) additionally pin the closed
+    forms. At 10^12 edges this is the Pregel-on-DataFrames shape with
+    AQE handling hub-host skew; the rank vector is |hosts|-grain, never
+    collected to the driver."""
+    from .operators.graph import pagerank
+
+    out = pagerank(
+        _link_edges_standin(spark, sf_dir),
+        n_iters=_PR_ITERS,
+        damping=_PR_DAMPING,
+    )
+    return out.select(
+        "host",
+        F.round(F.col("rank") * 1000000).cast("long").alias("rank_x1e6"),
+    ).orderBy("host")

@@ -520,6 +520,17 @@ def main() -> int:
     ok &= audit("dtw pairs: BNLJ all-pairs, no cartesian, one Arrow stage",
                 contract.dtw_pairs_events(spark, sf),
                 {"max_exchanges": 14, "broadcast": True})
+    # link degrees: two keyed aggs + one host-grain join, no cartesian,
+    # no window (6 = dedup + 2 agg + join sides at this scale)
+    ok &= audit("link degrees: keyed aggs on collapsed host grain",
+                contract.link_degree_documents(spark, sf),
+                {"max_exchanges": 6, "no_window": True})
+    # pagerank: per-round keyed joins/aggs only — the rank vector is
+    # never collected; the 1-row dangling aggregate must broadcast and
+    # there must be no cartesian at any round
+    ok &= audit("pagerank: iterative keyed joins, broadcast dangling scalar",
+                contract.pagerank_hosts_documents(spark, sf),
+                {"broadcast": True, "no_window": True})
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
