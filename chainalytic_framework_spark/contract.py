@@ -117,9 +117,10 @@ _GATE_PRIORITY = [
     # never-certified > stale re-certification, per the round protocol).
     # Positions 51+ — just outside the window, oracle-paired and locally
     # verified like everything else: phrase_search_documents,
-    # edit_distance_pairs_documents, and the final-session retrieval trio
+    # edit_distance_pairs_documents, the final-session retrieval trio
     # (bm25_search_documents, rrf_hybrid_documents,
-    # vocab_growth_documents).
+    # vocab_growth_documents), dtw_pairs_events, and the link-graph
+    # pair (link_degree_documents, pagerank_hosts_documents).
     "m4_downsample_events",
     "hampel_despike_events",
     "phrase_search_documents",
