@@ -6274,3 +6274,120 @@ def pagerank_hosts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         F.round(F.col("rank") * 1000000).cast("long").alias("rank_x1e6"),
     ).orderBy("host")
+
+
+@q(
+    "stl_daily_events",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS bucket_epoch,
+             SUM(CAST(round(value*100) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bucket_epoch, v,
+             SUM(v) OVER win AS tnum, COUNT(*) OVER win AS tc,
+             MAX(bucket_epoch) OVER win - MIN(bucket_epoch) OVER win AS span
+      FROM d WINDOW win AS (PARTITION BY event_type ORDER BY bucket_epoch
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    i AS (
+      SELECT event_type, bucket_epoch, v, tnum,
+             CAST(7*v - tnum AS HUGEINT) AS det,
+             (bucket_epoch // 86400) % 7 AS phase
+      FROM w WHERE tc = 7 AND span = 518400),
+    s AS (
+      SELECT event_type, phase, SUM(det) AS snum,
+             CAST(COUNT(*) AS HUGEINT) AS scnt
+      FROM i GROUP BY 1, 2)
+    SELECT i.event_type, i.bucket_epoch, CAST(i.v AS BIGINT) AS v,
+           CAST(CASE WHEN i.tnum = 0 THEN 0
+                     ELSE CAST(sign(i.tnum) AS HUGEINT)
+                          * ((abs(CAST(i.tnum AS HUGEINT)) * 10000) // 7)
+                END AS BIGINT) AS trend_x1e4,
+           CAST(CASE WHEN s.snum = 0 THEN 0
+                     ELSE CAST(sign(s.snum) AS HUGEINT)
+                          * ((abs(s.snum) * 10000) // (7 * s.scnt))
+                END AS BIGINT) AS seasonal_x1e4,
+           CAST(CASE WHEN 7*s.scnt*i.v - s.scnt*i.tnum - s.snum = 0 THEN 0
+                     ELSE CAST(sign(7*s.scnt*i.v - s.scnt*i.tnum - s.snum)
+                               AS HUGEINT)
+                          * ((abs(7*s.scnt*CAST(i.v AS HUGEINT)
+                                  - s.scnt*i.tnum - s.snum) * 10000)
+                             // (7 * s.scnt))
+                END AS BIGINT) AS remainder_x1e4
+    FROM i JOIN s ON s.event_type = i.event_type AND s.phase = i.phase
+    """,
+)
+def stl_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of each type's daily cent-sum
+    series (trend.py::stl_decompose): centered 7-day moving-average
+    trend on interior gapless rows, per-day-of-week seasonal means of
+    the detrended series, integer-exact remainder. The one classical
+    time-series decomposition the engine's trend family (linfit / acf /
+    changepoint / seasonal_naive) was still missing; every *_x1e4 is
+    sign·(|num|·10⁴) intdiv den of exact integers — bit-identical
+    across engines and parallelism levels."""
+    from .operators.trend import stl_decompose
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _bucket_epoch("ts", 86400), _cents().alias("_c")
+    )
+    daily = ev.groupBy("event_type", "bucket_epoch").agg(F.sum("_c").alias("c"))
+    return stl_decompose(daily, ["event_type"], "bucket_epoch", "c")
+
+
+@q(
+    "boilerplate_strip_documents",
+    """
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    nd AS (SELECT source, COUNT(*) AS nd FROM t GROUP BY 1),
+    u AS (
+      SELECT doc_id, source, toks, unnest(range(1, len(toks))) AS i
+      FROM t WHERE len(toks) >= 2
+    ),
+    s AS (SELECT doc_id, source, i,
+                 array_to_string(toks[i:i+1], ' ') AS span FROM u),
+    df AS (SELECT source, span, COUNT(DISTINCT doc_id) AS df
+           FROM s GROUP BY 1, 2),
+    bp AS (
+      SELECT df.source, df.span
+      FROM df JOIN nd USING (source)
+      WHERE nd.nd >= 5 AND df.df >= (1 * nd.nd + 5 - 1) // 5),
+    cov AS (
+      SELECT DISTINCT s.doc_id, unnest(range(s.i, s.i + 2)) AS j
+      FROM s JOIN bp ON bp.source = s.source AND bp.span = s.span),
+    tok AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM t),
+    tok2 AS (SELECT doc_id, j, toks[j] AS tk FROM tok),
+    kept AS (
+      SELECT tok2.doc_id, tok2.j, tok2.tk
+      FROM tok2 LEFT JOIN cov ON cov.doc_id = tok2.doc_id AND cov.j = tok2.j
+      WHERE cov.j IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(tk, ' ' ORDER BY j) AS text, COUNT(*) AS n
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(agg.text, '') AS text,
+           CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(len(t.toks) - COALESCE(agg.n, 0) AS BIGINT) AS n_tokens_dropped
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level boilerplate removal (operators/boilerplate.py::
+    boilerplate_strip — the CCNet/RefinedWeb template-dedup step): a
+    w-span contained in ≥ ceil(nd/5) distinct docs of one source
+    (source size ≥ 5) is template boilerplate; covered tokens are cut
+    and the doc reassembled. Hash-gated on the reconstructed TEXT
+    itself (byte equality certifies the whole cover/cut pipeline).
+    Gate instantiation w=2, frac=1/5 — the synthetic corpus has no
+    8-token templates, so the gate exercises the non-trivial path at
+    bigram granularity (~9% of tokens cut); production default is
+    w=8, frac=1/2. Threshold ceil is integer arithmetic in BOTH
+    engines — no IEEE ceil(frac·nd) divergence."""
+    from .operators.boilerplate import boilerplate_strip
+
+    return boilerplate_strip(
+        _t(spark, sf_dir, "documents"),
+        w=2, frac_num=1, frac_den=5, min_docs=5,
+    )

@@ -507,3 +507,111 @@ def acf_spectrum(
     )
     pairs = left.join(right, [*key_cols, "_b"])
     return linfit(pairs, [*key_cols, "lag_secs"], "_x", "_y")
+
+
+def stl_decompose(
+    tier: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_col: str,
+    period: int = 7,
+    step_secs: int = 86400,
+) -> DataFrame:
+    """STL-lite additive decomposition of a per-key bucket series into
+    trend + seasonal + remainder — the classical-decomposition core of
+    Cleveland et al.'s STL without the loess/robustness iterations
+    (those need float fits; this stays in the module's exact-integer
+    contract):
+
+    - **trend** = centered ``period``-row moving average (``period``
+      must be odd), defined only on INTERIOR, GAPLESS rows: the window
+      must hold exactly ``period`` rows spanning exactly
+      ``(period-1)*step_secs`` seconds — a row next to a gap or a
+      series edge emits nothing (matching how classical decomposition
+      leaves the half-window ends undefined).
+    - **seasonal** = per-phase mean of the detrended series, where
+      phase = (bucket div step_secs) mod period (day-of-week for
+      daily buckets / period 7). Uncentered by design — the phase
+      means of a detrended series already sum to ≈0, and skipping the
+      second centering pass keeps every statistic a ratio of exact
+      integers.
+    - **remainder** = value − trend − seasonal.
+
+    Exactness: with integer values v, ``trend = T/period`` (T the
+    window sum), ``detrended×period = period·v − T`` (exact int),
+    ``seasonal = S/(period·k)`` (S the phase sum of detrended×period
+    over k rows), ``remainder = (period·k·v − k·T − S)/(period·k)`` —
+    every emitted ``*_x1e4`` is sign·(|num|·10⁴) intdiv den of exact
+    decimal(38,0) integers: bit-identical across engines, partition
+    counts, and accumulation orders (the linfit determinism contract).
+
+    Scale shape (10^12 raw rows): runs over a TIER table (one row per
+    key × bucket). One window family partitioned by key (bounded by
+    series length, never corpus-keyed) plus one unordered window over
+    (key, phase) for the seasonal means — expressed as a window rather
+    than a groupBy+self-join so the tier subtree is computed ONCE (no
+    duplicated scan/agg branch, no broadcast); both windows are
+    key-bounded, never corpus-keyed. The reference keeps only
+    cumulative/latest aggregates per series (see module docstring);
+    decomposition is engine-added capability (SURVEY §2.11 family).
+
+    Output: (*key_cols, bucket_epoch, v = input value as long,
+    trend_x1e4, seasonal_x1e4, remainder_x1e4) — interior rows only.
+    """
+    if period % 2 != 1:
+        raise ValueError(f"period must be odd, got {period}")
+    half = period // 2
+    win = Window.partitionBy(*key_cols).orderBy("_b").rowsBetween(-half, half)
+    t = tier.select(
+        *key_cols,
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).select(
+        *key_cols,
+        "_b",
+        "_v",
+        F.sum("_v").over(win).alias("_tnum"),
+        F.count(F.lit(1)).over(win).alias("_tc"),
+        (F.max("_b").over(win) - F.min("_b").over(win)).alias("_span"),
+    )
+    interior = t.where(
+        (F.col("_tc") == period) & (F.col("_span") == (period - 1) * step_secs)
+    ).select(
+        *key_cols,
+        "_b",
+        "_v",
+        "_tnum",
+        F.pmod(F.expr(f"_b div {step_secs}"), F.lit(period)).alias("_phase"),
+        (F.lit(period) * F.col("_v") - F.col("_tnum")).cast(_DEC).alias("_det"),
+    )
+    pwin = Window.partitionBy(*key_cols, "_phase")
+    j = interior.select(
+        "*",
+        F.sum("_det").over(pwin).alias("_snum"),
+        F.count(F.lit(1)).over(pwin).cast(_DEC).alias("_scnt"),
+    )
+    sgn = lambda c: F.when(F.col(c) < 0, -1).otherwise(1)  # noqa: E731
+    trend = F.when(F.col("_tnum") == 0, F.lit(0).cast("long")).otherwise(
+        sgn("_tnum")
+        * F.expr(f"(abs(cast(_tnum as {_DEC})) * 10000) div {period}")
+    )
+    seasonal = F.when(F.col("_snum") == 0, F.lit(0).cast("long")).otherwise(
+        sgn("_snum") * F.expr(f"(abs(_snum) * 10000) div ({period} * _scnt)")
+    )
+    rnum = (
+        F.lit(period) * F.col("_scnt") * F.col("_v").cast(_DEC)
+        - F.col("_scnt") * F.col("_tnum").cast(_DEC)
+        - F.col("_snum")
+    )
+    j = j.withColumn("_rnum", rnum)
+    remainder = F.when(F.col("_rnum") == 0, F.lit(0).cast("long")).otherwise(
+        sgn("_rnum") * F.expr(f"(abs(_rnum) * 10000) div ({period} * _scnt)")
+    )
+    return j.select(
+        *key_cols,
+        F.col("_b").alias("bucket_epoch"),
+        F.col("_v").alias("v"),
+        trend.cast("long").alias("trend_x1e4"),
+        seasonal.cast("long").alias("seasonal_x1e4"),
+        remainder.cast("long").alias("remainder_x1e4"),
+    )

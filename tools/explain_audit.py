@@ -531,6 +531,18 @@ def main() -> int:
     ok &= audit("pagerank: iterative keyed joins, broadcast dangling scalar",
                 contract.pagerank_hosts_documents(spark, sf),
                 {"broadcast": True, "no_window": True})
+    # STL: one daily agg + trend window (key) + phase window
+    # (key, phase) — single pass, both windows key-bounded, no
+    # duplicated subtree, no join.
+    ok &= audit("stl: single-pass key-bounded window family",
+                contract.stl_daily_events(spark, sf),
+                {"max_exchanges": 3, "broadcast": False})
+    # boilerplate: hash-keyed (doc,group,hash) pre-agg, group sizes
+    # broadcast, semi-join probe — no per-hash window (the dup-span
+    # skew guard), no cartesian.
+    ok &= audit("boilerplate: grouped-df aggs + broadcast thresholds, no window",
+                contract.boilerplate_strip_documents(spark, sf),
+                {"broadcast": True, "no_window": True, "max_exchanges": 8})
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
