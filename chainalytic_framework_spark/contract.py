@@ -6276,10 +6276,11 @@ def pagerank_hosts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
-@q(
-    "stl_daily_events",
-    """
-    WITH d AS (
+# Shared STL CTE chain (daily cent-sums -> centered-MA window ->
+# interior gapless rows with detrended×7 -> per-phase sums); used by
+# stl_daily_events and stl_anomaly_events.
+_STL_CTE_SQL = """
+    d AS (
       SELECT event_type,
              CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS bucket_epoch,
              SUM(CAST(round(value*100) AS BIGINT)) AS v
@@ -6299,6 +6300,13 @@ def pagerank_hosts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, phase, SUM(det) AS snum,
              CAST(COUNT(*) AS HUGEINT) AS scnt
       FROM i GROUP BY 1, 2)
+"""
+
+
+@q(
+    "stl_daily_events",
+    f"""
+    WITH {_STL_CTE_SQL}
     SELECT i.event_type, i.bucket_epoch, CAST(i.v AS BIGINT) AS v,
            CAST(CASE WHEN i.tnum = 0 THEN 0
                      ELSE CAST(sign(i.tnum) AS HUGEINT)
@@ -6391,3 +6399,56 @@ def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         w=2, frac_num=1, frac_den=5, min_docs=5,
     )
+
+
+@q(
+    "stl_anomaly_events",
+    f"""
+    WITH {_STL_CTE_SQL},
+    r AS (
+      SELECT i.event_type,
+             CAST(CASE WHEN 7*s.scnt*i.v - s.scnt*i.tnum - s.snum = 0 THEN 0
+                       ELSE CAST(sign(7*s.scnt*i.v - s.scnt*i.tnum - s.snum)
+                                 AS HUGEINT)
+                            * ((abs(7*s.scnt*CAST(i.v AS HUGEINT)
+                                    - s.scnt*i.tnum - s.snum) * 10000)
+                               // (7 * s.scnt))
+                  END AS BIGINT) AS rem
+      FROM i JOIN s ON s.event_type = i.event_type AND s.phase = i.phase),
+    m AS (SELECT event_type, median(CAST(rem AS DOUBLE)) AS med
+          FROM r GROUP BY 1),
+    dv AS (SELECT r.event_type, rem, med,
+                  abs(CAST(rem AS DOUBLE) - med) AS adev
+           FROM r JOIN m USING (event_type)),
+    md AS (SELECT event_type, median(adev) AS mad FROM dv GROUP BY 1)
+    SELECT dv.event_type, COUNT(*) AS n_points,
+           CAST(round(MIN(dv.med) * 2) AS BIGINT) AS med_cents_x2,
+           CAST(round(MIN(md.mad) * 2) AS BIGINT) AS mad_cents_x2,
+           CAST(SUM(CASE WHEN dv.adev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies
+    FROM dv JOIN md USING (event_type) GROUP BY 1
+    """,
+)
+def stl_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly counts: robust median/MAD gate
+    (rolling.py::mad_anomaly) over the STL REMAINDER series
+    (trend.py::stl_decompose) instead of the raw values — a Saturday
+    dip that recurs every Saturday is seasonal, not anomalous, so it
+    lands in the seasonal component and never trips the gate; only
+    deviations from trend+seasonality do. Pure composition of two
+    oracle-paired operators; remainders are exact x1e4 integers, so
+    medians are exact half-integers and the count is bit-identical
+    across engines and parallelism levels."""
+    from .operators.rolling import mad_anomaly
+    from .operators.trend import stl_decompose
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _bucket_epoch("ts", 86400), _cents().alias("_c")
+    )
+    daily = ev.groupBy("event_type", "bucket_epoch").agg(F.sum("_c").alias("c"))
+    # persist the (key × bucket)-grain STL frame so mad_anomaly's three
+    # consumers (median agg, deviation join, MAD agg) read the cache
+    # instead of replaying the scan+decompose per branch (same pattern
+    # as distinctive_terms' persisted count table)
+    stl = stl_decompose(daily, ["event_type"], "bucket_epoch", "c").persist()
+    return mad_anomaly(stl, ["event_type"], "remainder_x1e4", k=3)

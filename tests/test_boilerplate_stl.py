@@ -168,3 +168,35 @@ def test_stl_multi_key_isolation(spark):
     assert all(r["trend_x1e4"] == 100 * 10000 for r in a)
     assert all(r["seasonal_x1e4"] == 0 for r in a)
     assert all(r["remainder_x1e4"] == 0 for r in a)
+
+
+def test_stl_anomaly_seasonal_dip_not_flagged_spike_is(spark):
+    """The composition that motivates STL: a recurring weekly dip is
+    SEASONAL — the STL remainder is exactly 0 everywhere, so the MAD
+    gate flags nothing — while a raw-value MAD gate flags every dip.
+    And when a one-off spike IS present, the spike row carries the
+    largest |remainder| (the gate fires; nearby rows absorb only the
+    spike/7 trend perturbation)."""
+    from chainalytic_framework_spark.operators.rolling import mad_anomaly
+
+    dips = [("k", d * DAY, 1000 - (800 if d % 7 == 0 else 0))
+            for d in range(42)]
+    stl = stl_decompose(_daily(spark, dips), ["k"], "b", "v")
+    out = mad_anomaly(stl, ["k"], "remainder_x1e4", k=3).collect()
+    assert len(out) == 1
+    assert out[0]["n_anomalies"] == 0  # pure seasonality: zero flags
+    raw = mad_anomaly(
+        _daily(spark, dips).select("k", F.col("v").alias("remainder_x1e4")),
+        ["k"], "remainder_x1e4", k=3,
+    ).collect()
+    assert raw[0]["n_anomalies"] == 6  # raw gate flags every dip
+
+    spiked = [(k, b, v + (800 if b == 20 * DAY else 0)) for k, b, v in dips]
+    stl2 = stl_decompose(_daily(spark, spiked), ["k"], "b", "v").collect()
+    top = max(stl2, key=lambda r: abs(r["remainder_x1e4"]))
+    assert top["bucket_epoch"] == 20 * DAY  # spike dominates remainders
+    out2 = mad_anomaly(
+        stl_decompose(_daily(spark, spiked), ["k"], "b", "v"),
+        ["k"], "remainder_x1e4", k=3,
+    ).collect()
+    assert out2[0]["n_anomalies"] >= 1  # the gate fires on the spike

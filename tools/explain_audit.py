@@ -537,6 +537,19 @@ def main() -> int:
     ok &= audit("stl: single-pass key-bounded window family",
                 contract.stl_daily_events(spark, sf),
                 {"max_exchanges": 3, "broadcast": False})
+    # STL anomaly: the STL frame is persisted so mad_anomaly's three
+    # consumers read the cache (no per-branch replay of the decompose);
+    # the key-grain median/MAD frames join back as broadcasts.
+    sa_plan = (contract.stl_anomaly_events(spark, sf)
+               ._jdf.queryExecution().executedPlan().toString())
+    sa_ok = (sa_plan.count("InMemoryTableScan") >= 3
+             and "BroadcastExchange" in sa_plan
+             and "CartesianProduct" not in sa_plan)
+    print(("OK " if sa_ok else "BAD")
+          + f" stl anomaly: cached-stl readers="
+            f"{sa_plan.count('InMemoryTableScan')} "
+            f"bcast={'BroadcastExchange' in sa_plan}")
+    ok &= sa_ok
     # boilerplate: hash-keyed (doc,group,hash) pre-agg, group sizes
     # broadcast, semi-join probe — no per-hash window (the dup-span
     # skew guard), no cartesian.
