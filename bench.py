@@ -93,6 +93,8 @@ HEADLINE = [
     "m4_downsample_events",
     "hampel_despike_events",
     "phrase_search_documents",
+    "stl_anomaly_events",
+    "boilerplate_strip_documents",
 ]
 
 
