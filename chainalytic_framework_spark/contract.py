@@ -6294,13 +6294,24 @@ _STL_CTE_SQL = """
     i AS (
       SELECT event_type, bucket_epoch, v, tnum,
              CAST(7*v - tnum AS HUGEINT) AS det,
-             (bucket_epoch // 86400) % 7 AS phase
+             (((bucket_epoch // 86400) % 7) + 7) % 7 AS phase
       FROM w WHERE tc = 7 AND span = 518400),
     s AS (
       SELECT event_type, phase, SUM(det) AS snum,
              CAST(COUNT(*) AS HUGEINT) AS scnt
       FROM i GROUP BY 1, 2)
 """
+
+# Exact x1e4 remainder of the STL decomposition — shared verbatim by
+# stl_daily_events and stl_anomaly_events so the two oracles cannot
+# drift (same reason _STL_CTE_SQL is shared).
+_STL_REM_SQL = """CAST(CASE WHEN 7*s.scnt*i.v - s.scnt*i.tnum - s.snum = 0 THEN 0
+                     ELSE CAST(sign(7*s.scnt*i.v - s.scnt*i.tnum - s.snum)
+                               AS HUGEINT)
+                          * ((abs(7*s.scnt*CAST(i.v AS HUGEINT)
+                                  - s.scnt*i.tnum - s.snum) * 10000)
+                             // (7 * s.scnt))
+                END AS BIGINT)"""
 
 
 @q(
@@ -6316,13 +6327,7 @@ _STL_CTE_SQL = """
                      ELSE CAST(sign(s.snum) AS HUGEINT)
                           * ((abs(s.snum) * 10000) // (7 * s.scnt))
                 END AS BIGINT) AS seasonal_x1e4,
-           CAST(CASE WHEN 7*s.scnt*i.v - s.scnt*i.tnum - s.snum = 0 THEN 0
-                     ELSE CAST(sign(7*s.scnt*i.v - s.scnt*i.tnum - s.snum)
-                               AS HUGEINT)
-                          * ((abs(7*s.scnt*CAST(i.v AS HUGEINT)
-                                  - s.scnt*i.tnum - s.snum) * 10000)
-                             // (7 * s.scnt))
-                END AS BIGINT) AS remainder_x1e4
+           {_STL_REM_SQL} AS remainder_x1e4
     FROM i JOIN s ON s.event_type = i.event_type AND s.phase = i.phase
     """,
 )
@@ -6407,13 +6412,7 @@ def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_STL_CTE_SQL},
     r AS (
       SELECT i.event_type,
-             CAST(CASE WHEN 7*s.scnt*i.v - s.scnt*i.tnum - s.snum = 0 THEN 0
-                       ELSE CAST(sign(7*s.scnt*i.v - s.scnt*i.tnum - s.snum)
-                                 AS HUGEINT)
-                            * ((abs(7*s.scnt*CAST(i.v AS HUGEINT)
-                                    - s.scnt*i.tnum - s.snum) * 10000)
-                               // (7 * s.scnt))
-                  END AS BIGINT) AS rem
+             {_STL_REM_SQL} AS rem
       FROM i JOIN s ON s.event_type = i.event_type AND s.phase = i.phase),
     m AS (SELECT event_type, median(CAST(rem AS DOUBLE)) AS med
           FROM r GROUP BY 1),
@@ -6422,8 +6421,8 @@ def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM r JOIN m USING (event_type)),
     md AS (SELECT event_type, median(adev) AS mad FROM dv GROUP BY 1)
     SELECT dv.event_type, COUNT(*) AS n_points,
-           CAST(round(MIN(dv.med) * 2) AS BIGINT) AS med_cents_x2,
-           CAST(round(MIN(md.mad) * 2) AS BIGINT) AS mad_cents_x2,
+           CAST(round(MIN(dv.med) * 2) AS BIGINT) AS med_x1e4_x2,
+           CAST(round(MIN(md.mad) * 2) AS BIGINT) AS mad_x1e4_x2,
            CAST(SUM(CASE WHEN dv.adev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
              AS n_anomalies
     FROM dv JOIN md USING (event_type) GROUP BY 1
@@ -6451,4 +6450,9 @@ def stl_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of replaying the scan+decompose per branch (same pattern
     # as distinctive_terms' persisted count table)
     stl = stl_decompose(daily, ["event_type"], "bucket_epoch", "c").persist()
-    return mad_anomaly(stl, ["event_type"], "remainder_x1e4", k=3)
+    out = mad_anomaly(stl, ["event_type"], "remainder_x1e4", k=3)
+    # mad_anomaly's fixed aliases say "cents"; here the gated values are
+    # x1e4 remainders — rename so the public schema states the true unit
+    return out.withColumnRenamed("med_cents_x2", "med_x1e4_x2").withColumnRenamed(
+        "mad_cents_x2", "mad_x1e4_x2"
+    )

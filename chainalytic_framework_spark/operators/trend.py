@@ -526,9 +526,13 @@ def stl_decompose(
     - **trend** = centered ``period``-row moving average (``period``
       must be odd), defined only on INTERIOR, GAPLESS rows: the window
       must hold exactly ``period`` rows spanning exactly
-      ``(period-1)*step_secs`` seconds — a row next to a gap or a
-      series edge emits nothing (matching how classical decomposition
-      leaves the half-window ends undefined).
+      ``(period-1)*step_secs`` seconds, every window bucket distinct
+      and on the step grid — a row next to a gap, a duplicate bucket,
+      a misaligned bucket, or a series edge emits nothing (matching
+      how classical decomposition leaves the half-window ends
+      undefined; the distinct/grid guards make the span test
+      sufficient, since a duplicate plus a gap can otherwise
+      compensate each other).
     - **seasonal** = per-phase mean of the detrended series, where
       phase = (bucket div step_secs) mod period (day-of-week for
       daily buckets / period 7). Uncentered by design — the phase
@@ -561,26 +565,49 @@ def stl_decompose(
     if period % 2 != 1:
         raise ValueError(f"period must be odd, got {period}")
     half = period // 2
+    ord_w = Window.partitionBy(*key_cols).orderBy("_b")
     win = Window.partitionBy(*key_cols).orderBy("_b").rowsBetween(-half, half)
-    t = tier.select(
+    base = tier.select(
         *key_cols,
         F.col(bucket_col).cast("long").alias("_b"),
         F.col(value_col).cast("long").alias("_v"),
     ).select(
+        # interior-window validity guards (same sort as win, no extra
+        # shuffle): duplicate-bucket flag and step-grid alignment flag.
+        # tc==period AND span==(period-1)*step alone is NOT sufficient —
+        # a duplicate bucket plus a gap can compensate each other (e.g.
+        # buckets [0,0,1,2,3,4,6]·step: 7 rows, span 6·step, yet gapped
+        # and double-counted). With every window bucket distinct AND on
+        # the step grid, 7 rows spanning exactly 6·step ARE consecutive.
+        "*",
+        F.coalesce(
+            (F.col("_b") == F.lag("_b", 1).over(ord_w)).cast("int"), F.lit(0)
+        ).alias("_dup"),
+        (F.pmod(F.col("_b"), F.lit(step_secs)) == 0).cast("int").alias("_alig"),
+    )
+    t = base.select(
         *key_cols,
         "_b",
         "_v",
         F.sum("_v").over(win).alias("_tnum"),
         F.count(F.lit(1)).over(win).alias("_tc"),
         (F.max("_b").over(win) - F.min("_b").over(win)).alias("_span"),
+        F.sum("_dup").over(win).alias("_ndup"),
+        F.min("_alig").over(win).alias("_walig"),
     )
     interior = t.where(
-        (F.col("_tc") == period) & (F.col("_span") == (period - 1) * step_secs)
+        (F.col("_tc") == period)
+        & (F.col("_span") == (period - 1) * step_secs)
+        & (F.col("_ndup") == 0)
+        & (F.col("_walig") == 1)
     ).select(
         *key_cols,
         "_b",
         "_v",
         "_tnum",
+        # alignment guard guarantees _b divisible by step_secs, so the
+        # truncating `div` equals floor division — pmod of it matches
+        # DuckDB's ((b // step) % p + p) % p for negative epochs too
         F.pmod(F.expr(f"_b div {step_secs}"), F.lit(period)).alias("_phase"),
         (F.lit(period) * F.col("_v") - F.col("_tnum")).cast(_DEC).alias("_det"),
     )

@@ -200,3 +200,26 @@ def test_stl_anomaly_seasonal_dip_not_flagged_spike_is(spark):
         ["k"], "remainder_x1e4", k=3,
     ).collect()
     assert out2[0]["n_anomalies"] >= 1  # the gate fires on the spike
+
+
+def test_stl_duplicate_bucket_voids_neighborhood(spark):
+    """tc/span alone can be fooled by a duplicate bucket compensating a
+    gap (buckets [0,0,1,2,3,4,6]: 7 rows spanning 6 days); the
+    distinct-bucket guard must void every window containing the dup."""
+    days = [0, 0, 1, 2, 3, 4, 6] + list(range(7, 21))
+    rows = [("k", d * DAY, 100) for d in days]
+    out = stl_decompose(_daily(spark, rows), ["k"], "b", "v")
+    got_days = sorted(r["bucket_epoch"] // DAY for r in out.collect())
+    # valid interiors start once no window touches the dup (day 0 twice)
+    # or the gap (day 5 missing): windows centered 9..17 hold rows 6..20
+    assert 0 not in got_days and 1 not in got_days and 2 not in got_days
+    assert got_days == list(range(9, 18))
+
+
+def test_stl_misaligned_bucket_voids_neighborhood(spark):
+    """A bucket off the step grid voids its windows (alignment guard)."""
+    rows = [("k", d * DAY, 100) for d in range(14)]
+    rows[6] = ("k", 6 * DAY + 3600, 100)  # day 6 shifted by an hour
+    out = stl_decompose(_daily(spark, rows), ["k"], "b", "v")
+    got_days = sorted(r["bucket_epoch"] // DAY for r in out.collect())
+    assert got_days == [10]  # only the window 7..13 avoids the bad row
