@@ -119,8 +119,10 @@ _GATE_PRIORITY = [
     # verified like everything else: phrase_search_documents,
     # edit_distance_pairs_documents, the final-session retrieval trio
     # (bm25_search_documents, rrf_hybrid_documents,
-    # vocab_growth_documents), dtw_pairs_events, and the link-graph
-    # pair (link_degree_documents, pagerank_hosts_documents).
+    # vocab_growth_documents), dtw_pairs_events, the link-graph
+    # pair (link_degree_documents, pagerank_hosts_documents),
+    # boilerplate_strip_documents, stl_anomaly_events,
+    # batch_novelty_documents, and crawl_budget_events.
     "m4_downsample_events",
     "hampel_despike_events",
     "phrase_search_documents",
@@ -6456,3 +6458,87 @@ def stl_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("med_cents_x2", "med_x1e4_x2").withColumnRenamed(
         "mad_cents_x2", "mad_x1e4_x2"
     )
+
+
+@q(
+    "batch_novelty_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(doc_id // 25 AS BIGINT) AS batch,
+             string_split(text, ' ') AS toks FROM documents),
+    u AS (
+      SELECT doc_id, batch, toks, unnest(range(1, len(toks) - 1)) AS i
+      FROM t WHERE len(toks) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, batch, array_to_string(toks[i:i+2], ' ') AS s
+      FROM u),
+    first_seen AS (SELECT s, MIN(batch) AS fb FROM sh GROUP BY s)
+    SELECT batch,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN fb = batch THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS novelty_x1e4
+    FROM sh JOIN first_seen USING (s)
+    GROUP BY batch ORDER BY batch
+    """,
+)
+def batch_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate curve over ingest order (operators/novelty.py): per
+    25-doc batch, the exact fraction of (doc, distinct 3-shingle) pairs
+    whose shingle no earlier batch contains — the CCNet/RefinedWeb
+    'is another crawl still paying?' saturation signal, complementing
+    vocab_growth's type-count curve with document-mass weighting. One
+    explode + a map-side-combinable min-agg on the 8-byte shingle hash
+    + one h-keyed join + a #batches-row agg; the oracle replays the
+    definition on the shingle STRINGS (hash-free), so agreement also
+    witnesses collision-freeness at this SF."""
+    from .operators.novelty import batch_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    return batch_novelty(
+        d, (F.col("doc_id") / 25).cast("long"), text_col="text",
+        id_col="doc_id", k=3,
+    ).orderBy("batch")
+
+
+@q(
+    "crawl_budget_events",
+    """
+    WITH w AS (
+      SELECT CAST(user_id % 97 AS BIGINT) AS host, COUNT(*) AS weight
+      FROM events GROUP BY 1),
+    tot AS (SELECT SUM(weight) AS w_total FROM w),
+    b AS (
+      SELECT host, weight,
+             CAST(1000 * weight // w_total AS BIGINT) AS base,
+             CAST(1000 * weight % w_total AS BIGINT) AS rem
+      FROM w, tot),
+    r AS (SELECT 1000 - SUM(base) AS bonus FROM b),
+    rk AS (
+      SELECT host, weight, base,
+             row_number() OVER (ORDER BY rem DESC, host ASC) AS rnk
+      FROM b)
+    SELECT host, CAST(weight AS BIGINT) AS weight,
+           CAST(base + CASE WHEN rnk <= (SELECT bonus FROM r)
+                            THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM rk ORDER BY host
+    """,
+)
+def crawl_budget_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder fetch-budget apportionment
+    (operators/recrawl.py::apportion_budget): 1000 fetch slots split
+    across 97 hosts proportionally to their event counts, quotas exact
+    integers summing to the budget bit-for-bit (the Hamilton rule, not
+    float shares + rounding). The oracle replays the same total
+    deterministic (remainder DESC, host ASC) rank; the engine computes
+    it two-phase (per-shard prune, then a ≤ R·shards-row final rank) so
+    no single task ever sorts the whole host axis."""
+    from .operators.recrawl import apportion_budget
+
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy((F.col("user_id") % 97).cast("long").alias("host")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return apportion_budget(w, ["host"], "n", budget=1000).orderBy("host")

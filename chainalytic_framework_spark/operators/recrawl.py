@@ -156,3 +156,104 @@ def politeness_schedule(
         ),
         (F.col("_rn") + 1).cast("long").alias("fetch_rank"),
     )
+
+
+def apportion_budget(
+    weights: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    budget: int,
+    shards: int = 64,
+) -> DataFrame:
+    """Integer fair-share of a global fetch budget across hosts by the
+    largest-remainder (Hamilton) method — the crawl planner's third
+    stage (:func:`recrawl_schedule` says when urls are due,
+    :func:`politeness_schedule` serializes each host, this decides how
+    many fetch slots each host GETS when the fleet can do only
+    ``budget`` fetches this cycle).
+
+    Exact by construction: with W = Σ weights,
+
+        quota_i = (budget·w_i) div W  +  1[rank_i ≤ R]
+        R       = budget − Σ_i (budget·w_i) div W
+
+    where rank_i orders hosts by (remainder (budget·w_i) mod W DESC,
+    key ASC) — a total deterministic order, so quotas are bit-identical
+    at any parallelism and Σ quota_i = budget EXACTLY (never the
+    off-by-a-few that float shares + rounding give). The per-row
+    product is taken in decimal(38,0) (ANSI overflow THROWS, never
+    wraps), so any budget·weight a BIGINT corpus can produce is safe.
+
+    Scale shape: the weight total and the floor-sum are two scalar aggs
+    (bounded driver data — same contract as the centroid seeds);
+    the +1 bonus set needs the top-R remainders, computed two-phase
+    like ``functions/text.py::ngram_counts``: a per-shard
+    row_number pre-prune keeps ≤ min(R, shard size) rows per shard, then
+    the final global rank window sorts ≤ R·shards survivors — never a
+    single-task sort of the whole host axis. The bonus flag joins back
+    on the host key. Zero-weight hosts get quota 0 (never a bonus slot:
+    their remainder is 0 and ties sort after any positive remainder
+    only by key — they are excluded outright to keep the rule honest).
+
+    Returns key_cols + (weight, quota) with Σ quota = budget.
+
+    Reference analogue: none — the reference polls one upstream
+    unconditionally; a crawl fleet must ration fetches across millions
+    of hosts (north-rule crawl-scheduling tooling).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be ≥ 0: {budget}")
+    dec = "decimal(38,0)"
+    pos = weights.where(F.col(weight_col) > 0)
+    tot = pos.agg(F.sum(F.col(weight_col).cast("long")).alias("w")).collect()
+    w_total = int(tot[0]["w"] or 0)
+    if w_total == 0 or budget == 0:
+        return weights.select(
+            *key_cols,
+            F.col(weight_col).cast("long").alias("weight"),
+            F.lit(0).cast("long").alias("quota"),
+        )
+    prod = (F.lit(int(budget)).cast(dec) * F.col(weight_col).cast(dec)).cast(dec)
+    based = pos.select(
+        *key_cols,
+        F.col(weight_col).cast("long").alias("weight"),
+        F.expr(
+            f"CAST(CAST({budget} AS {dec}) * CAST({weight_col} AS {dec})"
+            f" div CAST({w_total} AS {dec}) AS BIGINT)"
+        ).alias("_base"),
+        (prod % F.lit(w_total).cast(dec)).cast("long").alias("_rem"),
+    )
+    floor_sum = int(based.agg(F.sum("_base").alias("s")).collect()[0]["s"] or 0)
+    r = int(budget) - floor_sum
+    if r > 0:
+        shard = F.pmod(F.xxhash64(*key_cols), F.lit(int(shards)))
+        w_local = Window.partitionBy(shard).orderBy(F.desc("_rem"), *key_cols)
+        pruned = (
+            based.withColumn("_prn", F.row_number().over(w_local))
+            .where(F.col("_prn") <= r)
+            .drop("_prn")
+        )
+        w_glob = Window.orderBy(F.desc("_rem"), *key_cols)
+        bonus = (
+            pruned.withColumn("_grn", F.row_number().over(w_glob))
+            .where(F.col("_grn") <= r)
+            .select(*key_cols, F.lit(1).cast("long").alias("_bonus"))
+        )
+        based = based.join(bonus, key_cols, "left")
+    else:
+        based = based.withColumn("_bonus", F.lit(None).cast("long"))
+    quotas = based.select(
+        *key_cols,
+        "weight",
+        (F.col("_base") + F.coalesce(F.col("_bonus"), F.lit(0)))
+        .cast("long")
+        .alias("quota"),
+    )
+    zeros = weights.where(
+        F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+    ).select(
+        *key_cols,
+        F.col(weight_col).cast("long").alias("weight"),
+        F.lit(0).cast("long").alias("quota"),
+    )
+    return quotas.unionByName(zeros)
