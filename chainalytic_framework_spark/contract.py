@@ -6542,3 +6542,73 @@ def crawl_budget_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     return apportion_budget(w, ["host"], "n", budget=1000).orderBy("host")
+
+
+@q(
+    "host_concentration_events",
+    """
+    WITH w AS (SELECT user_id AS host, COUNT(*) AS w FROM events GROUP BY 1),
+    s AS (SELECT w, RANK() OVER (ORDER BY w) AS rk,
+                 COUNT(*) OVER (PARTITION BY w) AS ties FROM w),
+    a AS (SELECT COUNT(*) AS n, SUM(w) AS tw, SUM(w * w) AS ss,
+                 SUM((2 * rk + ties - 1) * w) AS s2 FROM s),
+    t AS (SELECT SUM(w) AS topw FROM
+          (SELECT w FROM w ORDER BY w DESC
+           LIMIT greatest(1, (SELECT n // 100 FROM a))))
+    SELECT CAST(n AS BIGINT) AS n_units,
+           CAST(tw AS BIGINT) AS total_weight,
+           CAST((s2 - (n + 1) * tw) * 10000 // (n * tw) AS BIGINT)
+             AS gini_x1e4,
+           CAST(ss * 10000 // (tw * tw) AS BIGINT) AS hhi_x1e4,
+           CAST((SELECT topw FROM t) * 10000 // tw AS BIGINT)
+             AS top_share_x1e4,
+           CAST(greatest(1, n // 100) AS BIGINT) AS top_k
+    FROM a
+    """,
+)
+def host_concentration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity audit (operators/concentration.py): exact Gini,
+    HHI, and top-1%-share over per-host event counts, all in
+    integer/decimal arithmetic from the count-of-counts table (the only
+    ordered pass runs over distinct COUNT VALUES, which Zipf collapses
+    far below the host axis). The oracle replays the textbook
+    per-unit mean-rank formula — a genuinely different formulation —
+    so agreement witnesses the grouped algebra, not the code."""
+    from .operators.concentration import concentration
+
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy(F.col("user_id").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return concentration(w, "n_events", top_frac=0.01)
+
+
+@q(
+    "trending_users_events",
+    """
+    WITH t AS (SELECT user_id AS host, CAST(epoch(ts) AS BIGINT) AS te
+               FROM events),
+    m AS (SELECT MAX(te) AS tr FROM t)
+    SELECT host,
+           CAST(ROUND(SUM(pow(2.0, (te - tr) / 86400.0)) * 10000, 0)
+                AS BIGINT) AS score_x1e4,
+           CAST(COUNT(*) AS BIGINT) AS n_raw
+    FROM t, m GROUP BY host
+    ORDER BY score_x1e4 DESC, host LIMIT 20
+    """,
+)
+def trending_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed trending hosts (operators/decay.py): top 20
+    users by sum of 2^((t−T)/1d) at T = the stream head — the
+    recency-weighted activity a recrawl planner ranks by, computed as a
+    map-side-combinable hash agg + TakeOrderedAndProject (no window, no
+    retention boundary). The deterministic order (rounded score DESC,
+    host ASC) is applied AFTER x1e4 rounding on both sides so the
+    selected set is engine-stable."""
+    from .operators.decay import trending_topk
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("host"), _epoch("ts").alias("te")
+    )
+    t_ref = ev.agg(F.max("te").alias("m")).collect()[0]["m"]
+    return trending_topk(ev, ["host"], F.col("te"), int(t_ref), 86400, k=20)

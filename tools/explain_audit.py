@@ -556,6 +556,28 @@ def main() -> int:
     ok &= audit("boilerplate: grouped-df aggs + broadcast thresholds, no window",
                 contract.boilerplate_strip_documents(spark, sf),
                 {"broadcast": True, "no_window": True, "max_exchanges": 8})
+    # batch novelty: explode → hash min-agg → h-keyed join → batch agg;
+    # no window anywhere (the hot-shingle probe is AQE's skew case, not
+    # a per-key sort), no cartesian.
+    ok &= audit("batch novelty: hash min-agg + keyed probe, no window",
+                contract.batch_novelty_documents(spark, sf),
+                {"no_window": True, "max_exchanges": 6})
+    # crawl budget: two scalar aggs drive a two-phase top-R rank; the
+    # global rank window sees only the per-shard survivors, and the
+    # bonus set joins back broadcast (R·shards rows ≪ hosts).
+    ok &= audit("crawl budget: two-phase top-R, bonus set broadcast back",
+                contract.crawl_budget_events(spark, sf),
+                {"broadcast": True})
+    # trending: one map-side-combinable hash agg, then
+    # TakeOrderedAndProject — never a global sort or window.
+    ok &= audit("trending: hash agg + TakeOrderedAndProject, no window",
+                contract.trending_users_events(spark, sf),
+                {"take_ordered": True, "no_window": True, "max_exchanges": 2})
+    # concentration: the only windows run over the count-of-counts
+    # table (distinct weight VALUES); the unit axis is never sorted.
+    ok &= audit("concentration: windows on count-of-counts only",
+                contract.host_concentration_events(spark, sf),
+                {"max_exchanges": 5})
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
