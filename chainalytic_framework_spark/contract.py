@@ -6612,3 +6612,42 @@ def trending_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t_ref = ev.agg(F.max("te").alias("m")).collect()[0]["m"]
     return trending_topk(ev, ["host"], F.col("te"), int(t_ref), 86400, k=20)
+
+
+@q(
+    "leakfree_split_documents",
+    f"""
+    WITH g AS (SELECT doc_id, md5(text) AS grp FROM documents),
+    rep AS (SELECT grp, MIN(doc_id) AS rep FROM g GROUP BY grp),
+    lab AS (
+      SELECT grp,
+             CASE WHEN {_KEYHASH_PPM_SQL.format(x='rep', seed=11)} < 100000
+                    THEN 'holdout'
+                  WHEN {_KEYHASH_PPM_SQL.format(x='rep', seed=11)} < 900000
+                    THEN 'train'
+                  ELSE 'val' END AS split
+      FROM rep)
+    SELECT doc_id, split FROM g JOIN lab USING (grp)
+    ORDER BY doc_id
+    """,
+)
+def leakfree_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe split assignment
+    (operators/sampling.py::leakage_safe_split): exact-dup clusters
+    (md5(text)) each land WHOLLY in one of train/val/holdout, banded by
+    the md5 ppm hash of the cluster representative — the leak a per-doc
+    hash split leaves open (a page and its copy straddling
+    train/holdout) is impossible by construction. The sf0.01 documents
+    table carries real duplicate texts, so the gate exercises
+    multi-member clusters, not just singletons."""
+    from .operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = leakage_safe_split(
+        d.select("doc_id", F.md5("text").alias("grp")),
+        {"holdout": 0.1, "val": 0.1, "train": 0.8},
+        group_col="grp",
+        key="doc_id",
+        seed=11,
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")

@@ -182,3 +182,43 @@ def temperature_resample(
         lhs = (lhs * nfac).cast(dec)
     rhs = F.lit(str(int(coeff_ppm) ** b)).cast(dec)
     return joined.where(lhs < rhs).drop("_n")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    group_col,
+    key: str,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment: the whole duplicate
+    CLUSTER gets one split, never the document. A per-doc hash split
+    (:func:`split_assign`) leaks whenever two near-copies of the same
+    page hash into different bands — the eval set then contains
+    training data verbatim, the classic contamination path web corpora
+    are audited for. Here the split band is drawn from the hash of the
+    cluster REPRESENTATIVE (min ``key`` per ``group_col``), so every
+    member of a cluster — including ones ingested later, since min() of
+    a growing cluster only changes if an earlier doc arrives, which
+    re-pins the whole cluster consistently on recompute — lands in the
+    same band.
+
+    ``group_col`` is any cluster id Column/name: md5(text) for exact
+    dups, :func:`~..operators.components.dedup_groups` output for
+    LSH/connected-component near-dups. Fractions follow
+    :func:`split_assign`'s band math exactly (same seed ⇒ a singleton
+    cluster keyed by its own id gets the same label either way).
+
+    Scale shape: one groupBy(group) min-agg (map-side combinable) + one
+    shuffled join back on the group key — both keyed on the cluster id;
+    the label table is #clusters rows, joined without ever collecting.
+    Giant clusters (the empty-page cluster) are a single key on BOTH
+    sides of an equi-join, the AQE skew-split case, never a window.
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    grouped = df.withColumn("_grp", g)
+    rep = grouped.groupBy("_grp").agg(F.min(key).alias("_rep"))
+    labeled = split_assign(rep, splits, key="_rep", seed=seed,
+                           split_col=split_col)
+    return grouped.join(labeled.select("_grp", split_col), "_grp").drop("_grp")
