@@ -435,7 +435,24 @@ def _cmd_crawl_plan(args: argparse.Namespace) -> None:
         "url", url_host(F.col("url")).alias("host"),
         F.col("next_due_epoch").alias("due"),
     )
-    plan = politeness_schedule(due, "host", "due", ["url"], args.gap).persist()
+    plan = politeness_schedule(due, "host", "due", ["url"], args.gap)
+    n_deferred = 0
+    if args.budget is not None:
+        # third planner stage: ration --budget fetch slots across hosts
+        # by due-url share (largest-remainder, exact integer quotas);
+        # each host keeps its politeness-ordered first `quota` fetches,
+        # the rest defer to the next cycle
+        from .operators.recrawl import apportion_budget
+
+        quotas = apportion_budget(
+            due.groupBy("host").agg(F.count(F.lit(1)).alias("n_due")),
+            ["host"], "n_due", budget=args.budget,
+        )
+        plan = plan.join(quotas.select("host", "quota"), "host")
+        deferred = plan.where(F.col("fetch_rank") > F.col("quota"))
+        plan = plan.where(F.col("fetch_rank") <= F.col("quota")).drop("quota")
+        n_deferred = deferred.count()
+    plan = plan.persist()
     try:
         totals = plan.agg(
             F.count(F.lit(1)).alias("n_urls"),
@@ -448,7 +465,47 @@ def _cmd_crawl_plan(args: argparse.Namespace) -> None:
     print(json.dumps({"gap_seconds": args.gap,
                       "n_urls": totals["n_urls"],
                       "n_delayed": totals["n_delayed"],
+                      "n_deferred": n_deferred,
+                      "budget": args.budget,
                       "max_delay_seconds": totals["max_delay_seconds"],
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
+def _cmd_serve_trending(args: argparse.Namespace) -> None:
+    """Recency-weighted top-k over the tier store: per-key half-life-
+    decayed activity (operators/decay.py) with the INPUT routed through
+    the tiers — long history aggregates from coarse buckets, the ragged
+    edge from fine ones, every bucket's measure decayed by its bucket
+    start against T = --t1. A stored bucket is one decay term, so the
+    score is computed from tier rows without touching raw history; the
+    plan is the routed read + one hash agg + TakeOrderedAndProject."""
+    from pyspark.sql import functions as F
+
+    from .operators.decay import trending_topk
+    from .operators.router import read_routed_series
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-serve-trending")
+    store = TableStore(spark, args.warehouse)
+    tier_dfs = _load_tier_dfs(store)
+    keys = args.keys.split(",")
+    horizons, now_epoch = _retention_check_args(args)
+    series = read_routed_series(
+        tier_dfs, args.t0, args.t1, args.grain,
+        measure=args.measure, keys=tuple(keys),
+        retention_horizons=horizons, now_epoch=now_epoch,
+    )
+    df = trending_topk(
+        series, keys,
+        F.col("bucket_start").cast("timestamp").cast("long"),
+        t_ref=args.t1, half_life_s=args.half_life, k=args.k,
+        weight=F.col(args.measure).cast("double"),
+    )
+    rows = df.collect()
+    print(json.dumps({"grain": args.grain, "measure": args.measure,
+                      "t0": args.t0, "t1": args.t1,
+                      "half_life": args.half_life,
                       "rows": [r.asDict() for r in rows]}, default=str))
 
 
@@ -837,8 +894,32 @@ def main(argv: list[str] | None = None) -> None:
                     help="politeness: min seconds between a host's fetches")
     cp.add_argument("--min-interval", type=int, default=3600)
     cp.add_argument("--max-interval", type=int, default=30 * 86400)
+    cp.add_argument("--budget", type=int, default=None,
+                    help="total fetch slots this cycle, rationed across "
+                         "hosts by due-url share (exact largest-remainder "
+                         "quotas); over-quota fetches defer")
     cp.add_argument("--limit", type=int, default=100)
     cp.set_defaults(fn=_cmd_crawl_plan)
+
+    str_ = sub.add_parser("serve-trending",
+                          help="recency-weighted top-k keys: half-life-"
+                               "decayed activity over the routed tiers")
+    str_.add_argument("--warehouse", required=True)
+    str_.add_argument("--t0", type=int, required=True,
+                      help="epoch secs, grain-aligned")
+    str_.add_argument("--t1", type=int, required=True,
+                      help="epoch secs, grain-aligned; also the decay "
+                           "reference time T")
+    str_.add_argument("--grain", default="1h")
+    str_.add_argument("--measure", default="point_count")
+    str_.add_argument("--keys", default="lang")
+    str_.add_argument("--half-life", type=int, default=86400,
+                      help="decay half-life in seconds")
+    str_.add_argument("--k", type=int, default=20)
+    str_.add_argument("--retention-now", default=None,
+                      help="ISO datetime; fail loudly if the routed cover "
+                           "needs expired fine-tier segments")
+    str_.set_defaults(fn=_cmd_serve_trending)
 
     sx = sub.add_parser("serve-sax",
                         help="SAX shape words per key over a routed range; "
