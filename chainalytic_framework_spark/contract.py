@@ -6586,11 +6586,13 @@ def host_concentration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "trending_users_events",
     """
-    WITH t AS (SELECT user_id AS host, CAST(epoch(ts) AS BIGINT) AS te
+    WITH t AS (SELECT user_id AS host,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS te
                FROM events),
     m AS (SELECT MAX(te) AS tr FROM t)
     SELECT host,
-           CAST(ROUND(SUM(pow(2.0, (te - tr) / 86400.0)) * 10000, 0)
+           CAST((SUM(CAST(ROUND(pow(2.0, (te - tr) / 86400.0) * 100000000,
+                                0) AS HUGEINT)) + 5000) // 10000
                 AS BIGINT) AS score_x1e4,
            CAST(COUNT(*) AS BIGINT) AS n_raw
     FROM t, m GROUP BY host
@@ -6651,3 +6653,129 @@ def leakfree_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=11,
     )
     return out.select("doc_id", "split").orderBy("doc_id")
+
+
+@q(
+    "asap_smooth_events",
+    # The whole ASAP selection is exact integer algebra (operators/
+    # asap.py), so DuckDB replays it bit-for-bit on HUGEINT: prefix
+    # sums give every candidate's rolling sum via a constant-offset
+    # LAG per window branch, the roughness/retention ratios are pure
+    # int divisions of nonnegative quantities (// == Spark's decimal
+    # div there), and the final pass re-derives the chosen window's
+    # SMA from the same prefix sums with a rn-offset self-join.
+    """
+    WITH src AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS x
+      FROM events WHERE user_id < 20
+      GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT)
+    ),
+    pre AS (
+      SELECT user_id, t, x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) AS rn,
+             SUM(x) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS ps
+      FROM src
+    ),
+    branches AS (
+      SELECT user_id, 2 AS w, rn,
+             ps - COALESCE(LAG(ps, 2) OVER (PARTITION BY user_id ORDER BY rn),
+                           CAST(0 AS HUGEINT)) AS s
+      FROM pre QUALIFY rn >= 2
+      UNION ALL
+      SELECT user_id, 3, rn,
+             ps - COALESCE(LAG(ps, 3) OVER (PARTITION BY user_id ORDER BY rn),
+                           CAST(0 AS HUGEINT))
+      FROM pre QUALIFY rn >= 3
+      UNION ALL
+      SELECT user_id, 5, rn,
+             ps - COALESCE(LAG(ps, 5) OVER (PARTITION BY user_id ORDER BY rn),
+                           CAST(0 AS HUGEINT))
+      FROM pre QUALIFY rn >= 5
+      UNION ALL
+      SELECT user_id, 7, rn,
+             ps - COALESCE(LAG(ps, 7) OVER (PARTITION BY user_id ORDER BY rn),
+                           CAST(0 AS HUGEINT))
+      FROM pre QUALIFY rn >= 7
+    ),
+    diffs AS (
+      SELECT user_id, w, s,
+             s - LAG(s) OVER (PARTITION BY user_id, w ORDER BY rn) AS d
+      FROM branches
+    ),
+    stats AS (
+      SELECT user_id, w,
+             CAST(COUNT(*) AS HUGEINT) AS m,
+             SUM(s) AS ss, SUM(s * s) AS sss,
+             CAST(COUNT(d) AS HUGEINT) AS cnt,
+             SUM(d) AS sd, SUM(d * d) AS sdd
+      FROM diffs GROUP BY user_id, w
+    ),
+    raw AS (
+      SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM pre GROUP BY user_id
+    ),
+    scored AS (
+      SELECT st.user_id, st.w, st.m,
+             CASE WHEN st.cnt > 1 THEN
+               ((st.cnt * st.sdd - st.sd * st.sd) * 100000000)
+                 // (st.cnt * st.cnt * st.w * st.w)
+             END AS rough2,
+             CASE WHEN (r.n * r.sxx - r.sx * r.sx) = 0 THEN 10000
+                  WHEN ((r.n * r.sxx - r.sx * r.sx)
+                        * st.m * st.m * st.w * st.w) > 0 THEN
+                    ((st.m * st.sss - st.ss * st.ss) * r.n * r.n * 10000)
+                      // ((r.n * r.sxx - r.sx * r.sx)
+                          * st.m * st.m * st.w * st.w)
+             END AS ret
+      FROM stats st JOIN raw r USING (user_id)
+    ),
+    best AS (
+      SELECT user_id, w
+      FROM scored
+      WHERE m >= 2 AND rough2 IS NOT NULL AND ret >= 5000
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY rough2, w) = 1
+    ),
+    chosen AS (
+      SELECT k.user_id, CAST(COALESCE(b.w, 1) AS BIGINT) AS chosen_w
+      FROM (SELECT DISTINCT user_id FROM scored) k
+      LEFT JOIN best b USING (user_id)
+    )
+    SELECT p.user_id, p.t AS t_epoch, c.chosen_w,
+           CAST(((p.ps - COALESCE(p2.ps, CAST(0 AS HUGEINT))) * 10000)
+                // CAST(c.chosen_w AS HUGEINT) AS BIGINT) AS sma_x1e4
+    FROM pre p
+    JOIN chosen c USING (user_id)
+    LEFT JOIN pre p2 ON p2.user_id = p.user_id
+                    AND p2.rn = p.rn - c.chosen_w
+    WHERE p.rn >= c.chosen_w
+    """,
+)
+def asap_smooth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASAP-style auto-window smoothing (operators/asap.py): per user,
+    pick the moving-average window from a fixed grid (2,3,5,7) that
+    minimizes exact squared roughness subject to retaining >=50% of the
+    raw variance, then emit the chosen window's SMA over full windows.
+    The chart-serving dual of lttb_downsample_events: LTTB decides WHICH
+    points survive, ASAP decides HOW MUCH to smooth the survivors.
+    Reference analogue: none - north-rule chart-serving tooling."""
+    from .operators.asap import asap_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    series = (
+        ev.where(F.col("user_id") < 20)
+        .select("user_id", _epoch("ts").alias("t"), _cents().alias("_c"))
+        .groupBy("user_id", "t")
+        .agg(F.sum("_c").alias("v"))
+    )
+    out = asap_smooth(series, ["user_id"], "t", "v", windows=(2, 3, 5, 7))
+    return out.select(
+        "user_id",
+        F.col("t").alias("t_epoch"),
+        "chosen_w",
+        "sma_x1e4",
+    )

@@ -38,8 +38,9 @@ def decayed_scores(
     """Per-key decayed score at ``t_ref`` plus the undecayed count.
 
     ``ts_epoch`` is an epoch-seconds Column; ``weight`` defaults to 1
-    per row. Emits ``score_x1e4`` = round(score·10⁴) (the repo's fixed
-    x1e4 convention) and ``n_raw``. Events AFTER ``t_ref`` still count
+    per row. Emits ``score_x1e4`` (the repo's fixed x1e4 convention,
+    derived from an exact integer sum of per-term x1e8 roundings — see
+    inline note) and ``n_raw``. Events AFTER ``t_ref`` still count
     (2^(+Δ/hl) > 1) — callers that want a closed window filter first;
     the formula itself has no boundary.
     """
@@ -50,9 +51,28 @@ def decayed_scores(
         F.lit(2.0),
         (ts_epoch.cast("double") - F.lit(float(t_ref))) / F.lit(float(half_life_s)),
     )
-    return df.groupBy(*key_cols).agg(
-        F.round(F.sum(term) * 10000, 0).cast("long").alias("score_x1e4"),
+    # Quantize each TERM to x1e8 and sum integers: a float SUM's value
+    # depends on partition order, and a score whose true value sits at a
+    # x1e4 rounding boundary then flips between runs / engines (seen
+    # live: 5.01675 rounding to 50167 vs 50168 across Spark and DuckDB).
+    # Per-term rounding is order-free; the only residual risk is a
+    # single pow() differing across libm implementations within 1e-12
+    # of a half-boundary — vanishingly unlikely and per-row, not
+    # accumulated. The x1e4 report is then an exact integer division.
+    term_x1e8 = F.round(term * 100000000, 0).cast("decimal(38,0)")
+    scored = df.groupBy(*key_cols).agg(
+        F.sum(term_x1e8).alias("_s_x1e8"),
         F.count(F.lit(1)).alias("n_raw"),
+    )
+    # round-half-up at x1e4 from the exact x1e8 integer sum (terms are
+    # nonnegative under the default weight; callers passing negative
+    # weights get floor-at-half, still deterministic)
+    return scored.select(
+        *key_cols,
+        F.expr("CAST((_s_x1e8 + 5000) div 10000 AS BIGINT)").alias(
+            "score_x1e4"
+        ),
+        "n_raw",
     )
 
 
