@@ -51,17 +51,25 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,0)"
 
 
-def asap_candidate_stats(
+def _rolled(
     series: DataFrame,
     key_cols: list[str],
     order_col: str,
     value_col: str,
-    windows: tuple[int, ...] = (2, 3, 5, 7),
+    windows: tuple[int, ...],
 ) -> DataFrame:
-    """Per (key, window) exact smoothing diagnostics: m (full windows),
-    rough2_x1e8 (squared roughness of the SMA, scaled), ret_x1e4
-    (variance retention vs the raw series). Input values must be
-    integer-scaled (cents / x1e4 — the engine convention)."""
+    """The shared rolled frame: per row, _rn plus every candidate's
+    rolling sum (_s{w}) and its consecutive diff (_d{w}).
+
+    ONE window pass computes every candidate's columns as siblings: all
+    frames share partitionBy(keys)/orderBy(t), so Spark plans one
+    exchange + one sort and chains the frame variants (no per-candidate
+    rescan or union — the naive per-w-branch plan costs |grid| scans and
+    4x the shuffles for identical output). Both consumers
+    (:func:`asap_candidate_stats` and :func:`asap_smooth`'s final SMA
+    projection) hang off this SAME subtree, so the input exchange is
+    byte-identical in both branches and ReuseExchange computes the
+    upstream scan/agg once."""
     if not windows or any(w < 1 for w in windows):
         raise ValueError(f"windows must be positive: {windows}")
     if len(set(windows)) != len(windows):
@@ -71,11 +79,6 @@ def asap_candidate_stats(
         F.col(order_col).alias("_t"),
         F.col(value_col).cast("long").alias("_x"),
     )
-    # ONE window pass computes every candidate's rolling sum and diff as
-    # sibling columns: all frames share partitionBy(keys)/orderBy(t), so
-    # Spark plans one exchange + one sort and chains the frame variants
-    # (no per-candidate rescan or union — the naive per-w-branch plan
-    # costs |grid| scans and 4x the shuffles for identical output).
     seq = Window.partitionBy(*key_cols).orderBy("_t")
     cur = base.withColumn("_rn", F.row_number().over(seq))
     for w in windows:
@@ -92,6 +95,29 @@ def asap_candidate_stats(
                 F.col(f"_s{w}") - F.lag(f"_s{w}").over(seq),
             ),
         )
+    return cur
+
+
+def asap_candidate_stats(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    windows: tuple[int, ...] = (2, 3, 5, 7),
+) -> DataFrame:
+    """Per (key, window) exact smoothing diagnostics: m (full windows),
+    rough2_x1e8 (squared roughness of the SMA, scaled), ret_x1e4
+    (variance retention vs the raw series). Input values must be
+    integer-scaled (cents / x1e4 — the engine convention)."""
+    cur = _rolled(series, key_cols, order_col, value_col, windows)
+    return _stats_from_rolled(cur, key_cols, windows)
+
+
+def _stats_from_rolled(
+    cur: DataFrame,
+    key_cols: list[str],
+    windows: tuple[int, ...],
+) -> DataFrame:
     # one groupBy per KEY (not per key x candidate) carrying the raw and
     # every candidate's sufficient stats in sibling columns
     aggs = [
@@ -211,30 +237,24 @@ def asap_smooth(
     windows: tuple[int, ...] = (2, 3, 5, 7),
     min_retention_x1e4: int = 5000,
 ) -> DataFrame:
-    """End-to-end auto-smoothed series: stats → choose → one final
-    rolling pass at each key's chosen window. Emits (keys..., order,
-    sma_x1e4 = rolling_sum·10⁴ div w over full windows — exact intdiv,
-    never float). The final pass runs every candidate frame and keeps
-    the chosen one (bounded grid ⇒ bounded extra column work; the
-    alternative — per-key dynamic frames — does not exist in SQL)."""
+    """End-to-end auto-smoothed series: stats → choose → project each
+    key's chosen rolling sum out of the SHARED rolled frame. Emits
+    (keys..., order, sma_x1e4 = rolling_sum·10⁴ div w over full windows
+    — exact intdiv, never float). The rolled frame (one sort, every
+    candidate's sum as sibling columns) is built once and consumed by
+    both the stats branch and the final projection, so the plan reuses
+    one exchange instead of recomputing the scan + window pass; the
+    chosen side is one row per key → broadcast join back."""
+    cur = _rolled(series, key_cols, order_col, value_col, windows)
     chosen = asap_choose(
-        asap_candidate_stats(series, key_cols, order_col, value_col, windows),
+        _stats_from_rolled(cur, key_cols, windows),
         key_cols,
         min_retention_x1e4,
     )
-    base = series.select(
-        *key_cols,
-        F.col(order_col).alias("_t"),
-        F.col(value_col).cast("long").alias("_x"),
-    ).join(chosen, key_cols)
-    seq = Window.partitionBy(*key_cols).orderBy("_t")
-    out = base.withColumn("_rn", F.row_number().over(seq))
+    out = cur.join(F.broadcast(chosen), key_cols)
     frames = {1: F.col("_x")}
     for w in windows:
-        roll = Window.partitionBy(*key_cols).orderBy("_t").rowsBetween(
-            -(w - 1), 0
-        )
-        frames[w] = F.sum("_x").over(roll)
+        frames[w] = F.col(f"_s{w}")
     expr = None
     for w, col in frames.items():
         hit = F.col("chosen_w") == w

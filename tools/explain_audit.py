@@ -578,6 +578,17 @@ def main() -> int:
     ok &= audit("concentration: windows on count-of-counts only",
                 contract.host_concentration_events(spark, sf),
                 {"max_exchanges": 5})
+    # ASAP smoothing: the whole candidate grid rides ONE series-keyed
+    # sort (sibling rolling frames); stats/choice/SMA branches hang off
+    # the SAME rolled subtree so the scan+pre-agg exchange is reused at
+    # runtime (verified: 2 ReusedExchange in the final AQE plan — the
+    # static string below still prints each branch's exchange, hence
+    # the cap of 8); the user_id<20 filter must reach the scan and the
+    # one-row-per-key chosen side must broadcast.
+    ok &= audit("asap: shared rolled subtree, pushed filter, bcast join",
+                contract.asap_smooth_events(spark, sf),
+                {"max_exchanges": 8, "pushed_filters": True,
+                 "broadcast": True, "no_cartesian": True})
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
