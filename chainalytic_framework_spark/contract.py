@@ -122,7 +122,9 @@ _GATE_PRIORITY = [
     # vocab_growth_documents), dtw_pairs_events, the link-graph
     # pair (link_degree_documents, pagerank_hosts_documents),
     # boilerplate_strip_documents, stl_anomaly_events,
-    # batch_novelty_documents, and crawl_budget_events.
+    # batch_novelty_documents, crawl_budget_events, and the later
+    # final-session additions (trending/concentration/leakfree-split,
+    # asap_smooth_events, kmv_overlap_events, alert_episodes_events).
     "m4_downsample_events",
     "hampel_despike_events",
     "phrase_search_documents",
@@ -6778,4 +6780,165 @@ def asap_smooth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("t_epoch"),
         "chosen_w",
         "sma_x1e4",
+    )
+
+
+@q(
+    "kmv_overlap_events",
+    # KMV is pure integer algebra over the 60-bit md5-prefix hash
+    # (operators/kmv.py), so DuckDB replays every estimate bit-for-bit:
+    # per-type k smallest distinct hashes via ROW_NUMBER (the engine's
+    # two-phase shard prune is lossless, so straight k-min is the same
+    # set), then the pair algebra on the union ranking. HUGEINT carries
+    # (k-1)*2^60, which overflows BIGINT.
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':7'),
+                                  1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    ),
+    sk AS (SELECT event_type, h FROM r WHERE rn <= 16),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM sk) a
+      JOIN (SELECT DISTINCT event_type FROM sk) b
+        ON a.event_type < b.event_type
+    ),
+    pr AS (
+      SELECT p.ta, p.tb, s.h,
+             MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, s.h
+    ),
+    rk AS (
+      SELECT ta, tb, h, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY ta, tb) AS usz
+      FROM pr
+    ),
+    agg AS (
+      SELECT ta, tb, MAX(usz) AS usz,
+             LEAST(16, MAX(usz)) AS kk,
+             MAX(CASE WHEN rn = LEAST(16, usz) THEN h END) AS tau,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1
+                      AND rn <= LEAST(16, usz) THEN 1 ELSE 0 END) AS x
+      FROM rk GROUP BY ta, tb
+    )
+    SELECT ta AS event_type_a, tb AS event_type_b,
+           CAST(CASE WHEN usz < 16 THEN usz
+                ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // tau
+                END AS BIGINT) AS union_est,
+           CAST((CAST(x AS HUGEINT)
+                 * (CASE WHEN usz < 16 THEN usz
+                    ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // tau
+                    END)) // kk AS BIGINT) AS inter_est,
+           CAST((x * 10000) // kk AS BIGINT) AS jaccard_x1e4
+    FROM agg
+    """,
+)
+def kmv_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic audience-overlap estimation between event types
+    (operators/kmv.py): KMV sketches of the distinct user set per type
+    (k=16 smallest 60-bit hashes), then pairwise union / intersection /
+    Jaccard estimates from sketch arithmetic alone. At sf0.001 the
+    sketches are unsaturated (estimates are EXACT set arithmetic); at
+    sf0.01+ they saturate and the (k-1)*M div h_(k) estimator engages —
+    both regimes gate-checked. The deterministic dual of the theta
+    sketch path (sketches.theta_key_sketch_daily), whose float
+    estimates cannot be oracle-hashed. Reference analogue: A4 set-size
+    counts extended to intersections (SURVEY §2.11 sketch family)."""
+    from .operators.kmv import kmv_overlap, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    # persist the sketch frame (one ≤k-long array per key — tiny) so the
+    # pair self-join's two sides read ONE build instead of duplicating
+    # the distinct-over-the-key-space stage (the stl_anomaly pattern);
+    # in production the sketch table is STORED like any tier and the
+    # overlap job only ever reads it
+    sk = kmv_sketch(
+        ev, ["event_type"], "user_id", k=16, seed=7, shards=8
+    ).persist()
+    return kmv_overlap(sk, ["event_type"], k=16).orderBy(
+        "event_type_a", "event_type_b"
+    )
+
+
+@q(
+    "alert_episodes_events",
+    # the hysteresis recursion collapses to last_value(flag IGNORE
+    # NULLS) over the ordered frame — DuckDB replays the carry, the
+    # open-edge detection, and the episode numbering with the same
+    # window algebra on exact integer cents
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events WHERE user_id < 40
+      GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT user_id, day_epoch, v,
+             CASE WHEN v >= 20000 THEN 1
+                  WHEN v <= 12000 THEN 0 END AS flag
+      FROM s
+    ),
+    c AS (
+      SELECT *,
+             COALESCE(LAST_VALUE(flag IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day_epoch
+               ROWS UNBOUNDED PRECEDING), 0) AS st
+      FROM f
+    ),
+    o AS (
+      SELECT *,
+             CASE WHEN st = 1 AND COALESCE(LAG(st) OVER (
+                    PARTITION BY user_id ORDER BY day_epoch), 0) = 0
+                  THEN 1 ELSE 0 END AS op
+      FROM c
+    ),
+    e AS (
+      SELECT *, SUM(op) OVER (PARTITION BY user_id ORDER BY day_epoch
+                              ROWS UNBOUNDED PRECEDING) AS ep
+      FROM o
+    )
+    SELECT user_id, CAST(ep AS BIGINT) AS episode,
+           MIN(day_epoch) AS episode_start,
+           MAX(day_epoch) AS episode_end,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(v) AS BIGINT) AS peak_value
+    FROM e WHERE st = 1
+    GROUP BY user_id, ep
+    """,
+)
+def alert_episodes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis alert episodes (operators/states.py::alert_episodes)
+    over per-user daily spend: an episode opens at >= 20000 cents/day
+    and stays open through the dead band until a day closes <= 12000 —
+    the Prometheus-style two-threshold alert rule, emitted as episodes
+    (start, end, length, peak) instead of flapping point flags.
+    Reference analogue: none — monitoring tooling over the rolled
+    tiers (SURVEY §2.11 family)."""
+    from .operators.states import alert_episodes
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            ((_epoch("ts") / 86400).cast("long") * 86400).alias("day_epoch"),
+            _cents().alias("_c"),
+        )
+        .groupBy("user_id", "day_epoch")
+        .agg(F.sum("_c").alias("v"))
+    )
+    return alert_episodes(
+        daily, ["user_id"], "day_epoch", "v", hi=20000, lo=12000
     )

@@ -222,3 +222,73 @@ def tier_coverage(
         F.greatest(F.col("_max_internal"), trailing).cast("long")
         .alias("longest_missing_buckets"),
     )
+
+
+def alert_episodes(
+    series: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    hi: int,
+    lo: int,
+) -> DataFrame:
+    """Threshold alerting with HYSTERESIS over a per-key series: an
+    alert episode OPENS when value ≥ ``hi`` and stays open — through
+    the (lo, hi) dead band — until value ≤ ``lo``. The two-threshold
+    gate is the standard monitoring idiom (Prometheus/Grafana alert
+    rules, thermostat control): a single threshold flaps on every
+    noise crossing, hysteresis converts flapping into episodes.
+
+    Emits one row per episode: (keys..., episode [1-based per key],
+    episode_start, episode_end [last bucket at-or-above the gate],
+    n_buckets, peak_value). Rows inside the dead band extend an open
+    episode but never start one; a series that ends while firing emits
+    its episode with the last observed bucket as the end (open-ended,
+    consistent with the engine's no-fabrication rule).
+
+    Exact/deterministic: the state recursion collapses to
+    last(flag ignorenulls) over the ordered frame — pure integer
+    comparisons, no floats; ``order_col`` must be unique per key
+    (bucket grids are). ONE window family (partitionBy keys, orderBy
+    t: state carry, open detection, episode numbering share a single
+    exchange + sort) + one groupBy bounded by series length per key —
+    the same scale shape as every gaps-and-islands operator here.
+
+    Reference analogue: none — monitoring/serving tooling over the
+    rolled tiers (SURVEY §2.11 family; the episode dual of the
+    point-flag monitors rolling.cusum_drift / rolling.mad_anomaly).
+    """
+    if lo >= hi:
+        raise ValueError(f"hysteresis requires lo < hi: lo={lo} hi={hi}")
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    flag = (
+        F.when(F.col(value_col) >= hi, F.lit(1))
+        .when(F.col(value_col) <= lo, F.lit(0))
+    )
+    cur = series.withColumn(
+        "_st", F.coalesce(F.last(flag, ignorenulls=True).over(cum), F.lit(0))
+    )
+    opened = (
+        (F.col("_st") == 1)
+        & (F.coalesce(F.lag("_st").over(w), F.lit(0)) == 0)
+    ).cast("int")
+    cur = cur.withColumn("_ep", F.sum(opened).over(cum))
+    return (
+        cur.where(F.col("_st") == 1)
+        .groupBy(*key_cols, "_ep")
+        .agg(
+            F.min(order_col).alias("episode_start"),
+            F.max(order_col).alias("episode_end"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max(value_col).cast("long").alias("peak_value"),
+        )
+        .select(
+            *key_cols,
+            F.col("_ep").cast("long").alias("episode"),
+            "episode_start",
+            "episode_end",
+            "n_buckets",
+            "peak_value",
+        )
+    )

@@ -33,6 +33,8 @@ def audit(name: str, df, expect: dict) -> bool:
         # skew guard: a Window.partitionBy on a high-multiplicity key makes
         # one unsplittable task per hot key; groupBy+join shapes must be used
         checks["no_window"] = not re.search(r"\bWindow\b", plan)
+    for frag in expect.get("must_contain", ()):
+        checks[f"contains:{frag}"] = frag in plan
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if expect.get("pushed_filters"):
         checks["pushed_filters"] = bool(pushed and pushed.group(1).strip())
@@ -589,6 +591,25 @@ def main() -> int:
                 contract.asap_smooth_events(spark, sf),
                 {"max_exchanges": 8, "pushed_filters": True,
                  "broadcast": True, "no_cartesian": True})
+    # KMV: the pair join is over one-row-per-key sketch arrays — a
+    # broadcast nested-loop on the < condition is the plan we WANT;
+    # a CartesianProduct (unbroadcast all-pairs) is the failure mode.
+    # The sketch frame is persisted (contract.kmv_overlap_events), so
+    # the exchanges in the text live inside the ONE-SHOT InMemoryRelation
+    # build — both join sides must read the cache, not rebuild it.
+    ok &= audit("kmv overlap: sketch-sized bcast pair join, no cartesian",
+                contract.kmv_overlap_events(spark, sf),
+                {"max_exchanges": 8, "no_cartesian": True,
+                 "broadcast": True,
+                 "must_contain": ("InMemoryTableScan",
+                                  "BroadcastNestedLoopJoin")})
+    # alert episodes: window family + groupBy share the key prefix;
+    # the whole plan is two exchanges (daily pre-agg, then the
+    # window/episode agg) — no per-episode or global window
+    ok &= audit("alert episodes: one window family + bounded aggs",
+                contract.alert_episodes_events(spark, sf),
+                {"max_exchanges": 3, "pushed_filters": True,
+                 "no_cartesian": True})
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
