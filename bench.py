@@ -95,6 +95,14 @@ HEADLINE = [
     "phrase_search_documents",
     "stl_anomaly_events",
     "boilerplate_strip_documents",
+    # round-5 monitoring/sketch additions: the multi-frame hysteresis
+    # window chain (state carry + edge detect + numbering in ONE sort),
+    # the KMV sketch build (distinct-collapse + two-phase k-min) with
+    # its broadcast pair join, and ASAP's shared rolled frame (every
+    # candidate window's sum as sibling columns off one exchange)
+    "alert_episodes_events",
+    "kmv_overlap_events",
+    "asap_smooth_events",
 ]
 
 

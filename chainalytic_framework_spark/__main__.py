@@ -635,6 +635,43 @@ def _cmd_serve_trend(args: argparse.Namespace) -> None:
 
 
 
+def _cmd_serve_alerts(args: argparse.Namespace) -> None:
+    """Hysteresis alert episodes over a routed range: value ≥ --hi
+    opens an episode, ≤ --lo closes it, the dead band extends it
+    (operators/states.py::alert_episodes) — the alert-rule endpoint
+    over the SAME routed read every other serve command uses, so deep
+    history evaluates from coarse tiers and the ragged edge from fine
+    ones. Integer thresholds on integer measures: the episode set is
+    byte-identical at any parallelism."""
+    from pyspark.sql import functions as F
+
+    from .operators.router import read_routed_series
+    from .operators.states import alert_episodes
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    spark = get_active_or_build(app_name="cfs-serve-alerts")
+    store = TableStore(spark, args.warehouse)
+    tier_dfs = _load_tier_dfs(store)
+    keys = args.keys.split(",")
+    horizons, now_epoch = _retention_check_args(args)
+    series = read_routed_series(
+        tier_dfs, args.t0, args.t1, args.grain,
+        measure=args.measure, keys=tuple(keys),
+        retention_horizons=horizons, now_epoch=now_epoch,
+    ).select(
+        *keys,
+        F.col("bucket_start").cast("long").alias("b"),
+        F.col(args.measure).cast("long").alias("v"),
+    )
+    eps = alert_episodes(series, keys, "b", "v", hi=args.hi, lo=args.lo)
+    rows = eps.orderBy(*keys, "episode").limit(args.limit).collect()
+    print(json.dumps({"grain": args.grain, "measure": args.measure,
+                      "t0": args.t0, "t1": args.t1,
+                      "hi": args.hi, "lo": args.lo,
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def _cmd_serve_coverage(args: argparse.Namespace) -> None:
     """Tier-completeness SLA endpoint: per (key, day), how much of the
     chosen tier's expected bucket grid is actually present in the
@@ -959,6 +996,24 @@ def main(argv: list[str] | None = None) -> None:
                      help="add Theil-Sen median slope + Mann-Kendall S "
                           "(outlier-resistant trend) per key")
     st_.set_defaults(fn=_cmd_serve_trend)
+
+    sal = sub.add_parser("serve-alerts",
+                         help="hysteresis alert episodes over a routed "
+                              "range: opens at >=hi, closes at <=lo, "
+                              "dead band extends")
+    sal.add_argument("--warehouse", required=True)
+    sal.add_argument("--t0", type=int, required=True)
+    sal.add_argument("--t1", type=int, required=True)
+    sal.add_argument("--grain", default="1h")
+    sal.add_argument("--measure", default="point_count")
+    sal.add_argument("--keys", default="lang")
+    sal.add_argument("--hi", type=int, required=True)
+    sal.add_argument("--lo", type=int, required=True)
+    sal.add_argument("--retention-now", default=None,
+                     help="ISO datetime; fail loudly if the routed cover "
+                          "needs expired fine-tier segments")
+    sal.add_argument("--limit", type=int, default=1000)
+    sal.set_defaults(fn=_cmd_serve_alerts)
 
     scov = sub.add_parser("serve-coverage",
                           help="tier-completeness SLA per (key, day): "

@@ -583,3 +583,48 @@ def test_cli_serve_trend_robust(spark, tmp_path):
                 assert r["mk_s"] >= -r["n_pairs"] // 2
             if r["robust_slope_x1e4"] and r["robust_slope_x1e4"] < 0:
                 assert r["mk_s"] <= r["n_pairs"] // 2
+
+
+def test_cli_serve_alerts(spark, tmp_path):
+    """serve-alerts: hysteresis episodes over the routed read. With
+    hi=1/lo=0 every key fires at its first bucket and (point_count
+    never reaching 0) stays open to the end — exactly one episode per
+    key spanning its series; with an unreachable hi, zero episodes."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.__main__ import main
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
+    store = TableStore(spark, wh)
+    t1m = store.read("tier_1m")
+    lo = t1m.agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = t1m.agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    a, b = -(-lo // 3600) * 3600, (hi // 3600) * 3600
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-alerts", "--warehouse", wh, "--t0", str(a),
+              "--t1", str(b), "--grain", "1h", "--keys", "lang",
+              "--hi", "1", "--lo", "0"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["rows"], "hi=1 must fire for every lang with any bucket"
+    langs = {r["lang"] for r in out["rows"]}
+    for r in out["rows"]:
+        # one never-closing episode per key, spanning its whole series
+        assert r["episode"] == 1
+        assert a <= r["episode_start"] <= r["episode_end"] < b
+        assert r["n_buckets"] >= 1 and r["peak_value"] >= 1
+    assert len(out["rows"]) == len(langs)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-alerts", "--warehouse", wh, "--t0", str(a),
+              "--t1", str(b), "--grain", "1h", "--keys", "lang",
+              "--hi", str(10**9), "--lo", "0"])
+    out2 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out2["rows"] == []
