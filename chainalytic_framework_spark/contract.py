@@ -6942,3 +6942,113 @@ def alert_episodes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alert_episodes(
         daily, ["user_id"], "day_epoch", "v", hi=20000, lo=12000
     )
+
+
+@q(
+    "kmv_range_overlap_events",
+    # exercises KMV MERGEABILITY cross-engine: per-(type, day) k-min
+    # sketches, merged per type into one sketch per SIDE of the month
+    # split (k smallest of the union of daily k-mins == k-min of the
+    # side's distinct set — lossless), then the pair algebra per type.
+    # DuckDB replays daily build, merge, and estimates bit-for-bit.
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_epoch,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':7'),
+                                  1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, day_epoch, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day_epoch
+                                ORDER BY h) AS rn
+      FROM d
+    ),
+    sk AS (SELECT event_type, day_epoch, h FROM r WHERE rn <= 16),
+    ma AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM (SELECT DISTINCT event_type, h FROM sk
+            WHERE day_epoch < 1705363200)
+    ),
+    mb AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM (SELECT DISTINCT event_type, h FROM sk
+            WHERE day_epoch >= 1705363200)
+    ),
+    sa AS (SELECT event_type, h FROM ma WHERE rn <= 16),
+    sb AS (SELECT event_type, h FROM mb WHERE rn <= 16),
+    pr AS (
+      SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+             COALESCE(a.h, b.h) AS h,
+             CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+      FROM sa a FULL OUTER JOIN sb b
+        ON a.event_type = b.event_type AND a.h = b.h
+    ),
+    both_sides AS (
+      SELECT event_type FROM sa GROUP BY 1
+      INTERSECT
+      SELECT event_type FROM sb GROUP BY 1
+    ),
+    rk AS (
+      SELECT p.event_type, p.h, p.in_a, p.in_b,
+             ROW_NUMBER() OVER (PARTITION BY p.event_type
+                                ORDER BY p.h) AS rn,
+             COUNT(*) OVER (PARTITION BY p.event_type) AS usz
+      FROM pr p JOIN both_sides USING (event_type)
+    ),
+    agg AS (
+      SELECT event_type, MAX(usz) AS usz,
+             LEAST(16, MAX(usz)) AS kk,
+             MAX(CASE WHEN rn = LEAST(16, usz) THEN h END) AS tau,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1
+                      AND rn <= LEAST(16, usz) THEN 1 ELSE 0 END) AS x
+      FROM rk GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(CASE WHEN usz < 16 THEN usz
+                ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // tau
+                END AS BIGINT) AS union_est,
+           CAST((CAST(x AS HUGEINT)
+                 * (CASE WHEN usz < 16 THEN usz
+                    ELSE (CAST(15 AS HUGEINT) * 1152921504606846976) // tau
+                    END)) // kk AS BIGINT) AS inter_est,
+           CAST((x * 10000) // kk AS BIGINT) AS jaccard_x1e4
+    FROM agg
+    """,
+)
+def kmv_range_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience retention between month halves from STORED daily
+    sketches (operators/kmv.py): per (event_type, day) KMV sketches,
+    losslessly merged per type into a first-half and a second-half
+    sketch, then per-type union/intersection/Jaccard — the "how much
+    of the early audience came back" question answered from sketch
+    rows alone, the same rollup contract as the additive tier cascade.
+    Reference analogue: A4 set-size counts extended to intersections
+    over time ranges (SURVEY §2.11 sketch family)."""
+    from .operators.kmv import kmv_merge, kmv_overlap_ranges, kmv_sketch
+
+    SPLIT = 1705363200  # 2024-01-16 00:00:00 UTC — testdata mid-month
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        ((_epoch("ts") / 86400).cast("long") * 86400).alias("day_epoch"),
+        "user_id",
+    )
+    # daily sketches persist (tiny: one ≤k array per (type, day)) —
+    # both side filters read one build, modelling the STORED table
+    daily = kmv_sketch(
+        base, ["event_type", "day_epoch"], "user_id", k=16, seed=7, shards=8
+    ).persist()
+    a = kmv_merge(
+        daily.where(F.col("day_epoch") < SPLIT), ["event_type"], k=16
+    )
+    b = kmv_merge(
+        daily.where(F.col("day_epoch") >= SPLIT), ["event_type"], k=16
+    )
+    return kmv_overlap_ranges(a, b, ["event_type"], k=16).orderBy(
+        "event_type"
+    )

@@ -107,37 +107,9 @@ def kmv_estimate(sketches: DataFrame, k: int) -> DataFrame:
     return sketches.withColumn("distinct_est", est.cast("long"))
 
 
-def kmv_overlap(
-    sketches: DataFrame,
-    key_cols: list[str],
-    k: int,
-) -> DataFrame:
-    """All-pairs overlap BETWEEN sketch rows (pairs ordered by the
-    key tuple): union_est, inter_est, jaccard_x1e4 per pair. The join
-    is sketch-count-sized (one row per key) — at any corpus scale this
-    touches arrays of ≤ k longs, never the key space."""
-    a = sketches.select(
-        *[F.col(c).alias(f"{c}_a") for c in key_cols],
-        F.col("hashes").alias("_ha"),
-        F.col("sk_size").alias("_sza"),
-    )
-    b = sketches.select(
-        *[F.col(c).alias(f"{c}_b") for c in key_cols],
-        F.col("hashes").alias("_hb"),
-        F.col("sk_size").alias("_szb"),
-    )
-    cond = None
-    # strict lexicographic (a < b) over the key tuple → each unordered
-    # pair once, deterministically
-    eqs = []
-    for c in key_cols:
-        lt = F.col(f"{c}_a") < F.col(f"{c}_b")
-        this = lt
-        for e in eqs:
-            this = e & this
-        cond = this if cond is None else cond | this
-        eqs.append(F.col(f"{c}_a") == F.col(f"{c}_b"))
-    j = a.join(b, cond)
+def _pair_estimates(j: DataFrame, k: int, out_cols: list) -> DataFrame:
+    """Shared KMV pair algebra over a joined frame carrying ``_ha`` /
+    ``_hb`` sketch arrays: union_est, inter_est, jaccard_x1e4."""
     u = F.array_sort(F.array_union("_ha", "_hb"))
     j = j.withColumn("_u", u).withColumn("_usz", F.size("_u"))
     kk = F.least(F.lit(k), F.col("_usz"))
@@ -155,11 +127,85 @@ def kmv_overlap(
     )
     j = j.withColumn("_x", inter_in).withColumn("union_est", union_est)
     return j.select(
-        *[f"{c}_a" for c in key_cols],
-        *[f"{c}_b" for c in key_cols],
+        *out_cols,
         "union_est",
         F.expr(
             f"CAST(CAST(_x AS {_DEC}) * union_est div _kk AS BIGINT)"
         ).alias("inter_est"),
         F.expr("CAST(_x * 10000 div _kk AS BIGINT)").alias("jaccard_x1e4"),
     )
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    key_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """All-pairs overlap BETWEEN sketch rows (pairs ordered by the
+    key tuple): union_est, inter_est, jaccard_x1e4 per pair. The join
+    is sketch-count-sized (one row per key) — at any corpus scale this
+    touches arrays of ≤ k longs, never the key space."""
+    a = sketches.select(
+        *[F.col(c).alias(f"{c}_a") for c in key_cols],
+        F.col("hashes").alias("_ha"),
+    )
+    b = sketches.select(
+        *[F.col(c).alias(f"{c}_b") for c in key_cols],
+        F.col("hashes").alias("_hb"),
+    )
+    cond = None
+    # strict lexicographic (a < b) over the key tuple → each unordered
+    # pair once, deterministically
+    eqs = []
+    for c in key_cols:
+        lt = F.col(f"{c}_a") < F.col(f"{c}_b")
+        this = lt
+        for e in eqs:
+            this = e & this
+        cond = this if cond is None else cond | this
+        eqs.append(F.col(f"{c}_a") == F.col(f"{c}_b"))
+    j = a.join(b, cond)
+    return _pair_estimates(
+        j, k, [f"{c}_a" for c in key_cols] + [f"{c}_b" for c in key_cols]
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    key_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """LOSSLESS sketch merge to one row per key: the k smallest of the
+    union of per-part k-mins IS the k-min of the union (any hash among
+    the global k smallest is a fortiori among its own part's k
+    smallest) — so per-day stored sketches roll up to exact range
+    sketches the same way additive tier measures cascade
+    (operators/cascade.py), and overlap over ANY time range reads
+    sketch rows, never raw keys. Input per key is bounded by
+    parts·k longs (a year of daily sketches at k=256 is ~10⁵)."""
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("hashes")))),
+        1,
+        k,
+    )
+    return (
+        sketches.groupBy(*key_cols)
+        .agg(merged.alias("hashes"))
+        .withColumn("sk_size", F.size("hashes").cast("long"))
+    )
+
+
+def kmv_overlap_ranges(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    key_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Per-key overlap BETWEEN two sketch frames (e.g. the merged
+    sketches of two time ranges): for each key present in both frames,
+    union_est / inter_est / jaccard_x1e4 of side A's key set vs side
+    B's — the \"how much of last month's audience came back this
+    month\" query, answered from stored sketch rows alone."""
+    a = sk_a.select(*key_cols, F.col("hashes").alias("_ha"))
+    b = sk_b.select(*key_cols, F.col("hashes").alias("_hb"))
+    return _pair_estimates(a.join(b, key_cols), k, list(key_cols))

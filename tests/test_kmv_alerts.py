@@ -196,3 +196,52 @@ def test_episode_parallelism_invariance(spark):
 def test_threshold_validation(spark):
     with pytest.raises(ValueError):
         alert_episodes(_series(spark, [("a", 1, 1)]), ["key"], "t", "v", 50, 50)
+
+
+# ------------------------------------------------- merge / ranges
+
+
+def test_merge_of_partial_sketches_equals_direct_sketch(spark):
+    """Lossless mergeability: k-min of the union of per-day k-mins ==
+    k-min of the whole range's distinct set — EXACT equality, the same
+    contract as the additive tier cascade."""
+    from chainalytic_framework_spark.operators.kmv import kmv_merge
+
+    rows = [("g%d" % (i % 2), i % 5, (i * 13) % 900) for i in range(4000)]
+    df = spark.createDataFrame(rows, "grp string, day long, v long")
+    daily = kmv_sketch(df, ["grp", "day"], "v", k=32)
+    merged = {
+        r["grp"]: r["hashes"]
+        for r in kmv_merge(daily, ["grp"], k=32).collect()
+    }
+    direct = {
+        r["grp"]: r["hashes"]
+        for r in kmv_sketch(df, ["grp"], "v", k=32).collect()
+    }
+    assert merged == direct and len(merged) == 2
+
+
+def test_overlap_ranges_exact_mode(spark):
+    from chainalytic_framework_spark.operators.kmv import kmv_overlap_ranges
+
+    a = kmv_sketch(
+        _vals_df(spark, [("g", i) for i in range(10)]), ["grp"], "v", k=16
+    )
+    b = kmv_sketch(
+        _vals_df(spark, [("g", i) for i in range(5, 15)]), ["grp"], "v", k=16
+    )
+    row = kmv_overlap_ranges(a, b, ["grp"], k=16).collect()[0]
+    assert row["union_est"] == 15
+    assert row["inter_est"] == 5
+    assert row["jaccard_x1e4"] == 5 * 10000 // 15
+
+
+def test_overlap_ranges_drops_one_sided_keys(spark):
+    from chainalytic_framework_spark.operators.kmv import kmv_overlap_ranges
+
+    a = kmv_sketch(
+        _vals_df(spark, [("only_a", 1), ("both", 2)]), ["grp"], "v", k=8
+    )
+    b = kmv_sketch(_vals_df(spark, [("both", 2)]), ["grp"], "v", k=8)
+    out = kmv_overlap_ranges(a, b, ["grp"], k=8).collect()
+    assert {r["grp"] for r in out} == {"both"}
