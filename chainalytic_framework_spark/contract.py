@@ -7052,3 +7052,59 @@ def kmv_range_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap_ranges(a, b, ["event_type"], k=16).orderBy(
         "event_type"
     )
+
+
+@q(
+    "contribution_events",
+    # pure integer algebra (conditional sums, signed intdiv share) —
+    # DuckDB replays it bit-for-bit; HUGEINT carries delta*1e4
+    """
+    WITH base AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    pk AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN e >= 1704067200 AND e < 1704672000
+                                    THEN c END), 0) AS BIGINT) AS v_a,
+             CAST(COALESCE(SUM(CASE WHEN e >= 1704672000 AND e < 1705276800
+                                    THEN c END), 0) AS BIGINT) AS v_b
+      FROM base
+      WHERE e >= 1704067200 AND e < 1705276800
+      GROUP BY user_id
+    ),
+    d AS (SELECT *, CAST(v_b - v_a AS BIGINT) AS delta FROM pk),
+    t AS (SELECT CAST(SUM(delta) AS BIGINT) AS total_delta FROM d)
+    SELECT user_id, v_a, v_b, delta,
+           CASE WHEN total_delta != 0 THEN
+             (CASE WHEN (delta >= 0) = (total_delta >= 0)
+                   THEN 1 ELSE -1 END)
+             * CAST(abs(CAST(delta AS HUGEINT) * 10000)
+                    // abs(CAST(total_delta AS HUGEINT)) AS BIGINT)
+           END AS share_x1e4,
+           total_delta
+    FROM d CROSS JOIN t
+    """,
+)
+def contribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week contribution analysis
+    (operators/contribution.py): per user, spend totals in Jan
+    week 1 vs week 2, the signed delta, and the user's share of the
+    total move (x1e4) — the "which keys drove the change" root-cause
+    endpoint next to drift (psi_drift_events) and trend
+    (trend_slope_events). One pruned scan with both range sums as
+    sibling conditional aggregates; the 1-row total broadcasts back.
+    Reference analogue: none — monitoring tooling (SURVEY §2.11
+    family)."""
+    from .operators.contribution import contribution
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", _epoch("ts").alias("e"), _cents().alias("c")
+    )
+    out = contribution(
+        base, ["user_id"], "e", "c",
+        1704067200, 1704672000, 1704672000, 1705276800,
+    )
+    return out.orderBy("user_id")

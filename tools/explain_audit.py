@@ -610,6 +610,17 @@ def main() -> int:
                 contract.alert_episodes_events(spark, sf),
                 {"max_exchanges": 3, "pushed_filters": True,
                  "no_cartesian": True})
+    # contribution: ONE scan (both range sums as sibling conditional
+    # aggs), key-cardinality output, 1-row total broadcast back — the
+    # cross join must be the broadcast scalar, never a real cartesian
+    # the per-key frame is persisted (column pruning defeats exchange
+    # reuse between the total and output branches): both must read the
+    # cache, never rebuild the scan
+    ok &= audit("contribution: one scan, sibling range aggs, bcast total",
+                contract.contribution_events(spark, sf),
+                {"max_exchanges": 5, "broadcast": True,
+                 "no_window": True,
+                 "must_contain": ("InMemoryTableScan",)})
     spark.stop()
     print("plan audit:", "ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
