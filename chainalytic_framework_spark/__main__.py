@@ -758,6 +758,58 @@ def _cmd_serve_drift(args: argparse.Namespace) -> None:
                       "rows": [r.asDict() for r in rows]}, default=str))
 
 
+def _cmd_serve_contribution(args: argparse.Namespace) -> None:
+    """Root-cause endpoint: which keys drove the metric change between
+    two routed ranges (operators/contribution.py). Each range reads
+    through the tier router (coarse tiers for deep history, fine at
+    the edges); per-key range totals, signed delta, and exact-integer
+    share of the total move, ranked by |delta| — the "explain the
+    move" companion to serve-drift's "did the distribution move"."""
+    from pyspark.sql import functions as F
+
+    from .operators.contribution import contribution
+    from .operators.router import read_routed_series
+    from .session import get_active_or_build
+    from .tables import TableStore
+
+    if max(args.a0, args.b0) < min(args.a1, args.b1):
+        # each routed read returns exactly its requested range; with
+        # overlapping ranges the union would carry shared buckets twice
+        # and both conditional sums would double-count them
+        raise SystemExit("serve-contribution: ranges A and B must be "
+                         "disjoint")
+    spark = get_active_or_build(app_name="cfs-serve-contribution")
+    store = TableStore(spark, args.warehouse)
+    tier_dfs = _load_tier_dfs(store)
+    keys = args.keys.split(",")
+    horizons, now_epoch = _retention_check_args(args)
+    parts = []
+    for t0, t1 in ((args.a0, args.a1), (args.b0, args.b1)):
+        parts.append(
+            read_routed_series(
+                tier_dfs, t0, t1, args.grain,
+                measure=args.measure, keys=tuple(keys),
+                retention_horizons=horizons, now_epoch=now_epoch,
+            ).select(
+                *keys,
+                F.col("bucket_start").cast("long").alias("b"),
+                F.col(args.measure).cast("long").alias("v"),
+            )
+        )
+    both = parts[0].unionByName(parts[1])
+    out = contribution(
+        both, keys, "b", "v", args.a0, args.a1, args.b0, args.b1
+    )
+    rows = (
+        out.orderBy(F.abs(F.col("delta")).desc(), *keys)
+        .limit(args.limit)
+        .collect()
+    )
+    print(json.dumps({"a": [args.a0, args.a1], "b": [args.b0, args.b1],
+                      "grain": args.grain, "measure": args.measure,
+                      "rows": [r.asDict() for r in rows]}, default=str))
+
+
 def _cmd_serve_distinct(args: argparse.Namespace) -> None:
     """Routed distinct-count estimates from the stored HLL sketch tiers
     (history + streaming sketch edge as the finest tier when present)."""
@@ -1041,6 +1093,23 @@ def main(argv: list[str] | None = None) -> None:
                           "needs expired fine-tier segments")
     sdr.add_argument("--limit", type=int, default=100)
     sdr.set_defaults(fn=_cmd_serve_drift)
+
+    sct = sub.add_parser("serve-contribution",
+                         help="which keys drove the metric change between "
+                              "two routed ranges (delta + share of move)")
+    sct.add_argument("--warehouse", required=True)
+    sct.add_argument("--a0", type=int, required=True)
+    sct.add_argument("--a1", type=int, required=True)
+    sct.add_argument("--b0", type=int, required=True)
+    sct.add_argument("--b1", type=int, required=True)
+    sct.add_argument("--grain", default="1h")
+    sct.add_argument("--measure", default="point_count")
+    sct.add_argument("--keys", default="lang")
+    sct.add_argument("--retention-now", default=None,
+                     help="ISO datetime; fail loudly if either routed cover "
+                          "needs expired fine-tier segments")
+    sct.add_argument("--limit", type=int, default=100)
+    sct.set_defaults(fn=_cmd_serve_contribution)
 
     sd = sub.add_parser("serve-distinct",
                         help="routed distinct-count estimates from the HLL "

@@ -628,3 +628,52 @@ def test_cli_serve_alerts(spark, tmp_path):
               "--hi", str(10**9), "--lo", "0"])
     out2 = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out2["rows"] == []
+
+
+def test_cli_serve_contribution(spark, tmp_path):
+    """serve-contribution: per-key delta + share of the total move
+    between two disjoint routed ranges, ranked by |delta|."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chainalytic_framework_spark.__main__ import main
+
+    pages_out = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    main(["synth", "--rows", "2000", "--out", pages_out])
+    main(["run", "--input", pages_out, "--warehouse", wh, "--snapshot-id", "s1"])
+    store = TableStore(spark, wh)
+    t1m = store.read("tier_1m")
+    lo = t1m.agg(F.min(F.col("bucket_start").cast("long"))).first()[0]
+    hi = t1m.agg(F.max(F.col("bucket_start").cast("long"))).first()[0] + 60
+    a = -(-lo // 3600) * 3600
+    b = (hi // 3600) * 3600
+    mid = a + ((b - a) // 2 // 3600) * 3600
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["serve-contribution", "--warehouse", wh,
+              "--a0", str(a), "--a1", str(mid),
+              "--b0", str(mid), "--b1", str(b),
+              "--grain", "1h", "--keys", "lang"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["rows"], "expected at least one lang row"
+    total = out["rows"][0]["total_delta"]
+    assert sum(r["delta"] for r in out["rows"]) == total
+    deltas = [abs(r["delta"]) for r in out["rows"]]
+    assert deltas == sorted(deltas, reverse=True)  # ranked by |delta|
+    for r in out["rows"]:
+        assert r["v_a"] + r["delta"] == r["v_b"]
+        assert r["total_delta"] == total
+    if total != 0:
+        s = sum(r["share_x1e4"] for r in out["rows"])
+        assert abs(s - 10000) <= len(out["rows"])
+    # overlapping ranges must be rejected before any Spark work
+    with pytest.raises(SystemExit):
+        main(["serve-contribution", "--warehouse", wh,
+              "--a0", str(a), "--a1", str(b),
+              "--b0", str(mid), "--b1", str(b),
+              "--grain", "1h", "--keys", "lang"])
