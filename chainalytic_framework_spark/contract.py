@@ -31,6 +31,23 @@ _ORACLES: dict[str, str] = {}
 
 _FANOUT_CACHE: dict[str, int] = {}
 
+# fan-out shuffle keys per driver table: hash-repartitioning on the
+# table's unique id spreads evenly WITHOUT the per-input-partition
+# local sort a keyless repartition(n) pays (sortBeforeRepartition,
+# SPARK-23207) — that sort runs on the very single-task scan the
+# fan-out exists to relieve (measured: tpch_q1 0.8→8.6 s with
+# round-robin, back to baseline keyed/exempt). Deterministic column ⇒
+# retry-safe. Only the tables whose queries do heavy map-side work per
+# row (token/span explodes, window series) are listed; the TPC-H star
+# tables are NOT — their headline queries are plain scan-aggregations
+# where the extra exchange costs more than the parallelism buys
+# (measured: tpch_q1 +0.3 s, join_revenue +0.15 s even keyed).
+_FANOUT_KEYS: dict[str, list[str]] = {
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
 
 def _achievable_splits(path: str) -> int | None:
     """Hard upper bound on parquet scan parallelism: row groups across
@@ -86,8 +103,19 @@ def _fanout_width(spark: SparkSession, path: str) -> int:
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    keys = _FANOUT_KEYS.get(name)
+    if not keys:
+        return df
     n = _fanout_width(spark, path)
-    return df.repartition(n) if n else df
+    return df.repartition(n, *[F.col(c) for c in keys]) if n else df
+
+
+def _t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Un-fanned scan for queries whose map stage is a trivial partial
+    aggregation: there the fan-out exchange costs more than the
+    parallelism buys (measured +0.2-0.4 s per entry at sf1.0 on e.g.
+    topk/cumulative/rollup), so the cheap-scan headliners read raw."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def q(name: str, sql: str | None):
@@ -293,7 +321,7 @@ def _bucket_epoch_sql(col: str, secs: int) -> str:
 def rollup_1m_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Finest-tier tumbling rollup (engine 1m tier; reference: per-height
     point emit, stake_history.py:170-190)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     return (
         ev.select(_bucket_epoch("ts", 60), "event_type", _cents().alias("_c"), "value")
         .groupBy("bucket_epoch", "event_type")
@@ -320,7 +348,7 @@ def rollup_1h_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample cascade: Spark builds 1m partials then re-aggregates to
     1h; oracle computes 1h directly from raw — proves cascade exactness
     (operators/cascade.py) through the gate."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     m1 = (
         ev.select(_bucket_epoch("ts", 60), "event_type", _cents().alias("_c"))
         .groupBy("bucket_epoch", "event_type")
@@ -351,7 +379,7 @@ def rollup_1h_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_1d_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation (hot-key skew path, SURVEY §4):
     stage 1 on (key, salt), stage 2 merges — must equal unsalted oracle."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     s1 = (
         ev.select(
             _bucket_epoch("ts", 86400),
@@ -383,7 +411,7 @@ def rollup_1d_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cumulative_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running totals across buckets (reference A1: total_staking carried
     across heights, stake_history.py:76-79)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     d = (
         ev.select(_bucket_epoch("ts", 86400), "event_type", _cents().alias("_c"))
         .groupBy("bucket_epoch", "event_type")
@@ -492,7 +520,7 @@ def topk_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k maintenance (reference W1: latest_stake_top100,
     stake_top100.py:46-66). orderBy().limit() compiles to
     TakeOrderedAndProject — per-partition top-k then merge, no full sort."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(
         F.sum(_cents()).alias("total_cents"), F.count(F.lit(1)).alias("n_events")
     )
@@ -513,7 +541,7 @@ def topk_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def recent_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding retention window (reference W2: recent_stake_wallets
     TIMESPAN eviction + cap 200, recent_stake_wallets.py:56-77)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     m = ev.agg(F.max("ts")).first()[0]
     return (
         ev.where(F.col("ts") > F.lit(m) - F.expr("INTERVAL 3 DAYS"))
@@ -563,7 +591,7 @@ def threshold_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def transition_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State-transition counting (reference A2: total_staking_wallets ±1 on
     0↔positive transitions, stake_history.py:130-133) via lag window."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
     s = ev.withColumn("prev_value", F.lag("value").over(w))
     return s.groupBy("user_id").agg(
@@ -735,7 +763,7 @@ def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF gap-fill over 6h buckets for a key subset: per-key spine via
     sequence()+explode, left join, last(ignorenulls) carry — the engine's
     gapfill operator (operators/gapfill.py) expressed on the events table."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     secs = 21600
     b = (
         ev.where(F.col("user_id") < 20)
@@ -782,7 +810,7 @@ def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_stats_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang text-length statistics — the engine's per-lang grain tier
     measures over the documents payload."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_raw(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars_sum"),
@@ -802,7 +830,7 @@ def text_stats_lang_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: keep min doc_id per fingerprint
     (hash-groupBy; at scale a single shuffle on the digest)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_raw(spark, sf_dir, "documents")
     return (
         d.select(F.md5("text").alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
@@ -2658,7 +2686,7 @@ def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spike detector never sees."""
     from .operators.rolling import cusum_drift
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     h1h = (
         ev.select("event_type", _bucket_epoch("ts", 3600), _cents().alias("_c"))
         .groupBy("event_type", "bucket_epoch")
@@ -3642,7 +3670,7 @@ def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CASE exercise at sf0.01), reproducible cross-engine via the md5
     ppm hash. Scan-side projection — no shuffle, stable on any cluster
     size."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_raw(spark, sf_dir, "documents")
     return _samp.split_assign(
         d, {"test": 0.01, "train": 0.02, "val": 0.97}, key="doc_id", seed=11
     ).select("doc_id", "split")
@@ -4102,7 +4130,7 @@ def state_durations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``state_agg`` analogue over the engine's event stream."""
     from .operators.states import state_intervals, state_totals
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     iv = state_intervals(ev, "user_id", "event_type", "ts", "event_id")
     return state_totals(iv).select(
         F.col("state").alias("event_type"), "n_intervals", "total_secs"
@@ -5193,7 +5221,7 @@ def burst_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (no float ratio ever computed)."""
     from .operators.trend import burst_windows
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t_raw(spark, sf_dir, "events").select(
         "event_type", _bucket_epoch("ts", 3600)
     )
     hourly = ev.groupBy("event_type", "bucket_epoch").agg(
@@ -5612,7 +5640,7 @@ def trimmed_mean_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for outlier-ridden crawl measures; rank-based with a unique tie
     column so both engines trim identical rows. One group-bounded rank
     window + an agg that reuses its partitioning."""
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t_raw(spark, sf_dir, "events").select(
         "event_type",
         _bucket_epoch("ts", 86400),
         _cents().alias("cents"),
@@ -5657,7 +5685,7 @@ def tier_coverage_1m_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     day edges — the freshness/SLA table the monitoring console and
     gap-fill key off. Window is bounded by 1440 rows per group
     regardless of event volume."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     return _tier_coverage(ev, ["event_type"], "ts", 60, 86400)
 
 
@@ -6502,7 +6530,7 @@ def stl_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.rolling import mad_anomaly
     from .operators.trend import stl_decompose
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t_raw(spark, sf_dir, "events").select(
         "event_type", _bucket_epoch("ts", 86400), _cents().alias("_c")
     )
     daily = ev.groupBy("event_type", "bucket_epoch").agg(F.sum("_c").alias("c"))
@@ -6824,7 +6852,7 @@ def asap_smooth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none - north-rule chart-serving tooling."""
     from .operators.asap import asap_smooth
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     series = (
         ev.where(F.col("user_id") < 20)
         .select("user_id", _epoch("ts").alias("t"), _cents().alias("_c"))
@@ -6985,7 +7013,7 @@ def alert_episodes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers (SURVEY §2.11 family)."""
     from .operators.states import alert_episodes
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_raw(spark, sf_dir, "events")
     daily = (
         ev.where(F.col("user_id") < 40)
         .select(
