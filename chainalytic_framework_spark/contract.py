@@ -1707,9 +1707,19 @@ def lsh_verified_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join of ngram_jaccard_pairs_documents, which is quadratic-ish
     on boilerplate shingles at scale)."""
     d = _t(spark, sf_dir, "documents")
-    sigs = _dd.minhash_signatures(d)
+    # ONE shingle explode for the whole pipeline: signatures, the
+    # verify intersection, and both size aggs all read this persisted
+    # hash-only frame (strings never shuffle) — the round-5 plan
+    # re-exploded the corpus once per subtree (optimization r06).
+    sh = _dd.shingle_hashes(d).persist()
+    # materialize BEFORE the consumers fan out: the signature agg, the
+    # verify joins and the size aggs otherwise race as concurrent
+    # first readers (broadcast-build jobs) and EACH recomputes the
+    # full explode lineage — same guard as the pipeline's obs.count()
+    sh.count()
+    sigs = _dd.minhash_signatures(d, sh_hashes=sh)
     pairs = _dd.lsh_candidate_pairs(sigs)
-    v = _dd.ngram_jaccard_pairs(d, pairs, "text", "doc_id")
+    v = _dd.ngram_jaccard_pairs(d, pairs, "text", "doc_id", sh_hashes=sh)
     return v.select(
         "id_a", "id_b",
         F.round(F.col("jaccard") * 10000).cast("long").alias("jaccard_x1e4"),

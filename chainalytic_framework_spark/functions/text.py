@@ -296,13 +296,19 @@ def ngram_counts(docs: DataFrame, n: int, text_col: str = "text",
     window on the AGGREGATED rows (bounded input, no raw-scan window).
     Reference analogue: the reference tabulates per-entity event counts
     (aggregator transforms); this is the text-corpus counterpart."""
+    # explode the position index first; the gram string is then built
+    # in a codegen projection instead of an interpreted transform
+    # lambda (optimization r06 — same change as dedup.span_positions)
     toks = F.split(F.col(text_col), " ", -1)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     counts = (
-        docs.select(*group_cols, F.explode(grams).alias("ngram"))
+        docs.select(*group_cols, toks.alias("_tk"), F.explode(idx).alias("_i"))
+        .select(
+            *group_cols,
+            F.concat_ws(" ", F.slice(F.col("_tk"), F.col("_i"), n)).alias("ngram"),
+        )
         .groupBy(*group_cols, "ngram")
         .agg(F.count(F.lit(1)).alias("c"))
     )

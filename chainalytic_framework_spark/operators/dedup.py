@@ -80,12 +80,36 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def shingle_hashes(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
+    """One row per distinct (doc, shingle), carrying ONLY hashes:
+    ``_h32`` (the md5-prefix fp32 the minhash family is built on —
+    oracle-pinned) and ``_h64`` (xxhash64, the set-intersection join
+    key). The shingle STRINGS never leave the scan stage — ~8-12 bytes
+    per shingle through every downstream shuffle instead of ~25
+    (optimization r06; same 64-bit-hash-keyed convention as
+    ``dup_span_stats``, collision odds ~n²/2⁶⁴, gate sf has none).
+    Persist this frame when several stages consume it (signatures +
+    verify + sizes read it once each instead of re-exploding the
+    corpus per subtree)."""
+    sh = shingles(docs, text_col, id_col, k)
+    return sh.select(
+        id_col,
+        fp32("shingle").alias("_h32"),
+        F.xxhash64("shingle").alias("_h64"),
+    )
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       n_hashes: int = N_HASHES) -> DataFrame:
-    """One row per doc: minhash_0..minhash_{n-1} columns."""
-    sh = shingles(docs, text_col, id_col).withColumn("h", fp32("shingle"))
+                       n_hashes: int = N_HASHES,
+                       sh_hashes: DataFrame | None = None) -> DataFrame:
+    """One row per doc: minhash_0..minhash_{n-1} columns. Pass a
+    (persisted) :func:`shingle_hashes` frame to share the shingle
+    explode with other consumers."""
+    sh = (shingle_hashes(docs, text_col, id_col)
+          if sh_hashes is None else sh_hashes)
     aggs = [
-        F.min((F.col("h") * _a(j) + _b(j)) % MINHASH_P).alias(f"minhash_{j}")
+        F.min((F.col("_h32") * _a(j) + _b(j)) % MINHASH_P).alias(f"minhash_{j}")
         for j in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -139,15 +163,21 @@ def minhash_similarity(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 
 
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
-    """Exact Jaccard verification of candidate pairs (shingle sets)."""
-    sh = shingles(docs, text_col, id_col)
+                        id_col: str = "doc_id",
+                        sh_hashes: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs (shingle sets).
+    The intersection joins on the 64-bit shingle hash (never the
+    string — guide §2.3 shuffle-fewer-bytes; dup_span_stats hash
+    convention); pass a persisted :func:`shingle_hashes` frame to
+    share one shingle explode across signatures/verify/sizes."""
+    sh = (shingle_hashes(docs, text_col, id_col)
+          if sh_hashes is None else sh_hashes)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("sa")
     b = sh.alias("sb")
     inter = (
         pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
-        .join(b, (pairs.id_b == F.col(f"sb.{id_col}")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .join(b, (pairs.id_b == F.col(f"sb.{id_col}")) & (F.col("sa._h64") == F.col("sb._h64")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -419,17 +449,23 @@ def span_positions(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
                    w: int = 8) -> DataFrame:
     """ALL w-token spans per doc WITH positions (multiplicity kept —
     unlike :func:`shingles`, which is set-semantics for Jaccard). One
-    row per (doc, pos); span text is built with array ops, exploded
-    once. Docs shorter than w tokens emit nothing."""
+    row per (doc, pos); the POSITION index is exploded first and the
+    span text built in the post-explode projection, which whole-stage
+    codegen compiles — building (pos, span) structs inside a
+    ``transform`` lambda ran the slice+concat interpreted per element,
+    measured 2x slower at bench sf1.0 (optimization r06). Docs shorter
+    than w tokens emit nothing."""
     toks = F.split(F.col(text_col), " ", -1)
     idx = F.when(
         F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - (w - 1))
     ).otherwise(F.array().cast("array<int>"))
-    pairs = F.transform(idx, lambda i: F.struct(i.alias("pos"),
-                                               F.concat_ws(" ", F.slice(toks, i, w)).alias("span")))
     return (
-        docs.select(F.col(id_col), F.explode(pairs).alias("p"))
-        .select(id_col, F.col("p.pos").alias("pos"), F.col("p.span").alias("span"))
+        docs.select(F.col(id_col), toks.alias("_tk"), F.explode(idx).alias("pos"))
+        .select(
+            id_col,
+            "pos",
+            F.concat_ws(" ", F.slice(F.col("_tk"), F.col("pos"), w)).alias("span"),
+        )
     )
 
 
