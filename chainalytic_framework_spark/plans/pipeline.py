@@ -410,20 +410,27 @@ def run_pipeline(
                 fold_out = fold_observations(obs)
             from pyspark import StorageLevel
 
-            fold_days = store.cluster_for_write_hash(
-                fold_out.withColumn("bucket_day", F.to_date("warc_ts")),
-                ["bucket_day"], secondary="url_hash",
+            # persist the fold at the WINDOW's url partitioning (r06):
+            # the day-clustered table write re-shuffles anyway, but the
+            # state delta's groupBy(url, url_hash) is satisfied by the
+            # cached url partitioning — deriving state from the
+            # day-clustered frame (round 5) paid a second full-fold
+            # shuffle just to undo the day layout. Two consumers run
+            # sequentially, so the first (the commit) materializes the
+            # cache; no concurrent first-reader duplication.
+            fold_out = fold_out.withColumn(
+                "bucket_day", F.to_date("warc_ts")
             ).persist(StorageLevel.MEMORY_AND_DISK)
             # hash clustering, NOT range: repartitionByRange's sampling
-            # job would recompute the entire fold a second time; the
-            # persist lets the state delta derive from the WRITTEN rows
-            # without re-reading the just-committed parquet (same
-            # cached-frame trick as the tier chain)
+            # job would recompute the entire fold a second time
+            fold_days = store.cluster_for_write_hash(
+                fold_out, ["bucket_day"], secondary="url_hash",
+            )
             store.overwrite_partitions(fold_days, FOLD_TABLE, ["bucket_day"])
-            delta_state = extract_state(fold_days).withColumn("state_bucket", sb)
+            delta_state = extract_state(fold_out).withColumn("state_bucket", sb)
             store.merge_upsert(delta_state, STATE_TABLE, key="url",
                                partition_col="state_bucket")
-            fold_days.unpersist()
+            fold_out.unpersist()
         wall = time.perf_counter() - t0
         ents.append(
             dict(tier="fold", bucket_range_start=dt.datetime.combine(pend[0], dt.time()),
