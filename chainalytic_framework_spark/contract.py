@@ -2652,8 +2652,17 @@ def histogram_p90_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").withColumn("_c", _cents())
-    h1m = histogram_rollup(ev, _bucket_epoch("ts", 60), ["event_type"], F.col("_c"))
-    h1h = histogram_downsample(h1m, ["event_type"], 3600)
+    # persist + materialize the cascade parents: the routed union's
+    # three tier branches (and the 1h -> 1d derivation) would otherwise
+    # each replay the raw 1m histogram build — in production these are
+    # STORED tier tables and the routed read only scans them
+    # (optimization r06; histogram rows per tier are a few 100k max)
+    h1m = histogram_rollup(
+        ev, _bucket_epoch("ts", 60), ["event_type"], F.col("_c")
+    ).persist()
+    h1m.count()
+    h1h = histogram_downsample(h1m, ["event_type"], 3600).persist()
+    h1h.count()
     h1d = histogram_downsample(h1h, ["event_type"], 86400)
     return quantile_from_histogram(h1d, ["event_type"], 90, out_col="p90_lo").select(
         "event_type", "bucket_epoch", "p90_lo"
@@ -3328,8 +3337,17 @@ def routed_p90_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.router import read_routed_quantile
 
     ev = _t(spark, sf_dir, "events").withColumn("_c", _cents())
-    h1m = histogram_rollup(ev, _bucket_epoch("ts", 60), ["event_type"], F.col("_c"))
-    h1h = histogram_downsample(h1m, ["event_type"], 3600)
+    # persist + materialize the cascade parents: the routed union's
+    # three tier branches (and the 1h -> 1d derivation) would otherwise
+    # each replay the raw 1m histogram build — in production these are
+    # STORED tier tables and the routed read only scans them
+    # (optimization r06; histogram rows per tier are a few 100k max)
+    h1m = histogram_rollup(
+        ev, _bucket_epoch("ts", 60), ["event_type"], F.col("_c")
+    ).persist()
+    h1m.count()
+    h1h = histogram_downsample(h1m, ["event_type"], 3600).persist()
+    h1h.count()
     h1d = histogram_downsample(h1h, ["event_type"], 86400)
     return read_routed_quantile(
         {"1m": h1m, "1h": h1h, "1d": h1d},
@@ -4691,8 +4709,17 @@ def routed_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.router import read_routed_drift
 
     ev = _t(spark, sf_dir, "events").withColumn("_c", _cents())
-    h1m = histogram_rollup(ev, _bucket_epoch("ts", 60), ["event_type"], F.col("_c"))
-    h1h = histogram_downsample(h1m, ["event_type"], 3600)
+    # persist + materialize the cascade parents: the routed union's
+    # three tier branches (and the 1h -> 1d derivation) would otherwise
+    # each replay the raw 1m histogram build — in production these are
+    # STORED tier tables and the routed read only scans them
+    # (optimization r06; histogram rows per tier are a few 100k max)
+    h1m = histogram_rollup(
+        ev, _bucket_epoch("ts", 60), ["event_type"], F.col("_c")
+    ).persist()
+    h1m.count()
+    h1h = histogram_downsample(h1m, ["event_type"], 3600).persist()
+    h1h.count()
     h1d = histogram_downsample(h1h, ["event_type"], 86400)
     return read_routed_drift(
         {"1m": h1m, "1h": h1h, "1d": h1d},

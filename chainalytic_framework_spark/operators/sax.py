@@ -206,6 +206,14 @@ def motif_verify_pairs(
         ).join(
             F.broadcast(words.select(F.col(k).alias("_k"), "word")), "_k"
         )
+        if persist_words:
+            # the one cacheable frame of this path (|tier| rows, tiny):
+            # repeated invocations with the same inputs re-register the
+            # SAME analyzed plan, so CacheManager serves the words+tier
+            # build from the first invocation's materialization — the
+            # role words.persist() played in the fallback path; same
+            # function-local lifecycle note as there
+            joined = joined.persist()
         # block decomposition: one word is ONE group, and a coarse
         # alphabet (16 words at 4×2) over |keys| members would both
         # bound parallelism at 16 tasks and let AQE coalesce the tiny

@@ -45,6 +45,16 @@ def build_session(
         # second is explicit salting in operators/rollup.py.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelism-first coalescing targets max(bytes/parallelism,
+        # minPartitionSize); the 1MB default floor collapses this
+        # bench's small-but-expensive shuffles (e.g. the despike array
+        # stage: 15MB → 4 tasks, 28 cores idle). 64k keeps such stages
+        # at ~defaultParallelism partitions locally and is inert at
+        # scale, where bytes/parallelism >> 64k decides (env-tunable).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "65536"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # FAIR job scheduling ACROSS POOLS: the pipeline submits
         # independent chains (cascade, fold, sketches, histograms) from
