@@ -424,6 +424,7 @@ def hampel_despike(
     value_cents_col: str,
     half_width: int = 3,
     k: int = 3,
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """Hampel filter (rolling-median despike) per series: each point is
     compared against the MEDIAN of its ±``half_width``-row neighborhood
@@ -458,15 +459,56 @@ def hampel_despike(
     window size ``n_win``, ``med_cents_x2``, ``mad_cents_x4``,
     ``is_spike`` and ``clean_cents_x2`` (= med2 when spiked else 2·v).
     """
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(F.col(order_col), F.col(id_col))
-        .rowsBetween(-half_width, half_width)
-    )
     v = F.col(value_cents_col)
-    arr = F.array_sort(F.collect_list(v).over(w))
+    if chunk_rows is not None:
+        # CHUNK-PARALLEL variant (optimization r06): a bounded ±w ROW
+        # frame only ever needs ``half_width`` neighbor rows past a cut,
+        # so each key's series splits into ``chunk_rows`` blocks that
+        # compute independently — the cheap row-number pass stays on the
+        # key-partitioned sort, but the EXPENSIVE per-row array stage
+        # (collect_list + two array_sorts per row) runs at (key × chunk)
+        # parallelism instead of |keys| tasks. Boundary rows replicate
+        # to the adjacent chunk (≤ half_width rows per cut) and each
+        # row's output is emitted only by its home chunk — results are
+        # bit-identical to the single-window plan, including truncated
+        # frames at true series ends. OFF by default: at the bench's
+        # 1M rows × 5 keys the second exchange + explode cost exactly
+        # offset the parallelism gain (2.0 s → 2.7 s measured); the
+        # knob exists for key axes whose per-key series are long enough
+        # that one key-task dominates a stage (hours, not seconds).
+        assert chunk_rows > 2 * half_width, "chunk_rows must exceed the frame"
+        wseq = Window.partitionBy(*key_cols).orderBy(F.col(order_col), F.col(id_col))
+        base = df.withColumn("_rn", F.row_number().over(wseq))
+        pos = (F.col("_rn") - 1) % chunk_rows
+        home = F.floor((F.col("_rn") - 1) / chunk_rows).cast("long")
+        offs = F.filter(
+            F.array(F.lit(-1), F.lit(0), F.lit(1)),
+            lambda o: (o == 0)
+            | ((o == 1) & (pos < half_width) & (home > 0))
+            | ((o == -1) & (pos >= chunk_rows - half_width)),
+        )
+        # o is the chunk the row SERVES relative to its own: o==1 means
+        # "also serve the previous chunk's tail" → chunk home-1, o==-1
+        # the next chunk's head → home+1
+        spread = base.withColumn("_o", F.explode(offs)).withColumn(
+            "_ck", home - F.col("_o")
+        )
+        w = (
+            Window.partitionBy(*key_cols, "_ck")
+            .orderBy("_rn")
+            .rowsBetween(-half_width, half_width)
+        )
+        df = spread
+        home_filter = F.col("_ck") == home
+    else:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col(order_col), F.col(id_col))
+            .rowsBetween(-half_width, half_width)
+        )
+        home_filter = None
     out = (
-        df.withColumn("_arr", arr)
+        df.withColumn("_arr", F.array_sort(F.collect_list(v).over(w)))
         .withColumn("n_win", F.size("_arr"))
         .withColumn(
             "med_cents_x2",
@@ -493,6 +535,8 @@ def hampel_despike(
             F.when(F.col("is_spike"), F.col("med_cents_x2")).otherwise(2 * v),
         )
     )
+    if home_filter is not None:
+        out = out.where(home_filter)
     return out.select(
         *key_cols,
         order_col,

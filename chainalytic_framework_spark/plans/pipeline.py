@@ -137,6 +137,13 @@ def run_pipeline(
     if persist_observations:
         from pyspark import StorageLevel
 
+        # NOTE (r06, measured and rejected): persisting this frame
+        # repartition(url) makes HashPartitioning(url) satisfy both the
+        # fold window's and the finest rollup's required distributions
+        # (0 exchanges above the cache scan, verified), but the bench
+        # got SLOWER — the saved exchanges ran inside the CONCURRENT
+        # chains where they overlap, while the url repartition pays on
+        # the serial materialization path before any chain starts.
         obs = obs.persist(StorageLevel.MEMORY_AND_DISK)
         # materialize ONCE before the concurrent chains launch: without
         # this, the tier chain and the fold chain would race to compute
