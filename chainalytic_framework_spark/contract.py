@@ -2652,11 +2652,12 @@ def histogram_p90_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").withColumn("_c", _cents())
-    # persist + materialize the cascade parents: the routed union's
-    # three tier branches (and the 1h -> 1d derivation) would otherwise
-    # each replay the raw 1m histogram build — in production these are
-    # STORED tier tables and the routed read only scans them
-    # (optimization r06; histogram rows per tier are a few 100k max)
+    # persist + materialize the cascade parents (optimization r06):
+    # in production these are STORED tier tables and quantile reads
+    # only scan them; persisting here models that, and because the
+    # routed-quantile family builds the IDENTICAL 1m/1h subtrees,
+    # CacheManager serves those queries from the same build instead of
+    # replaying the raw histogram aggregation per tier branch
     h1m = histogram_rollup(
         ev, _bucket_epoch("ts", 60), ["event_type"], F.col("_c")
     ).persist()
