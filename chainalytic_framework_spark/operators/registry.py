@@ -141,6 +141,58 @@ def rollup_with_spec(
     )
 
 
+def rollup_with_spec_clustered(
+    df: DataFrame,
+    ms: MetricSet,
+    tier_name: str,
+    n_parts: int,
+    time_col: str = "warc_ts",
+    keys: tuple[str, ...] = ("url_hash", "url", "lang"),
+    n_secondary_groups: int | None = None,
+) -> DataFrame:
+    """Finest-tier rollup whose ONE exchange is ALREADY the write
+    layout (optimization r06): source rows are hash-repartitioned on
+    (bucket_day, url_hash group) BEFORE the aggregation, and because
+    those two columns lead the grouping key (functionally determined
+    by bucket_start/url_hash, so the groups are identical to
+    :func:`rollup_with_spec`), the aggregate's required distribution
+    is satisfied and no second exchange is planned. The round-5 chain
+    paid two tier-row shuffles — the agg exchange, then
+    ``cluster_for_write_hash`` — this pays one, on the narrower source
+    rows, and the local sort restores row-group min/max clustering.
+    Output columns and values match
+    ``with_layout_columns(rollup_with_spec(...))`` exactly (order
+    included). Requires ``url_hash`` in ``df``; callers fall back to
+    the unfused pair otherwise."""
+    from .bucketing import url_bucket
+
+    groups = n_secondary_groups or n_parts
+    pre = (
+        df.withColumn("bucket_start", bucket_start(time_col, tier_name))
+        .withColumn("bucket_day", F.to_date("bucket_start"))
+        .withColumn("_wb", F.pmod(F.col("url_hash"), F.lit(groups)).cast("int"))
+        .repartition(n_parts, F.col("bucket_day"), F.col("_wb"))
+    )
+    present = [k for k in keys if k in df.columns]
+    derived = [f().alias(n) for n, f in ms.derived_keys]
+    out = (
+        pre.groupBy("bucket_day", "_wb", F.col("bucket_start"), *present, *derived)
+        .agg(*[m.agg().alias(m.name) for m in ms.metrics])
+        .withColumn("tier", F.lit(tier_name))
+        .withColumn("gap_filled", F.lit(False))
+        .withColumn("url_bucket", url_bucket("url"))
+        .sortWithinPartitions("bucket_day", "url_hash")
+    )
+    ordered = (
+        ["bucket_start"]
+        + present
+        + [n for n, _ in ms.derived_keys]
+        + ms.metric_names()
+        + ["tier", "gap_filled", "bucket_day", "url_bucket"]
+    )
+    return out.select(*ordered)
+
+
 def downsample_with_spec(
     parent_tier_df: DataFrame,
     ms: MetricSet,

@@ -179,13 +179,26 @@ def run_pipeline(
         nonlocal n_in
         ents = []
         t0 = time.perf_counter()
-        m1 = with_layout_columns(rollup_with_spec(obs, ms, finest))
-        # hash clustering, not range: repartitionByRange runs a sampling
-        # job that re-executes the rollup (even off persisted obs it is
-        # a second full aggregation); hash gets bounded files + local
-        # url_hash clustering with ONE shuffle (same switch that bought
-        # the fold commit +25-46% in round 2)
-        m1 = store.cluster_for_write_hash(m1, ["bucket_day"])
+        if "url_hash" in obs.columns and "url" in obs.columns:
+            # FUSED rollup+layout+clustering (r06): repartition the
+            # SOURCE rows on (bucket_day, url_hash group) and lead the
+            # grouping key with those columns — the aggregate's
+            # distribution is then already satisfied AND already the
+            # write layout, so the chain pays one exchange where the
+            # round-5 plan paid two (agg shuffle + cluster shuffle).
+            from ..operators.registry import rollup_with_spec_clustered
+
+            m1 = rollup_with_spec_clustered(
+                obs, ms, finest, spark.sparkContext.defaultParallelism
+            )
+        else:
+            m1 = with_layout_columns(rollup_with_spec(obs, ms, finest))
+            # hash clustering, not range: repartitionByRange runs a
+            # sampling job that re-executes the rollup (even off
+            # persisted obs it is a second full aggregation); hash gets
+            # bounded files + local url_hash clustering with ONE shuffle
+            # (same switch that bought the fold commit +25-46% in r2)
+            m1 = store.cluster_for_write_hash(m1, ["bucket_day"])
         # keep the clustered finest frame for the cascade + day stats:
         # this run's written pend-day partitions ARE this frame, so
         # single-day-grain children and the manifest agg read it from
