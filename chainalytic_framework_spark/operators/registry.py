@@ -193,6 +193,52 @@ def rollup_with_spec_clustered(
     return out.select(*ordered)
 
 
+def downsample_with_spec_clustered(
+    parent_tier_df: DataFrame,
+    ms: MetricSet,
+    child_tier_name: str,
+    n_parts: int,
+    keys: tuple[str, ...] = ("url_hash", "url", "lang"),
+    n_secondary_groups: int | None = None,
+) -> DataFrame:
+    """Downsample whose ONE exchange is already the child tier's write
+    layout — the cascade-child analogue of
+    :func:`rollup_with_spec_clustered` (same leading-key trick, same
+    exact-output contract vs ``with_layout_columns(downsample_with_spec
+    (...))``). Requires url_hash/url in the parent grain."""
+    from .bucketing import url_bucket
+
+    src = parent_tier_df
+    if "gap_filled" in src.columns:
+        src = src.where(~F.col("gap_filled"))
+    groups = n_secondary_groups or n_parts
+    pre = (
+        src.withColumn(
+            "bucket_start", bucket_start("bucket_start", child_tier_name)
+        )
+        .withColumn("bucket_day", F.to_date("bucket_start"))
+        .withColumn("_wb", F.pmod(F.col("url_hash"), F.lit(groups)).cast("int"))
+        .repartition(n_parts, F.col("bucket_day"), F.col("_wb"))
+    )
+    present = [k for k in list(keys) + [n for n, _ in ms.derived_keys]
+               if k in src.columns]
+    out = (
+        pre.groupBy("bucket_day", "_wb", F.col("bucket_start"), *present)
+        .agg(*[m.reagg().alias(m.name) for m in ms.metrics])
+        .withColumn("tier", F.lit(child_tier_name))
+        .withColumn("gap_filled", F.lit(False))
+        .withColumn("url_bucket", url_bucket("url"))
+        .sortWithinPartitions("bucket_day", "url_hash")
+    )
+    ordered = (
+        ["bucket_start"]
+        + present
+        + ms.metric_names()
+        + ["tier", "gap_filled", "bucket_day", "url_bucket"]
+    )
+    return out.select(*ordered)
+
+
 def downsample_with_spec(
     parent_tier_df: DataFrame,
     ms: MetricSet,

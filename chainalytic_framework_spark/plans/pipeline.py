@@ -261,10 +261,17 @@ def run_pipeline(
                 src = store.read(_tier_table(parent, ms.name)).where(
                     F.col("bucket_day").isin(pend)
                 )
-            out = with_layout_columns(
-                downsample_with_spec(src.drop("bucket_day", "url_bucket"), ms, child)
-            )
-            out = store.cluster_for_write_hash(out, ["bucket_day"])
+            psrc = src.drop("bucket_day", "url_bucket")
+            if "url_hash" in psrc.columns and "url" in psrc.columns:
+                # fused agg+layout exchange, same as the finest tier
+                from ..operators.registry import downsample_with_spec_clustered
+
+                out = downsample_with_spec_clustered(
+                    psrc, ms, child, spark.sparkContext.defaultParallelism
+                )
+            else:
+                out = with_layout_columns(downsample_with_spec(psrc, ms, child))
+                out = store.cluster_for_write_hash(out, ["bucket_day"])
             if csecs <= 86400:
                 out = out.persist(StorageLevel.MEMORY_AND_DISK)
                 cached.append(out)
